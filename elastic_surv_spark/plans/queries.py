@@ -29,6 +29,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from elastic_surv_spark.metrics.brier import censoring_km, step_lookup
+from elastic_surv_spark.metrics.concordance import harrell_cindex_counts
 from elastic_surv_spark.metrics.km import km_curve
 from elastic_surv_spark.operators.asof import asof_join
 from elastic_surv_spark.operators.dedup import exact_dedup
@@ -557,6 +559,155 @@ def km_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
     )
     return km_curve(surv, "t", "e")
+
+
+def _user_lifetimes(spark: SparkSession, sf_dir: str, as_seconds: bool = False) -> DataFrame:
+    """Survival framing of events: T = observed lifetime, E = ever purchased."""
+    e = _t(spark, sf_dir, "events")
+    t_expr = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    if as_seconds:
+        t_expr = t_expr / F.lit(1000000.0)
+    return e.groupBy("user_id").agg(
+        t_expr.alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+        (-F.count("*")).cast("long").alias("risk"),
+    )
+
+
+@query(
+    "harrell_cindex_lifetimes",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               -count(*) AS risk
+        FROM events GROUP BY user_id
+    ), pairs AS (
+        SELECT a.risk AS r_i, b.risk AS r_j
+        FROM surv a JOIN surv b ON a.t < b.t AND a.e = 1
+    )
+    SELECT count(*) AS n_comparable,
+           CAST(sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+           CAST(sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+           round((sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END)
+                  + 0.5 * sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END)) / count(*), 6) AS c_index
+    FROM pairs
+    """,
+)
+def harrell_cindex_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell C-index (SURVEY §2.4 A6) on a deterministic risk score.
+
+    risk = -activity_count; exact pairwise self-join form (the scale path —
+    pair sampling / Fenwick count — is documented in metrics/concordance.py).
+    """
+    surv = _user_lifetimes(spark, sf_dir)
+    counts = harrell_cindex_counts(surv, "t", "e", "risk")
+    return counts.select(
+        "n_comparable",
+        F.col("n_concordant").cast("long").alias("n_concordant"),
+        F.col("n_tied").cast("long").alias("n_tied"),
+        "c_index",
+    )
+
+
+@query(
+    "ipcw_brier_km_grid",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), ev AS (
+        SELECT t, count(*) AS n_total, sum(e) AS d FROM surv GROUP BY t
+    ), km AS (
+        SELECT t, exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM (SELECT t, d, sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM ev) x
+    ), cv AS (
+        SELECT t, count(*) AS n_total, sum(1 - e) AS d FROM surv GROUP BY t
+    ), ckm AS (
+        SELECT t, exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM (SELECT t, d, sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM cv) x
+    ), stats AS (
+        SELECT min(t) AS tmin, max(t) AS tmax FROM surv
+    ), grid AS (
+        SELECT k, tmin + k * (tmax - tmin) / 19.0 AS tau
+        FROM generate_series(0, 19) g(k), stats
+    ), terms AS (
+        SELECT g.k, g.tau,
+               CASE
+                 WHEN s.t <= g.tau AND s.e = 1 THEN
+                   CASE WHEN COALESCE((SELECT c.s FROM ckm c WHERE c.t < s.t ORDER BY c.t DESC LIMIT 1), 1.0) > 0
+                        THEN pow(COALESCE((SELECT k2.s FROM km k2 WHERE k2.t <= g.tau ORDER BY k2.t DESC LIMIT 1), 1.0), 2)
+                             / COALESCE((SELECT c.s FROM ckm c WHERE c.t < s.t ORDER BY c.t DESC LIMIT 1), 1.0)
+                        ELSE 0.0 END
+                 WHEN s.t > g.tau THEN
+                   CASE WHEN COALESCE((SELECT c.s FROM ckm c WHERE c.t <= g.tau ORDER BY c.t DESC LIMIT 1), 1.0) > 0
+                        THEN pow(1.0 - COALESCE((SELECT k2.s FROM km k2 WHERE k2.t <= g.tau ORDER BY k2.t DESC LIMIT 1), 1.0), 2)
+                             / COALESCE((SELECT c.s FROM ckm c WHERE c.t <= g.tau ORDER BY c.t DESC LIMIT 1), 1.0)
+                        ELSE 0.0 END
+                 ELSE 0.0
+               END AS term
+        FROM surv s, grid g
+    )
+    SELECT k, round(tau, 6) AS tau,
+           round(sum(term) / (SELECT count(*) FROM surv), 6) AS brier
+    FROM terms GROUP BY k, tau
+    """,
+)
+def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPCW Brier score curve (SURVEY §2.4 A7) with a model-free KM predictor.
+
+    Everyone's predicted survival is the population KM curve; censoring
+    weights come from the flipped-event KM — the full Graf/pycox machinery
+    as one declarative plan (no UDFs; curves broadcast as array literals).
+    """
+    surv = _user_lifetimes(spark, sf_dir, as_seconds=True).select("t", "e")
+    # population survival curve S (the "prediction")
+    s_rows = km_curve(surv, "t", "e", round_to=None).select("t", "survival").orderBy("t").collect()
+    s_ts = [float(r["t"]) for r in s_rows]
+    s_vals = [float(r["survival"]) for r in s_rows]
+    # censoring curve G
+    g_ts, g_vals = censoring_km(surv, "t", "e")
+
+    row = surv.agg(F.min("t").alias("tmin"), F.max("t").alias("tmax")).first()
+    tmin, tmax = float(row["tmin"]), float(row["tmax"])
+    grid = [tmin + k * (tmax - tmin) / 19.0 for k in range(20)]
+
+    expanded = surv.select(
+        "t",
+        "e",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("k"), F.lit(float(tau)).alias("tau"))
+                    for k, tau in enumerate(grid)
+                ]
+            )
+        ).alias("g"),
+    ).select("t", "e", F.col("g.k").alias("k"), F.col("g.tau").alias("tau"))
+
+    t, e, tau = F.col("t"), F.col("e"), F.col("tau")
+    s_tau = step_lookup(s_ts, s_vals, tau)
+    g_tminus = step_lookup(g_ts, g_vals, t, strict=True)
+    g_tau = step_lookup(g_ts, g_vals, tau)
+    term = (
+        F.when(
+            (t <= tau) & (e == 1),
+            F.when(g_tminus > 0, F.pow(s_tau, 2) / g_tminus).otherwise(0.0),
+        )
+        .when(t > tau, F.when(g_tau > 0, F.pow(1.0 - s_tau, 2) / g_tau).otherwise(0.0))
+        .otherwise(0.0)
+    )
+    return (
+        expanded.select("k", tau.alias("tau"), term.alias("term"))
+        .groupBy("k", "tau")
+        .agg((F.sum("term") / F.count("*")).alias("brier"))
+        .select("k", F.round("tau", 6).alias("tau"), F.round("brier", 6).alias("brier"))
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,175 @@
+"""Metric operators validated against independent numpy reference
+implementations (pycox/lifelines are not installed in this container; the
+references below implement the same published definitions: Kaplan-Meier
+product-limit, Harrell/Antolini concordance, Graf IPCW Brier)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from elastic_surv_spark.metrics.brier import (
+    brier_curve,
+    integrated_brier_score,
+    surv_from_curve,
+)
+from elastic_surv_spark.metrics.concordance import (
+    concordance_td,
+    harrell_cindex,
+    harrell_cindex_counts,
+)
+from elastic_surv_spark.metrics.km import km_curve
+
+
+@pytest.fixture(scope="module")
+def surv_pdf():
+    rng = np.random.default_rng(42)
+    n = 80
+    t = np.round(rng.weibull(1.3, n) * 10, 2) + 0.01
+    e = rng.binomial(1, 0.6, n)
+    risk = np.round(-t + rng.normal(0, 2, n), 3)  # informative risk
+    return pd.DataFrame({"t": t, "e": e, "risk": risk})
+
+
+# ---------------------------------------------------------------- numpy refs
+def np_km(t, e):
+    order = np.argsort(t)
+    t, e = t[order], e[order]
+    times = np.unique(t)
+    surv = {}
+    s = 1.0
+    for u in times:
+        at_risk = (t >= u).sum()
+        d = ((t == u) & (e == 1)).sum()
+        if at_risk > 0:
+            s *= 1 - d / at_risk
+        surv[u] = s
+    return times, np.array([surv[u] for u in times])
+
+
+def np_step(ts, vals, x, strict=False):
+    idx = np.searchsorted(ts, x, side="left" if strict else "right") - 1
+    return vals[idx] if idx >= 0 else 1.0
+
+
+def np_harrell(t, e, risk):
+    conc = tied = comp = 0
+    n = len(t)
+    for i in range(n):
+        if e[i] != 1:
+            continue
+        for j in range(n):
+            if t[i] < t[j]:
+                comp += 1
+                if risk[i] > risk[j]:
+                    conc += 1
+                elif risk[i] == risk[j]:
+                    tied += 1
+    return comp, conc, tied, (conc + 0.5 * tied) / comp
+
+
+def np_ipcw_brier(t, e, cuts, surv_matrix, grid):
+    # surv_matrix: [n, len(cuts)] — subject i's survival at each cut
+    ct, cs = np_km(t, 1 - e)
+
+    def s_at(i, tau):
+        idx = np.searchsorted(cuts, tau, side="right") - 1
+        return surv_matrix[i, idx] if idx >= 0 else 1.0
+
+    out = []
+    n = len(t)
+    for tau in grid:
+        total = 0.0
+        for i in range(n):
+            g_tm = np_step(ct, cs, t[i], strict=True)
+            g_tau = np_step(ct, cs, tau)
+            if t[i] <= tau and e[i] == 1 and g_tm > 0:
+                total += s_at(i, tau) ** 2 / g_tm
+            elif t[i] > tau and g_tau > 0:
+                total += (1 - s_at(i, tau)) ** 2 / g_tau
+        out.append(total / n)
+    return np.array(out)
+
+
+# ------------------------------------------------------------------- tests
+def test_km_matches_numpy(spark, surv_pdf):
+    df = spark.createDataFrame(surv_pdf)
+    got = km_curve(df, "t", "e", round_to=None).orderBy("t").toPandas()
+    times, surv = np_km(surv_pdf["t"].to_numpy(), surv_pdf["e"].to_numpy())
+    assert np.allclose(got["t"], times)
+    assert np.allclose(got["survival"], surv, atol=1e-12)
+    # n_risk sanity: first row has everyone at risk
+    assert got["n_risk"].iloc[0] == len(surv_pdf)
+
+
+def test_harrell_matches_numpy(spark, surv_pdf):
+    df = spark.createDataFrame(surv_pdf)
+    row = harrell_cindex_counts(df, "t", "e", "risk").first()
+    comp, conc, tied, c = np_harrell(
+        surv_pdf["t"].to_numpy(), surv_pdf["e"].to_numpy(), surv_pdf["risk"].to_numpy()
+    )
+    assert row["n_comparable"] == comp
+    assert row["n_concordant"] == conc
+    assert row["n_tied"] == tied
+    assert abs(row["c_index"] - round(c, 6)) < 1e-9
+    assert 0.5 < harrell_cindex(df, "t", "e", "risk") <= 1.0
+
+
+def test_concordance_td_matches_numpy(spark, surv_pdf):
+    rng = np.random.default_rng(7)
+    cuts = np.quantile(surv_pdf["t"], np.linspace(0, 1, 8)).tolist()
+    n = len(surv_pdf)
+    # fake monotone survival curves, riskier subjects decay faster
+    base = rng.uniform(0.5, 1.0, (n, len(cuts)))
+    surv_matrix = np.minimum.accumulate(base, axis=1)
+    pdf = surv_pdf.copy()
+    pdf["surv"] = [row.tolist() for row in surv_matrix]
+    df = spark.createDataFrame(pdf)
+    got = concordance_td(df, "t", "e", "surv", cuts)
+
+    # numpy reference (Antolini)
+    t, e = surv_pdf["t"].to_numpy(), surv_pdf["e"].to_numpy()
+
+    def s_at(i, tau):
+        idx = np.searchsorted(cuts, tau, side="right") - 1
+        return surv_matrix[i, idx] if idx >= 0 else 1.0
+
+    conc = tied = comp = 0
+    for i in range(n):
+        if e[i] != 1:
+            continue
+        for j in range(n):
+            if t[i] < t[j]:
+                comp += 1
+                si, sj = s_at(i, t[i]), s_at(j, t[i])
+                if si < sj:
+                    conc += 1
+                elif si == sj:
+                    tied += 1
+    want = (conc + 0.5 * tied) / comp
+    assert abs(got - want) < 1e-12
+
+
+def test_ipcw_brier_matches_numpy(spark, surv_pdf):
+    t, e = surv_pdf["t"].to_numpy(), surv_pdf["e"].to_numpy()
+    cuts = np.quantile(t, np.linspace(0, 1, 8)).tolist()
+    times, km = np_km(t, e)
+    # model-free predictor: everyone gets the population KM curve
+    surv_row = [float(np_step(times, km, c)) for c in cuts]
+    surv_matrix = np.tile(surv_row, (len(t), 1))
+    pdf = surv_pdf.copy()
+    pdf["surv"] = [surv_row] * len(t)
+    df = spark.createDataFrame(pdf)
+
+    grid = np.linspace(t.min(), t.max(), 10).tolist()
+    got = brier_curve(df, "t", "e", surv_from_curve(cuts, "surv"), grid).toPandas()
+    want = np_ipcw_brier(t, e, np.array(cuts), surv_matrix, grid)
+    assert np.allclose(np.sort(got["tau"].to_numpy()), grid)
+    got_sorted = got.sort_values("k")["brier"].to_numpy()
+    assert np.allclose(got_sorted, want, atol=1e-12)
+
+    ibs = integrated_brier_score(df, "t", "e", surv_from_curve(cuts, "surv"), grid)
+    want_ibs = np.trapz(want, grid) / (grid[-1] - grid[0])
+    assert abs(ibs - want_ibs) < 1e-12
+    assert 0 <= ibs <= 1
