@@ -1,0 +1,135 @@
+"""Model tests: finite-difference gradient checks (the losses are hand-derived
+numpy backprop — verify them numerically) + reference-style smoke tests
+(train 5 epochs on the GBSG2-shaped fixture, score() returns finite
+c_index/brier; seeded c_index > 0.5 per BASELINE.md quality floor)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elastic_surv_spark.frame import SurvFrame
+from elastic_surv_spark.models.cox_ph import CoxPHModel
+from elastic_surv_spark.models.data import SurvDataset
+from elastic_surv_spark.models.deephit import DeepHitModel
+from elastic_surv_spark.models.logistic_hazard import LogisticHazardModel
+from elastic_surv_spark.models.nn import MLP
+from tests.fixtures import gbsg2_like
+
+
+def numeric_grad(f, z, h=1e-6):
+    g = np.zeros_like(z)
+    it = np.nditer(z, flags=["multi_index"])
+    for _ in it:
+        i = it.multi_index
+        z[i] += h
+        up = f(z)
+        z[i] -= 2 * h
+        dn = f(z)
+        z[i] += h
+        g[i] = (up - dn) / (2 * h)
+    return g
+
+
+@pytest.mark.parametrize("model_cls", [LogisticHazardModel, DeepHitModel])
+def test_discrete_loss_gradients(model_cls):
+    rng = np.random.default_rng(0)
+    n, k = 7, 5
+    z = rng.normal(0, 1, (n, k))
+    idx = rng.integers(0, k, n)
+    e = rng.binomial(1, 0.6, n).astype(float)
+    m = model_cls(in_features=3)
+    m.labtrans = type("L", (), {"transform_np": lambda self, t, e: (idx, e)})()
+    targets = (idx, e)
+    loss, dz = m._loss_grad(z.copy(), targets)
+    want = numeric_grad(lambda zz: m._loss_grad(zz, targets)[0], z.copy())
+    assert np.allclose(dz, want, atol=1e-5), f"max diff {np.abs(dz-want).max()}"
+
+
+def test_cox_loss_gradient():
+    rng = np.random.default_rng(1)
+    n = 9
+    z = rng.normal(0, 1, (n, 1))
+    t = np.round(rng.uniform(1, 10, n), 0)  # force some ties
+    e = rng.binomial(1, 0.7, n).astype(float)
+    m = CoxPHModel(in_features=3)
+    targets = (t, e)
+    loss, dz = m._loss_grad(z.copy(), targets)
+    want = numeric_grad(lambda zz: m._loss_grad(zz, targets)[0], z.copy())
+    assert np.allclose(dz, want, atol=1e-5), f"max diff {np.abs(dz-want).max()}"
+
+
+def test_mlp_backprop():
+    net = MLP(4, [8], 3, batch_norm=True, dropout=0.0, seed=0)
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, (6, 4))
+
+    def loss_of():
+        out = net.forward(x, training=True)
+        return 0.5 * (out**2).sum()
+
+    out = net.forward(x, training=True)
+    net.backward(out)
+    params = net.params()
+    for p, g in params:
+        flat = p.ravel()
+        gflat = g.ravel()
+        for i in range(0, flat.size, max(1, flat.size // 5)):
+            h = 1e-6
+            flat[i] += h
+            up = loss_of()
+            flat[i] -= 2 * h
+            dn = loss_of()
+            flat[i] += h
+            num = (up - dn) / (2 * h)
+            assert abs(num - gflat[i]) < 1e-4, f"param grad mismatch: {num} vs {gflat[i]}"
+
+
+# --------------------------------------------------------------------------- #
+@pytest.fixture(scope="module")
+def dataset(spark):
+    frame = SurvFrame.from_pandas(spark, gbsg2_like(), "time", "cens")
+    return SurvDataset(frame)
+
+
+@pytest.mark.parametrize(
+    "model_cls", [LogisticHazardModel, CoxPHModel, DeepHitModel]
+)
+def test_model_smoke_5_epochs(dataset, model_cls):
+    # ≡ reference tests/models/test_*.py:50-75 (5-epoch train, score keys)
+    model = model_cls(
+        in_features=dataset.in_features, epochs=5, patience=5, seed=42
+    )
+    model.train(dataset)
+    scores = model.score(dataset)
+    assert set(scores) == {"c_index", "brier_score"}
+    assert np.isfinite(scores["c_index"]) and np.isfinite(scores["brier_score"])
+    assert 0.0 <= scores["c_index"] <= 1.0
+    assert 0.0 <= scores["brier_score"] <= 1.0
+
+
+def test_logistic_hazard_beats_random(dataset):
+    model = LogisticHazardModel(
+        in_features=dataset.in_features, epochs=40, patience=40, lr=1e-2, seed=42
+    )
+    model.train(dataset)
+    scores = model.score(dataset)
+    assert scores["c_index"] > 0.5, scores  # BASELINE.md quality floor
+
+
+def test_averaged_mode_trains(dataset):
+    model = LogisticHazardModel(
+        in_features=dataset.in_features, epochs=3, mode="averaged", seed=42
+    )
+    model.train(dataset)
+    scores = model.score(dataset)
+    assert np.isfinite(scores["c_index"])
+
+
+def test_hyperparameter_sampling_roundtrip():
+    # ≡ reference tests/models/test_cox_ph.py:73-78
+    rng = np.random.default_rng(42)
+    for cls in (LogisticHazardModel, CoxPHModel, DeepHitModel):
+        params = cls.sample_hyperparameters(rng)
+        space = {p.name for p in cls.hyperparameter_space()}
+        assert set(params) == space
