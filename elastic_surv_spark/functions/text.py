@@ -1,0 +1,121 @@
+"""Text-analysis column functions (north-star surface, SURVEY §2.12).
+
+All hot-path functions are built-in column expressions (split / transform /
+filter / aggregate — JVM codegen, no Python). Everything is deterministic so
+each operator is duckdb-oracle-checkable.
+
+Scale: these are per-row map-side expressions — no shuffle, fully pipelined
+with the parquet scan; at 100 TB they cost one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small public stopword samples per language (enough for a deterministic
+# n-gram/stopword language-ID heuristic; not a linguistic resource).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "es": ["el", "la", "de", "y", "que", "es", "un", "una", "en", "por"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-ish regex tokenization: word pieces, numbers, punctuation runs —
+    the usual pre-tokenizer shape (letters+ | digits+ | single punct)."""
+    return F.regexp_extract_all(col, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles. Guarded for short texts (< n words)."""
+    w = words(col)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    w = words(col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return n_stop.cast("double") / F.size(w)
+
+
+def distinct_token_ratio(col: Column) -> Column:
+    w = words(col)
+    return F.size(F.array_distinct(w)).cast("double") / F.size(w)
+
+
+def avg_token_len(col: Column) -> Column:
+    w = words(col)
+    total = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(w)
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\p{Punct}]", "")
+    return F.length(stripped).cast("double") / F.length(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic doc-quality heuristic in [0, 1]: rewards moderate
+    length, lexical diversity and some stopwords; penalizes punctuation
+    walls. (Shape follows the usual LLM-data quality filters.)"""
+    length_term = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
+    diversity = distinct_token_ratio(col)
+    stop = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
+    return F.round(
+        0.3 * length_term + 0.3 * diversity + 0.2 * stop + 0.2 * punct, 6
+    )
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Stopword-hit count per language — the language-ID signal."""
+    w = words(col)
+    out = {}
+    for lang, stops in STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def fingerprint(col: Column) -> Column:
+    """Rolling polynomial hash over characters, mod 1e9+7.
+
+    Fold shape matches duckdb ``list_reduce`` (seed = first element):
+    h = c_0; h = (h*31 + c_i) % M. Exact integer arithmetic — bit-identical
+    across engines. Scale path: ``xxhash64`` (one JVM hash, no array), same
+    dedup semantics, not oracle-portable.
+    """
+    codes = F.transform(
+        F.filter(F.split(col, ""), lambda c: c != ""), lambda c: F.ascii(c).cast("long")
+    )
+    rest = F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0)))
+    return F.when(
+        F.size(codes) > 0,
+        F.aggregate(
+            rest,
+            F.element_at(codes, 1),
+            lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
+        ),
+    ).otherwise(F.lit(0).cast("long"))

@@ -1,0 +1,226 @@
+"""Near-duplicate detection: exact n-gram Jaccard, MinHash+LSH, SimHash.
+
+North-star operators (SURVEY §2.12). Three tiers, same semantics target
+("pairs of documents whose shingle-set Jaccard ≥ threshold"):
+
+- ``shingle_jaccard_pairs`` — exact all-pairs; O(n²) per block. The oracle
+  and the small-scale tool. Blocking (e.g. per-language) bounds the
+  quadratic term.
+- ``minhash_lsh_pairs`` — the 100 TB path: k minhashes per doc (JVM-side
+  ``xxhash64`` over shingles — no Python), banded into b signatures; the
+  self-join happens on 8-byte band keys only (shuffle ∝ corpus size, not
+  pairs). Candidates are then verified with exact Jaccard, so output ⊆
+  exact output, missing a true pair only when all bands miss
+  (P ≈ (1-j^r)^b per pair; ~1e-5 at j=0.9 with b=8, r=2).
+- ``simhash64`` — 64-bit SimHash signatures (Charikar); near-dups = small
+  Hamming distance, found by 16-bit chunk banding (pigeonhole: distance ≤ 3
+  ⇒ some chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.functions.text import shingles, words
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact near-dup pairs: (id_a, id_b, jaccard) with id_a < id_b."""
+    base = df.select(
+        F.col(id_col), *(block_cols or []), shingles(F.col(text_col), n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in (block_cols or [])],
+        F.col("_sh").alias("_sh_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in (block_cols or [])],
+        F.col("_sh").alias("_sh_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: min over shingles of
+    xxhash64(perm_index, shingle) — pure JVM expressions."""
+    sh = shingles(F.col(text_col), n)
+
+    def _perm_hash(i: int):
+        # single-arg lambda on purpose: a two-arg lambda would be treated by
+        # transform() as an (element, index) function, shadowing the
+        # permutation constant with the array position
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, _perm_hash(i))) for i in range(k)]
+    )
+    return df.select(F.col(id_col), sh.alias("_sh"), sig.alias("signature")).filter(
+        F.size("_sh") > 0
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Verified near-dup pairs via banded MinHash candidates.
+
+    Plan: signatures (map-only) → explode b band keys (hash of r minhashes)
+    → self-join on (band, key) → distinct candidate pairs → exact-Jaccard
+    verification join → filter ≥ threshold. Shuffle volume is O(corpus ×
+    bands) band keys + O(candidates) verification rows — never O(n²).
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b),
+            *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+        ).alias(f"_band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.col("_sh"), *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.col("_sh"),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_band_{b}").alias("key")) for b in range(bands)])
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("_sh"), F.col("bk.band"), F.col("bk.key"))
+
+    left = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "key"
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over word tokens (Charikar): bit b of the signature is
+    the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+
+    Computed with an Arrow-vectorized pandas UDF over the token-hash arrays
+    (the JVM side does tokenization + hashing; Python only folds 64 bit
+    counters — the documented slow-path tradeoff, still one map pass).
+    """
+    import numpy as np
+    import pandas as pd
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
+    )
+
+    @F.pandas_udf("long")
+    def fold_bits(hs):
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), fold_bits("_h").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banding by four 16-bit chunks (pigeonhole for distance ≤ 3): candidate
+    pairs share at least one chunk — shuffle on 2-byte chunk keys.
+    """
+    sigs = simhash64(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(F.col(id_col), F.col("simhash"), F.col("ck.chunk"), F.col("ck.key"))
+    left = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_s_a"), "chunk", "key")
+    right = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_s_b"), "chunk", "key")
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_s_a").bitwiseXOR(F.col("_s_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

