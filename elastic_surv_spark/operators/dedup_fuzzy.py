@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from elastic_surv_spark.functions.text import shingles, words
+from elastic_surv_spark.sources.parquet import spread_partitions as _spread
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -40,29 +41,59 @@ def shingle_jaccard_pairs(
     block_cols: list[str] | None = None,
     round_to: int = 6,
 ) -> DataFrame:
-    """Exact near-dup pairs: (id_a, id_b, jaccard) with id_a < id_b."""
-    base = df.select(
-        F.col(id_col), *(block_cols or []), shingles(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    a = base.select(
+    """Exact near-dup pairs: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Inverted-index plan: explode each doc's distinct shingles, self-equi-join
+    postings on the shingle value (plus optional blocking keys), and count
+    shared shingles per pair with a hash aggregate — |A∩B| without ever
+    materializing shingle arrays in the shuffle. Set sizes join back in and
+    jaccard = inter / (|A| + |B| − inter). Any pair with jaccard > 0 shares a
+    shingle, so the candidate set is exact for every positive threshold.
+    Shuffle is O(postings + co-occurring pairs), never O(n²); a naive
+    all-pairs comparison runs as a single-task nested-loop join.
+    """
+    blocks = list(block_cols or [])
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # Trailing repartition = exchange barrier: the tokenizing projection runs
+    # once and all four consumers below (sizes ×2, postings ×2) read the same
+    # shuffle output via ReusedExchange instead of re-tokenizing — higher-
+    # order expressions run interpreted (no codegen CSE), so re-evaluation
+    # is the dominant cost otherwise.
+    base = (
+        _spread(df)
+        .select(F.col(id_col), *blocks, shingles(F.col(text_col), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .repartition(par)
+    )
+    sizes = base.select(F.col(id_col), F.size("_sh").alias("_n"))
+    postings = base.select(F.col(id_col), *blocks, F.explode("_sh").alias("_s"))
+    a = postings.select(
         F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"_ba_{c}") for c in (block_cols or [])],
-        F.col("_sh").alias("_sh_a"),
+        *[F.col(c).alias(f"_b_{c}") for c in blocks],
+        "_s",
     )
-    b = base.select(
+    b = postings.select(
         F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"_bb_{c}") for c in (block_cols or [])],
-        F.col("_sh").alias("_sh_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in blocks],
+        "_s",
     )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols or []:
-        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    inter = (
+        a.join(b, ["_s", *[f"_b_{c}" for c in blocks]])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
     return (
-        a.join(b, cond)
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -76,8 +107,11 @@ def minhash_signatures(
     k: int = 16,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: min over shingles of
-    xxhash64(perm_index, shingle) — pure JVM expressions."""
-    sh = shingles(F.col(text_col), n)
+    xxhash64(perm_index, shingle) — pure JVM expressions.
+
+    Tokenization is materialized through an exchange barrier first, so the
+    k hash passes fold over the stored ``_sh`` array attribute instead of
+    re-running the (interpreted, non-CSE'd) shingle expression k times."""
 
     def _perm_hash(i: int):
         # single-arg lambda on purpose: a two-arg lambda would be treated by
@@ -85,12 +119,17 @@ def minhash_signatures(
         # permutation constant with the array position
         return lambda s: F.xxhash64(F.lit(i), s)
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tokenized = (
+        _spread(df)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .repartition(par)
+    )
     sig = F.array(
-        *[F.array_min(F.transform(sh, _perm_hash(i))) for i in range(k)]
+        *[F.array_min(F.transform(F.col("_sh"), _perm_hash(i))) for i in range(k)]
     )
-    return df.select(F.col(id_col), sh.alias("_sh"), sig.alias("signature")).filter(
-        F.size("_sh") > 0
-    )
+    return tokenized.select(F.col(id_col), F.col("_sh"), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -128,23 +167,27 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(F.col(id_col), F.col("_sh"), F.col("bk.band"), F.col("bk.key"))
 
-    left = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "band", "key"
-    )
-    right = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "band", "key"
-    )
+    # Band join carries only (id, band, key) — 24-byte rows; shingle arrays
+    # re-join afterwards for the (few) surviving candidate pairs.
+    left = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    sh = banded.select(F.col(id_col), F.col("_sh"))
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash64(
@@ -160,7 +203,7 @@ def simhash64(
     import numpy as np
     import pandas as pd
 
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col),
         F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
     )
@@ -195,7 +238,11 @@ def simhash_near_pairs(
     Banding by four 16-bit chunks (pigeonhole for distance ≤ 3): candidate
     pairs share at least one chunk — shuffle on 2-byte chunk keys.
     """
-    sigs = simhash64(df, id_col, text_col)
+    # Barrier: the simhash pass (tokenize + hash + pandas-UDF bit fold) runs
+    # once; both join sides reuse the exchange.
+    sigs = simhash64(df, id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from elastic_surv_spark.sources.parquet import spread_partitions
+
 
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
@@ -87,17 +89,28 @@ def lsh_topk(
     """
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    tables = []
-    for t in range(n_tables):
-        sig = lsh_bucket_candidates(
-            corpus, id_col, vec_col, n_planes=n_planes, seed=seed + t, dim=dim
-        ).select(F.col(id_col), F.lit(t).alias("table"), F.col("signature"))
-        tables.append(sig)
-    sigs = tables[0]
-    for t in tables[1:]:
-        sigs = sigs.unionByName(t)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # All tables' signatures in ONE projection over ONE (spread) scan —
+    # a union of per-table selects would re-scan and re-project the corpus
+    # n_tables times. The trailing repartition is an exchange barrier so the
+    # interpreted vector math runs once and both join sides reuse it.
+    spread = spread_partitions(corpus)
+    sig_structs = [
+        F.struct(
+            F.lit(t).alias("table"),
+            _signature(vec_col, n_planes=n_planes, seed=seed + t, dim=dim).alias(
+                "signature"
+            ),
+        )
+        for t in range(n_tables)
+    ]
+    sigs = (
+        spread.select(F.col(id_col), F.explode(F.array(*sig_structs)).alias("ts"))
+        .select(F.col(id_col), F.col("ts.table"), F.col("ts.signature"))
+        .repartition(par)
+    )
 
-    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    vecs = spread_partitions(corpus.select(F.col(id_col), F.col(vec_col)))
     left = sigs.select(F.col(id_col).alias("q_id"), "table", "signature")
     right = sigs.select(F.col(id_col).alias("n_id"), "table", "signature")
     cand = (
@@ -124,6 +137,24 @@ def lsh_topk(
     )
 
 
+def _signature(
+    vec_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64
+) -> Column:
+    """Random-hyperplane signature column: sign bits of ``n_planes``
+    Gaussian projections packed into a long."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = None
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        proj = _dot(F.col(vec_col), plane)
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig * 2 + bit
+    return sig.cast("long")
+
+
 def lsh_bucket_candidates(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -140,14 +171,7 @@ def lsh_bucket_candidates(
     the embedding. Candidate pairs are found with a signature self-join
     (shuffle on 8-byte signatures — scale-safe), then re-ranked exactly.
     """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = None
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
-        proj = _dot(F.col(vec_col), plane)
-        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig * 2 + bit
-    return corpus.select(F.col(id_col), sig.cast("long").alias("signature"))
+    return corpus.select(
+        F.col(id_col),
+        _signature(vec_col, n_planes=n_planes, seed=seed, dim=dim).alias("signature"),
+    )

@@ -52,6 +52,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer partitions than
+    cores (small-file artifact at tiny SFs) — so an expensive projection
+    (tokenization, vector math) never runs on one task. At real scale the
+    parquet scan already splits at ``spark.sql.files.maxPartitionBytes``
+    and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

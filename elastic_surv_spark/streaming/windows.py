@@ -1,0 +1,172 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has NO streaming operators (SURVEY §2.10) — despite the
+"ElasticSearch streaming" framing, all its reads are batch. This module is
+the north-star streaming surface: the same window expressions as the batch
+queries (``F.window`` / ``F.session_window``), now with watermarks for late
+data, so the batch correctness gate and the streaming path share semantics
+by construction.
+
+Harness wiring: ``readStream`` over the events parquet with an explicit
+schema + ``maxFilesPerTrigger`` (micro-batched replay), memory sink +
+``processAllAvailable()`` for deterministic tests. At scale the source
+becomes Kafka/files-on-object-store; nothing else changes.
+
+Late data: watermark 1 hour — rows later than (max event time − 1h) are
+dropped from open aggregates; append-mode outputs only finalized windows.
+
+Custom stateful operators (beyond built-in windows) use
+``applyInPandasWithState`` — see ``stateful_running_max`` (per-user running
+peak value with timeout-based state expiry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 1,
+    ts_is_nanos: bool = False,
+) -> DataFrame:
+    """File-stream source over events parquet.
+
+    ``ts_is_nanos=True`` handles the driver's TIMESTAMP(NANOS) original
+    (read as long + rebuilt at micro precision); normal parquet timestamps
+    read directly.
+    """
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(_events_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windows — streaming twin of events_hourly_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows (1 hour, slide 15 min) with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows (gap-based) — streaming twin of the batch
+    sessionize operator (same 30-minute gap semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_running_max(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator: per-user running max event value via
+    ``applyInPandasWithState`` (state = one float; event-time timeout)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, peak double, n long"
+    state_schema = "peak double, n long"
+
+    def update(key, pdfs, state: GroupState):
+        peak, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                peak = max(peak, float(pdf["value"].max()))
+                n += len(pdf)
+        state.update((peak, n))
+        yield pd.DataFrame({"user_id": [key[0]], "peak": [peak], "n": [n]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming plan to completion against the bounded source and
+    return the materialized sink table (test harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,96 @@
+"""Streaming twins vs batch truth: replay the events table as 4 time-ordered
+micro-batches, run the streaming plans to completion, compare against the
+batch operators. Append-mode aggregations only emit watermark-closed
+windows, so emitted rows are checked as a (non-empty) subset of batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.operators.sessionize import session_stats
+from elastic_surv_spark.sources.parquet import load_table
+from elastic_surv_spark.streaming.windows import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_to_memory,
+    session_window_stream,
+    stateful_running_max,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Events re-written as 4 range-partitioned-by-ts files (micro-batches)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    events = load_table(spark, SF, "events")
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_hourly_stream_matches_batch(spark, stream_dir):
+    stream = read_events_stream(spark, stream_dir)
+    got = run_to_memory(hourly_counts_stream(stream), "hourly_out").toPandas()
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    assert len(got) > 0
+    bmap = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.itertuples()
+    }
+    for r in got.itertuples():
+        assert bmap[(r.window_start, r.event_type)] == (r.n_events, r.sum_value)
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, stream_dir):
+    stream = read_events_stream(spark, stream_dir)
+    got = run_to_memory(
+        session_window_stream(stream, gap="30 minutes"), "sessions_out"
+    ).toPandas()
+    batch = session_stats(
+        load_table(spark, SF, "events"), gap_seconds=1800
+    ).toPandas()
+    assert len(got) > 0
+    bmap = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in batch.itertuples()
+    }
+    # every emitted (closed) streaming session must exactly match a batch one
+    for r in got.itertuples():
+        assert bmap[(r.user_id, r.session_start_us)] == (r.n_events, r.sum_value)
+
+
+def test_stateful_running_max(spark, stream_dir):
+    stream = read_events_stream(spark, stream_dir)
+    got = run_to_memory(
+        stateful_running_max(stream), "peaks_out", output_mode="update"
+    ).toPandas()
+    final = got.groupby("user_id").agg({"peak": "max", "n": "max"})
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("peak"), F.count("*").alias("n"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid, row in final.iterrows():
+        assert abs(row["peak"] - batch.loc[uid, "peak"]) < 1e-12
+        assert row["n"] == batch.loc[uid, "n"]
