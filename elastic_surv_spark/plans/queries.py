@@ -37,7 +37,7 @@ from elastic_surv_spark.operators.dedup import exact_dedup
 from elastic_surv_spark.operators.sessionize import session_stats
 from elastic_surv_spark.operators.similarity import cosine_topk
 from elastic_surv_spark.session import tune
-from elastic_surv_spark.sources.parquet import load_table
+from elastic_surv_spark.sources.parquet import load_table, table_path
 
 
 @dataclass
@@ -665,7 +665,17 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights come from the flipped-event KM — the full Graf/pycox machinery
     as one declarative plan (no UDFs; curves broadcast as array literals).
     """
-    surv = _user_lifetimes(spark, sf_dir, as_seconds=True).select("t", "e")
+    import bisect
+
+    from pyspark.storagelevel import StorageLevel
+
+    # One row per user — tiny relative to events; persist so the three curve
+    # actions below don't each re-aggregate the events scan.
+    surv = (
+        _user_lifetimes(spark, sf_dir, as_seconds=True)
+        .select("t", "e")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # population survival curve S (the "prediction")
     s_rows = km_curve(surv, "t", "e", round_to=None).select("t", "survival").orderBy("t").collect()
     s_ts = [float(r["t"]) for r in s_rows]
@@ -673,27 +683,49 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # censoring curve G
     g_ts, g_vals = censoring_km(surv, "t", "e")
 
-    row = surv.agg(F.min("t").alias("tmin"), F.max("t").alias("tmax")).first()
-    tmin, tmax = float(row["tmin"]), float(row["tmax"])
+    def _at(ts: list[float], vals: list[float], x: float) -> float:
+        i = bisect.bisect_right(ts, x)
+        return vals[i - 1] if i > 0 else 1.0
+
+    # Grid endpoints come from the S-curve's distinct times (every observed t
+    # appears there) — no extra driver action.
+    tmin, tmax = s_ts[0], s_ts[-1]
     grid = [tmin + k * (tmax - tmin) / 19.0 for k in range(20)]
 
-    expanded = surv.select(
-        "t",
-        "e",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("k"), F.lit(float(tau)).alias("tau"))
-                    for k, tau in enumerate(grid)
-                ]
-            )
-        ).alias("g"),
-    ).select("t", "e", F.col("g.k").alias("k"), F.col("g.tau").alias("tau"))
+    # The tau-side curve values S(tau), G(tau) are 20 constants — resolved
+    # driver-side; the only per-row lookup, G(t⁻), becomes a broadcast
+    # equi-join: every surv.t is a point of the G curve (same data), and
+    # G(t⁻) is the curve value one step earlier (lag, default 1.0). No
+    # linear array scans per row.
+    gprev = spark.createDataFrame(
+        [(float(g_ts[i]), float(g_vals[i - 1]) if i > 0 else 1.0) for i in range(len(g_ts))],
+        "t double, _g_tminus double",
+    )
+    expanded = (
+        surv.join(F.broadcast(gprev), "t", "left")
+        .select(
+            "t",
+            "e",
+            F.coalesce("_g_tminus", F.lit(1.0)).alias("_g_tminus"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            F.lit(float(tau)).alias("tau"),
+                            F.lit(_at(s_ts, s_vals, tau)).alias("_s_tau"),
+                            F.lit(_at(g_ts, g_vals, tau)).alias("_g_tau"),
+                        )
+                        for k, tau in enumerate(grid)
+                    ]
+                )
+            ).alias("g"),
+        )
+        .select("t", "e", "_g_tminus", "g.k", "g.tau", "g._s_tau", "g._g_tau")
+    )
 
     t, e, tau = F.col("t"), F.col("e"), F.col("tau")
-    s_tau = step_lookup(s_ts, s_vals, tau)
-    g_tminus = step_lookup(g_ts, g_vals, t, strict=True)
-    g_tau = step_lookup(g_ts, g_vals, tau)
+    s_tau, g_tminus, g_tau = F.col("_s_tau"), F.col("_g_tminus"), F.col("_g_tau")
     term = (
         F.when(
             (t <= tau) & (e == 1),
@@ -962,6 +994,205 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(e, k=5, n_planes=4, n_tables=8)
+
+
+# --------------------------------------------------------------------------- #
+# Grouping sets / cube, set operations (SURVEY §2.4 / §2.7 'built-in' rows)
+# --------------------------------------------------------------------------- #
+@query(
+    "order_status_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four (status, priority) rollup combinations.
+
+    Scale: one Expand (4× row multiplier) + one hash-agg shuffle — same plan
+    shape at any SF; the multiplier is the number of grouping sets, not data.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "supplier_grouping_sets",
+    """
+    SELECT n_name, r_name, count(*) AS n_suppliers,
+           CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((n_name), (r_name), ())
+    """,
+)
+def supplier_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-nation, per-region, grand total).
+
+    Broadcast joins to the two tiny dims, then Expand + hash-agg. Expressed
+    via SQL — GROUPING SETS has no direct DataFrame-API form.
+    """
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_gs_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_gs_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("_gs_region")
+    return spark.sql(
+        """
+        SELECT n_name, r_name, count(*) AS n_orders,
+               CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+        FROM _gs_supplier
+        JOIN _gs_nation ON s_nationkey = n_nationkey
+        JOIN _gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name), ())
+        """
+    ).select(
+        "n_name",
+        "r_name",
+        F.col("n_orders").alias("n_suppliers"),
+        "total_bal",
+    )
+
+
+@query(
+    "returned_partkey_setops",
+    """
+    WITH r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         f AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_linestatus = 'F')
+    SELECT (SELECT count(*) FROM (SELECT * FROM r INTERSECT SELECT * FROM f)) AS n_intersect,
+           (SELECT count(*) FROM (SELECT * FROM r EXCEPT SELECT * FROM f)) AS n_except,
+           (SELECT count(*) FROM (SELECT * FROM r UNION SELECT * FROM f)) AS n_union
+    """,
+)
+def returned_partkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level set operations (SURVEY §2.7): INTERSECT / EXCEPT / UNION
+    DISTINCT over two filtered projections of lineitem.
+
+    Scale: each set op is a hash-aggregate on the partkey shuffle key; the
+    three single-row counts cross-join trivially.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    f = li.filter(F.col("l_linestatus") == "F").select("l_partkey").distinct()
+    inter = r.intersect(f).agg(F.count("*").alias("n_intersect"))
+    exc = r.subtract(f).agg(F.count("*").alias("n_except"))
+    uni = r.union(f).distinct().agg(F.count("*").alias("n_union"))
+    return inter.crossJoin(exc).crossJoin(uni)
+
+
+# --------------------------------------------------------------------------- #
+# Embedding-cosine near-dup, streaming twin, multimodal plumbing
+# --------------------------------------------------------------------------- #
+@query(
+    "embedding_near_dupes",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           round(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) *
+                  sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) /
+                (sqrt(list_dot_product(a.emb, a.emb)) *
+                 sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+    """,
+)
+def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    The blocking column turns the all-pairs O(n²) into Σ per-block n_b² —
+    the standard scale pattern when a cheap partitioner exists (language,
+    shard, cluster id). Equi-join on the block key shuffles vectors once;
+    cosine runs JVM-side (zip_with + aggregate) on co-located pairs only.
+    """
+    from elastic_surv_spark.operators.similarity import cosine
+    from elastic_surv_spark.sources.parquet import spread_partitions
+
+    e = spread_partitions(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("_emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("_emb_b")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("label"),
+            F.round(cosine(F.col("_emb_a"), F.col("_emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@query(
+    "events_hourly_stream",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hourly_windows, driven to
+    completion over the bounded file source and checked against the SAME
+    batch oracle — the strongest form of batch/stream semantic parity.
+
+    Complete output mode so every window (not just watermark-closed ones)
+    is emitted for the bounded comparison; production append-mode plans are
+    in streaming/windows.py.
+    """
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    tune(spark)
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), ts_is_nanos=True
+    )
+    sink = f"_hourly_stream_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(hourly_counts_stream(stream), sink, output_mode="complete")
+
+
+@query("media_feature_plumbing", None)  # synthetic media; rows-only check
+def media_feature_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (SURVEY §2.12): binary payload + typed metadata →
+    size-aware repartition → Arrow-batched mapInPandas featurization.
+    Deterministic fake decode (byte-histogram moments) stands in for the
+    codec step; schema/batch shape/partitioning are the real thing.
+    """
+    from elastic_surv_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=96, seed=7)
+    return extract_features(media)
+
+
+@query("video_frame_sample_plan", None)  # synthetic media; rows-only check
+def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: JVM-side sequence/explode of per-media
+    sample timestamps (decode of each frame is the stubbed step)."""
+    from elastic_surv_spark.functions.multimodal import (
+        frame_sample_plan,
+        synthetic_media_table,
+    )
+
+    media = synthetic_media_table(spark, n=96, seed=7)
+    return frame_sample_plan(media, every_ms=2000)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

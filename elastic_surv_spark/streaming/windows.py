@@ -51,19 +51,25 @@ def read_events_stream(
     (read as long + rebuilt at micro precision); normal parquet timestamps
     read directly.
     """
+    import os
+
+    def _reader(schema):
+        r = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+        # The file-stream source only accepts directories; a single-file
+        # path becomes (parent dir + glob filter).
+        if os.path.isfile(path):
+            return r.option("pathGlobFilter", os.path.basename(path)).parquet(
+                os.path.dirname(path)
+            )
+        return r.parquet(path)
+
     if ts_is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(_events_schema(T.LongType()))
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(path)
-        )
+        raw = _reader(_events_schema(T.LongType()))
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(_events_schema(T.TimestampType()))
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+    return _reader(_events_schema(T.TimestampType()))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
