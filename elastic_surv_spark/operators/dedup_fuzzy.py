@@ -196,35 +196,45 @@ def simhash64(
     """64-bit SimHash over word tokens (Charikar): bit b of the signature is
     the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
 
-    Computed with an Arrow-vectorized pandas UDF over the token-hash arrays
-    (the JVM side does tokenization + hashing; Python only folds 64 bit
-    counters — the documented slow-path tradeoff, still one map pass).
+    Pure JVM, entirely map-side — per row: fold token hashes into a
+    64-counter vote array (aggregate + zip_with), then pack the sign bits:
+    bit b set ⟺ 2·count_ones_b > n_tokens (vote sum > 0, ties → 0). No
+    shuffle and no Python; the expression stays small (no 64-way aggregate,
+    whose generated code takes seconds to janino-compile). For corpora of
+    very long documents (≥10⁴ tokens) prefer an exploded (doc, bit)
+    hash-aggregate instead — codegen'd sums beat interpreted array folds at
+    that token count.
     """
-    import numpy as np
-    import pandas as pd
-
-    hashed = _spread(df).select(
-        F.col(id_col),
-        F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
+    # 1<<63 wraps to long min — the sign bit's two's-complement value.
+    pows = F.array(
+        *[F.lit((1 << b) if b < 63 else -(2**63)).cast("long") for b in range(64)]
     )
-
-    @F.pandas_udf("long")
-    def fold_bits(hs):
-        out = np.zeros(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            if arr is None or len(arr) == 0:
-                continue
-            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig.astype(np.int64))
-        return pd.Series(out)
-
-    return hashed.select(F.col(id_col), fold_bits("_h").alias("simhash"))
+    hashes = F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            pows,
+            lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return _spread(df).select(F.col(id_col), F.coalesce(sig, F.lit(0).cast("long")).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -110,7 +110,13 @@ def lsh_topk(
         .repartition(par)
     )
 
-    vecs = spread_partitions(corpus.select(F.col(id_col), F.col(vec_col)))
+    # Per-vector norms precomputed once (broadcast-side projection): the
+    # per-pair re-rank is then ONE dot + one divide, not three dots.
+    vecs = spread_partitions(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_norm"),
+    )
     left = sigs.select(F.col(id_col).alias("q_id"), "table", "signature")
     right = sigs.select(F.col(id_col).alias("n_id"), "table", "signature")
     cand = (
@@ -119,15 +125,31 @@ def lsh_topk(
         .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
-    qv = vecs.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_q_emb"))
-    nv = vecs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_n_emb"))
+    # Vector table broadcast to both sides: candidate pairs never shuffle
+    # with arrays attached, and the dot product is computed map-side. At a
+    # corpus too big to broadcast, partition candidates and vectors by id
+    # range instead (bucketed join) — same plan shape.
+    qv = vecs.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_q_emb"),
+        F.col("_norm").alias("_q_norm"),
+    )
+    nv = vecs.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("_n_emb"),
+        F.col("_norm").alias("_n_norm"),
+    )
     scored = (
-        cand.join(qv, "q_id")
-        .join(nv, "n_id")
+        cand.join(F.broadcast(qv), "q_id")
+        .join(F.broadcast(nv), "n_id")
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("_q_emb"), F.col("_n_emb")), round_to).alias("cosine"),
+            F.round(
+                _dot(F.col("_q_emb"), F.col("_n_emb"))
+                / (F.col("_q_norm") * F.col("_n_norm")),
+                round_to,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))

@@ -993,7 +993,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(e, k=5, n_planes=4, n_tables=8)
+    return lsh_topk(e, k=5, n_planes=6, n_tables=8)
 
 
 # --------------------------------------------------------------------------- #
