@@ -1166,6 +1166,142 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(hourly_counts_stream(stream), sink, output_mode="complete")
 
 
+@query(
+    "purchase_prior_views_range_join",
+    """
+    SELECT a.event_id, a.user_id, count(*) AS n_views_1h,
+           CAST(round(sum(CAST(b.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_view_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'view'
+     AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+     AND epoch_us(b.ts) <= epoch_us(a.ts)
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def purchase_prior_views_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (SURVEY §2.3): views within the hour before each
+    purchase, per user.
+
+    Time-bucketed plan (operators/range_join.py): right rows hash to one
+    bucket, left rows explode to the 2 buckets their window overlaps, then
+    an ordinary equi-join on (user, bucket) + exact range filter — volume
+    O(|L|·2 + |R|), never the per-key cross product a naive BETWEEN join
+    runs as.
+    """
+    from elastic_surv_spark.operators.range_join import range_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    matched = range_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        lower_seconds=3600, upper_seconds=0,
+    )
+    return matched.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_views_1h"),
+        F.round(F.sum(F.col("r_value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_view_value"),
+    )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) r WHERE rnk <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (SURVEY §2.12 text row): top-3 characteristic terms per doc.
+
+    Plan: explode terms once; tf = (doc, term) hash-agg; df = per-term
+    distinct-doc agg joined back on the term shuffle key; idf = ln(N/df)
+    with N via a broadcast single-row cross join (no driver action); windowed
+    top-3 per doc. All shuffles are on (doc,term)/(term) — linear in corpus.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "events_session_stream",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, min(epoch_us(ts)) AS session_start_us, count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-min gap) driven to completion
+    and checked against the batch sessionization SQL oracle — gap-based
+    session semantics agree between Structured Streaming's session_window
+    and the lag/cumsum batch formulation by construction.
+    """
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        session_window_stream,
+    )
+
+    tune(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"), ts_is_nanos=True)
+    sink = f"_session_stream_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(
+        session_window_stream(stream, gap="30 minutes"), sink, output_mode="complete"
+    )
+
+
 @query("media_feature_plumbing", None)  # synthetic media; rows-only check
 def media_feature_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (SURVEY §2.12): binary payload + typed metadata →
