@@ -1,3 +1,4 @@
 from elastic_surv_spark.models.cox_ph import CoxPHModel  # noqa: F401
 from elastic_surv_spark.models.deephit import DeepHitModel  # noqa: F401
 from elastic_surv_spark.models.logistic_hazard import LogisticHazardModel  # noqa: F401
+from elastic_surv_spark.models.aft import AFTBaselineModel  # noqa: F401

@@ -1302,6 +1302,70 @@ def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sliding_stream",
+    """
+    WITH slides AS (
+        SELECT e.*, to_timestamp(epoch(date_trunc('minute', ts))
+               - (epoch(date_trunc('minute', ts))::BIGINT % 900) - k * 900) AS window_start
+        FROM events e, unnest([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(window_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           count(*) AS n_events
+    FROM slides
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window, 15 min slide) as a Structured Streaming
+    plan driven to completion, oracle-checked against the unnest-the-slides
+    SQL formulation (each event belongs to 4 overlapping windows).
+    """
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        sliding_counts_stream,
+    )
+
+    tune(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"), ts_is_nanos=True)
+    sink = f"_sliding_stream_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(sliding_counts_stream(stream), sink, output_mode="complete")
+
+
+@query(
+    "order_value_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (SURVEY §2.4 family): Spark's exact
+    ``percentile`` ≡ duckdb ``quantile_cont`` (linear interpolation).
+
+    Scale note: exact percentile buffers each group's values — right for
+    bounded group counts like these; for unbounded/hot groups switch to
+    ``approx_percentile`` (t-digest, mergeable map-side) and drop the oracle
+    to tolerance-compare.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 @query("media_feature_plumbing", None)  # synthetic media; rows-only check
 def media_feature_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (SURVEY §2.12): binary payload + typed metadata →

@@ -133,3 +133,12 @@ def test_hyperparameter_sampling_roundtrip():
         params = cls.sample_hyperparameters(rng)
         space = {p.name for p in cls.hyperparameter_space()}
         assert set(params) == space
+
+
+def test_aft_baseline_scores(dataset):
+    from elastic_surv_spark.models.aft import AFTBaselineModel
+
+    m = AFTBaselineModel(num_durations=10, max_iter=50).train(dataset)
+    s = m.score(dataset)
+    assert np.isfinite(s["c_index"]) and np.isfinite(s["brier_score"])
+    assert s["c_index"] > 0.5  # informative covariates -> better than random

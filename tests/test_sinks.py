@@ -1,0 +1,63 @@
+"""Sinks: partition pruning actually prunes; bucketed join drops its
+shuffle; CSV/JSON roundtrips preserve values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.sources.parquet import load_table
+from elastic_surv_spark.sources.sinks import (
+    read_csv,
+    read_json,
+    write_bucketed_table,
+    write_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "orders_part")
+    o = load_table(spark, SF, "orders")
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    want = o.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # managed tables land in the session warehouse dir; dropped in finally
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(o, "t_orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b",
+        ["o_orderkey"], n_buckets=8,
+    )
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    n = load_table(spark, SF, "nation")
+    csv_p, json_p = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    n.write.mode("overwrite").option("header", "true").csv(csv_p)
+    n.write.mode("overwrite").json(json_p)
+    schema = "n_nationkey bigint, n_name string, n_regionkey bigint"
+    got_csv = read_csv(spark, csv_p, schema=schema).orderBy("n_nationkey").toPandas()
+    got_json = read_json(spark, json_p, schema=schema).orderBy("n_nationkey").toPandas()
+    want = n.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
+    assert got_csv["n_name"].tolist() == want["n_name"].tolist()
+    assert got_json["n_name"].tolist() == want["n_name"].tolist()
