@@ -1366,6 +1366,168 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_peak_stateful_stream",
+    """
+    SELECT user_id, round(max(value), 6) AS peak, count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def user_peak_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running peak. The bounded source replays as one micro-batch,
+    so the update-mode emissions equal the final state — checked against
+    the plain batch aggregate oracle.
+    """
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stateful_running_max,
+    )
+
+    tune(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"), ts_is_nanos=True)
+    sink = f"_peak_stream_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(stateful_running_max(stream), sink, output_mode="update")
+    return out.select("user_id", F.round("peak", 6).alias("peak"), "n")
+
+
+@query(
+    "order_status_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts by status per priority.
+
+    Explicit value list so the plan is a single hash-agg with conditional
+    counters — no extra distinct-values job, same plan at any SF.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@query(
+    "small_quantity_parts_subquery",
+    """
+    SELECT l.l_partkey,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS small_revenue
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey, 0.5 * sum(l_quantity) / count(*) AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def small_quantity_parts_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate subquery (TPC-H Q17 shape), written decorrelated:
+    per-part average joined back to the fact — the plan Catalyst's
+    decorrelation produces for the correlated form, made explicit. One
+    shuffle on partkey serves both the aggregate and the join (AQE reuses
+    the exchange).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.sum("l_quantity") / F.count("*")).alias("half_avg_qty")
+    )
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("l_partkey")
+        .agg(_dec_sum(F.col("l_extendedprice")).alias("small_revenue"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS, TPC-H Q22 flavor): customers with no urgent
+    orders.
+
+    left_anti shuffles only the 8-byte key column from orders; the count
+    aggregates map-side.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    ), edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    ), bidir AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), verts AS (SELECT DISTINCT a AS v FROM bidir),
+    reach(v, r) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT reach.v, bidir.b FROM reach JOIN bidir ON reach.r = bidir.a
+    )
+    SELECT v AS doc_id, min(r) AS comp_id FROM reach GROUP BY v
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components →
+    (doc_id, comp_id); keep min(doc_id) per component to dedup.
+
+    Iterative min-label propagation (operators/cluster.py); the duckdb
+    oracle computes the same components by recursive transitive closure.
+    The full 100 TB dedup pipeline is: signatures → band join → verify →
+    THIS → keep one per component.
+    """
+    from elastic_surv_spark.operators.cluster import connected_components
+    from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("v").alias("doc_id"), F.col("comp").alias("comp_id"))
+
+
 @query("media_feature_plumbing", None)  # synthetic media; rows-only check
 def media_feature_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (SURVEY §2.12): binary payload + typed metadata →
