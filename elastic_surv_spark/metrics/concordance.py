@@ -63,6 +63,8 @@ def harrell_cindex(
     df: DataFrame, time_col: str, event_col: str, risk_col: str, **kw
 ) -> float:
     row = harrell_cindex_counts(df, time_col, event_col, risk_col, **kw).first()
+    if row is None or row["c_index"] is None:
+        return float("nan")  # no comparable pairs
     return float(row["c_index"])
 
 

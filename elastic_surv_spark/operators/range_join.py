@@ -25,11 +25,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _as_micros(df: DataFrame, col: str) -> F.Column:
+def _axis(df: DataFrame, col: str) -> tuple[F.Column, float]:
+    """(numeric axis column, units-per-second). Timestamps compare at
+    microsecond precision; numeric axes are taken to already be in seconds
+    (offsets apply 1:1)."""
     dt = df.schema[col].dataType
     if isinstance(dt, T.TimestampType):
-        return F.unix_micros(F.col(col))
-    return F.col(col).cast("long")
+        return F.unix_micros(F.col(col)), 1_000_000.0
+    return F.col(col).cast("double"), 1.0
 
 
 def range_join(
@@ -54,21 +57,25 @@ def range_join(
     span = lower_seconds + upper_seconds
     if span <= 0:
         raise ValueError("window must have positive width")
-    w_us = int((bucket_seconds or span) * 1_000_000)
 
-    l_us = _as_micros(left, left_ts)
-    r_us = _as_micros(right, right_ts)
+    l_ax, l_scale = _axis(left, left_ts)
+    r_ax, r_scale = _axis(right, right_ts)
+    if l_scale != r_scale:
+        raise ValueError("left/right time axes must both be timestamps or both numeric")
+    w = float((bucket_seconds or span) * l_scale)
+    lower = float(lower_seconds * l_scale)
+    upper = float(upper_seconds * l_scale)
 
-    lo = l_us - int(lower_seconds * 1_000_000)
-    hi = l_us + int(upper_seconds * 1_000_000)
-    l_bucketed = left.withColumn("_l_us", l_us).withColumn(
+    lo = l_ax - lower
+    hi = l_ax + upper
+    l_bucketed = left.withColumn("_l_ax", l_ax).withColumn(
         "_bucket",
-        F.explode(F.sequence(F.floor(lo / w_us), F.floor(hi / w_us))),
+        F.explode(F.sequence(F.floor(lo / w), F.floor(hi / w))),
     )
     r_prefixed = right.select(
         F.col(on),
-        r_us.alias("_r_us"),
-        F.floor(r_us / w_us).alias("_bucket"),
+        r_ax.alias("_r_ax"),
+        F.floor(r_ax / w).alias("_bucket"),
         *[
             F.col(c).alias(f"r_{c}")
             for c in right.columns
@@ -76,7 +83,7 @@ def range_join(
         ],
     )
     joined = l_bucketed.join(r_prefixed, [on, "_bucket"]).filter(
-        (F.col("_r_us") >= F.col("_l_us") - int(lower_seconds * 1_000_000))
-        & (F.col("_r_us") <= F.col("_l_us") + int(upper_seconds * 1_000_000))
+        (F.col("_r_ax") >= F.col("_l_ax") - lower)
+        & (F.col("_r_ax") <= F.col("_l_ax") + upper)
     )
-    return joined.drop("_bucket", "_l_us", "_r_us")
+    return joined.drop("_bucket", "_l_ax", "_r_ax")

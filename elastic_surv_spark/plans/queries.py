@@ -1528,6 +1528,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("v").alias("doc_id"), F.col("comp").alias("comp_id"))
 
 
+@query(
+    "orders_monthly_trend",
+    """
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS revenue_delta,
+           lag(n_orders) OVER (ORDER BY month) AS prev_n_orders
+    FROM monthly
+    """,
+)
+def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing + lag/lead analytics: month-over-month revenue delta.
+
+    Scale: months are a bounded domain, so the trailing single-partition
+    ORDER BY window holds ~100s of rows regardless of SF — the heavy work
+    (per-month agg) shuffles on the month key first.
+    """
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("revenue_delta"),
+        F.lag("n_orders").over(w).alias("prev_n_orders"),
+    )
+
+
 @query("media_feature_plumbing", None)  # synthetic media; rows-only check
 def media_feature_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (SURVEY §2.12): binary payload + typed metadata →
