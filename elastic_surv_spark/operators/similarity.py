@@ -3,10 +3,14 @@
 Brute-force cosine top-k is the exactness baseline (oracle-checkable against
 duckdb's list functions); the LSH-bucketed variant is the scale path.
 
-All vector math is built-in higher-order functions (``zip_with`` +
-``aggregate``) — JVM-side, no Python UDF in the hot path. Elements are cast
-float→double *before* multiply so Spark and the duckdb oracle do bit-identical
-IEEE arithmetic, and the fold is sequential in array order in both engines.
+Oracle-checked paths (``cosine_topk``) use built-in higher-order functions
+(``zip_with`` + ``aggregate``): elements are cast float→double *before*
+multiply so Spark and the duckdb oracle do bit-identical IEEE arithmetic and
+the fold is sequential in array order in both engines. The approximate path
+(``lsh_topk``) instead uses Arrow-batched numpy kernels (matmul signatures,
+einsum re-rank): higher-order expressions run interpreted (no codegen), so a
+vectorized batch beats tables×planes array folds per row by an order of
+magnitude at bulk volume.
 
 Scale notes:
 - brute force is O(|Q|·|C|) — correct tool when |Q| is small (broadcast the
@@ -17,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,23 +96,35 @@ def lsh_topk(
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    # All tables' signatures in ONE projection over ONE (spread) scan —
-    # a union of per-table selects would re-scan and re-project the corpus
-    # n_tables times. The trailing repartition is an exchange barrier so the
-    # interpreted vector math runs once and both join sides reuse it.
+    # All tables' signatures in ONE Arrow-batched pass: a (batch × dim) @
+    # (dim × tables·planes) matmul then sign-bit packing — one vectorized
+    # kernel per batch instead of tables×planes interpreted array folds per
+    # row (higher-order expressions don't codegen). Planes are the same
+    # deterministic Gaussian draws as _signature's. The trailing repartition
+    # is an exchange barrier: both join sides reuse one computation.
+    all_planes = np.concatenate(
+        [
+            np.random.default_rng(seed + t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+    ).T  # (dim, n_tables*n_planes)
+
+    @F.pandas_udf("array<long>")
+    def table_sigs(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)  # (B, dim)
+        bits = (X @ all_planes >= 0).astype(np.int64)  # (B, T*P)
+        packed = bits.reshape(len(X), n_tables, n_planes)
+        w = (2 ** np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+        sigs_m = (packed * w).sum(axis=2)  # (B, T)
+        return pd.Series(list(sigs_m))
+
     spread = spread_partitions(corpus)
-    sig_structs = [
-        F.struct(
-            F.lit(t).alias("table"),
-            _signature(vec_col, n_planes=n_planes, seed=seed + t, dim=dim).alias(
-                "signature"
-            ),
-        )
-        for t in range(n_tables)
-    ]
     sigs = (
-        spread.select(F.col(id_col), F.explode(F.array(*sig_structs)).alias("ts"))
-        .select(F.col(id_col), F.col("ts.table"), F.col("ts.signature"))
+        spread.select(F.col(id_col), table_sigs(F.col(vec_col)).alias("_sigs"))
+        .select(
+            F.col(id_col),
+            F.posexplode("_sigs").alias("table", "signature"),
+        )
         .repartition(par)
     )
 
@@ -139,6 +157,12 @@ def lsh_topk(
         F.col(vec_col).alias("_n_emb"),
         F.col("_norm").alias("_n_norm"),
     )
+    @F.pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
     scored = (
         cand.join(F.broadcast(qv), "q_id")
         .join(F.broadcast(nv), "n_id")
@@ -146,7 +170,7 @@ def lsh_topk(
             "q_id",
             "n_id",
             F.round(
-                _dot(F.col("_q_emb"), F.col("_n_emb"))
+                pair_dot(F.col("_q_emb"), F.col("_n_emb"))
                 / (F.col("_q_norm") * F.col("_n_norm")),
                 round_to,
             ).alias("cosine"),
@@ -164,8 +188,6 @@ def _signature(
 ) -> Column:
     """Random-hyperplane signature column: sign bits of ``n_planes``
     Gaussian projections packed into a long."""
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     sig = None
