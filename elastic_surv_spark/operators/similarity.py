@@ -183,6 +183,117 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate all-pairs top-k.
+
+    The billion-scale ANN layout: a KMeans coarse quantizer partitions the
+    corpus into ~√n cells; each vector is indexed under its nearest
+    centroid; a query only compares against the ``n_probe`` cells whose
+    centroids are nearest to it. Cost per query ≈ n_probe·n/n_cells exact
+    comparisons instead of n.
+
+    Plan shape: KMeans fit (MLlib, distributed — at real scale fit on a
+    sample); cell assignment is the model's transform (map-only); the probe
+    list is a small (batch × cells) matmul in a pandas UDF with centroids
+    broadcast as a numpy constant; candidates come from an equi-join on the
+    cell id — shuffle ∝ corpus × n_probe, never all-pairs. Exact einsum
+    re-rank + windowed top-k as in lsh_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    n_cells = n_cells or max(2, int(n ** 0.5 / 2))
+    n_probe = min(n_probe, n_cells)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
+    base = spread_partitions(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col)).alias("_v"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_v").fit(base)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
+
+    assigned = (
+        model.transform(base)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("prediction").alias("_cell"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_norm"),
+        )
+        .repartition(par)
+    )
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)  # (B, dim)
+        d2 = (
+            (X * X).sum(1, keepdims=True)
+            - 2.0 * (X @ centroids.T)
+            + (centroids * centroids).sum(1)
+        )  # squared euclidean, matching KMeans assignment
+        order = np.argpartition(d2, min(n_probe, d2.shape[1] - 1), axis=1)[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    queries = assigned.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    cand = (
+        queries.join(assigned.select(F.col(id_col).alias("n_id"), "_cell"), "_cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+
+    qv = assigned.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_q_emb"),
+        F.col("_norm").alias("_q_norm"),
+    )
+    nv = assigned.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("_n_emb"),
+        F.col("_norm").alias("_n_norm"),
+    )
+
+    @F.pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(F.broadcast(nv), "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                pair_dot(F.col("_q_emb"), F.col("_n_emb"))
+                / (F.col("_q_norm") * F.col("_n_norm")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _signature(
     vec_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64
 ) -> Column:

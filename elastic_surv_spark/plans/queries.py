@@ -1567,6 +1567,42 @@ def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (letters+ | digits+ | single punct) next
+    to whitespace counts — the token-budget accounting pass of an LLM data
+    pipeline, map-only."""
+    from elastic_surv_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(TX.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        TX.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query("embedding_ann_ivf", None)  # kmeans cells engine-specific → rows-only
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: KMeans coarse quantizer, each
+    vector assigned to one cell, queries probe their n_probe nearest cells,
+    exact re-rank inside probed cells (operators/similarity.py:ivf_topk) —
+    the standard billion-scale ANN layout (recall vs brute force asserted
+    in tests)."""
+    from elastic_surv_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, k=5, n_probe=4)
+
+
 @query("media_feature_plumbing", None)  # synthetic media; rows-only check
 def media_feature_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (SURVEY §2.12): binary payload + typed metadata →

@@ -97,3 +97,15 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     recall = len(bset & aset) / len(bset)
     # near-uniform synthetic vectors are LSH's worst case; ~0.69 observed
     assert recall >= 0.5, recall
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    from elastic_surv_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF, "embeddings")
+    approx = ivf_topk(e, k=5, n_probe=4).toPandas()
+    brute = cosine_topk(e, e, k=5).toPandas()
+    bset = set(zip(brute["q_id"], brute["n_id"]))
+    aset = set(zip(approx["q_id"], approx["n_id"]))
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.5, recall
