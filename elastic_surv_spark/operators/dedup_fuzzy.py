@@ -66,7 +66,14 @@ def shingle_jaccard_pairs(
         .repartition(par)
     )
     sizes = base.select(F.col(id_col), F.size("_sh").alias("_n"))
-    postings = base.select(F.col(id_col), *blocks, F.explode("_sh").alias("_s"))
+    # Postings join on xxhash64 of the shingle: 8-byte keys instead of
+    # ~20-byte strings through the shuffle. A 64-bit collision would need
+    # two distinct shingles of the SAME doc pair to collide to change a
+    # count — vanishing at any realistic corpus (and harmless below the
+    # jaccard threshold).
+    postings = base.select(
+        F.col(id_col), *blocks, F.explode("_sh").alias("_s_str")
+    ).select(F.col(id_col), *blocks, F.xxhash64("_s_str").alias("_s"))
     a = postings.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"_b_{c}") for c in blocks],
