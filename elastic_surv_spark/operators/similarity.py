@@ -118,63 +118,49 @@ def lsh_topk(
         sigs_m = (packed * w).sum(axis=2)  # (B, T)
         return pd.Series(list(sigs_m))
 
+    # Bucket-local re-rank (FAISS-cell style): shuffle each vector ONCE per
+    # table to its (table, signature) bucket, then a grouped-apply computes
+    # the bucket's pairwise cosine matrix with one numpy matmul and emits
+    # bare (q_id, n_id, cosine) rows. Nothing downstream carries arrays —
+    # the alternative (candidate join + per-pair arrays) moves the vectors
+    # once per CANDIDATE instead of once per bucket membership. A
+    # pathologically hot bucket would n² one task — that's the n_planes
+    # tuning knob (more planes → smaller buckets).
     spread = spread_partitions(corpus)
-    sigs = (
-        spread.select(F.col(id_col), table_sigs(F.col(vec_col)).alias("_sigs"))
+    member = (
+        spread.select(
+            F.col(id_col),
+            F.col(vec_col),
+            table_sigs(F.col(vec_col)).alias("_sigs"),
+        )
         .select(
             F.col(id_col),
+            F.col(vec_col),
             F.posexplode("_sigs").alias("table", "signature"),
         )
-        .repartition(par)
     )
 
-    # Per-vector norms precomputed once (broadcast-side projection): the
-    # per-pair re-rank is then ONE dot + one divide, not three dots.
-    vecs = spread_partitions(corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_norm"),
-    )
-    left = sigs.select(F.col(id_col).alias("q_id"), "table", "signature")
-    right = sigs.select(F.col(id_col).alias("n_id"), "table", "signature")
-    cand = (
-        left.join(right, ["table", "signature"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-        .dropDuplicates(["q_id", "n_id"])
-    )
-    # Vector table broadcast to both sides: candidate pairs never shuffle
-    # with arrays attached, and the dot product is computed map-side. At a
-    # corpus too big to broadcast, partition candidates and vectors by id
-    # range instead (bucketed join) — same plan shape.
-    qv = vecs.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("_q_emb"),
-        F.col("_norm").alias("_q_norm"),
-    )
-    nv = vecs.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("_n_emb"),
-        F.col("_norm").alias("_n_norm"),
-    )
-    @F.pandas_udf("double")
-    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+    def bucket_rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"q_id": [], "n_id": [], "cosine": []})
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = Xn @ Xn.T
+        ids = pdf[id_col].to_numpy()
+        qi, ni = np.nonzero(~np.eye(m, dtype=bool))
+        return pd.DataFrame(
+            {
+                "q_id": ids[qi],
+                "n_id": ids[ni],
+                "cosine": np.round(C[qi, ni], round_to),
+            }
+        )
 
     scored = (
-        cand.join(F.broadcast(qv), "q_id")
-        .join(F.broadcast(nv), "n_id")
-        .select(
-            "q_id",
-            "n_id",
-            F.round(
-                pair_dot(F.col("_q_emb"), F.col("_n_emb"))
-                / (F.col("_q_norm") * F.col("_n_norm")),
-                round_to,
-            ).alias("cosine"),
-        )
+        member.groupBy("table", "signature")
+        .applyInPandas(bucket_rerank, schema="q_id long, n_id long, cosine double")
+        .dropDuplicates(["q_id", "n_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
