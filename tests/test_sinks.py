@@ -61,3 +61,16 @@ def test_csv_json_roundtrip(spark, tmp_path):
     want = n.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey").toPandas()
     assert got_csv["n_name"].tolist() == want["n_name"].tolist()
     assert got_json["n_name"].tolist() == want["n_name"].tolist()
+
+
+def test_es_reader_is_configured_without_cluster(spark):
+    """The ES reader builds fully configured (no jar/cluster needed until
+    .load()) — reference-parity surface for the eland/ES backend."""
+    import pytest
+
+    from elastic_surv_spark.sources.elastic import ES_FORMAT, es_reader, read_es
+
+    r = es_reader(spark, "events-*", nodes="es-host", fields=["ts", "value"])
+    assert r is not None
+    with pytest.raises(Exception):  # connector jar absent in this harness
+        read_es(spark, "events-*")
