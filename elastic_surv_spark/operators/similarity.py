@@ -216,7 +216,6 @@ def ivf_topk(
             F.col(id_col),
             F.col(vec_col),
             F.col("prediction").alias("_cell"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_norm"),
         )
         .repartition(par)
     )
@@ -232,46 +231,47 @@ def ivf_topk(
         order = np.argpartition(d2, min(n_probe, d2.shape[1] - 1), axis=1)[:, :n_probe]
         return pd.Series([row.astype(np.int32) for row in order])
 
-    queries = assigned.select(
-        F.col(id_col).alias("q_id"),
+    # Cell-local re-rank (same shape as lsh_topk's bucket re-rank): union
+    # the cell's MEMBERS (role 0, home cell) with the QUERIES probing it
+    # (role 1, exploded to n_probe cells), group by cell, and one numpy
+    # matmul per cell emits bare (q_id, n_id, cosine) rows — vectors move
+    # once per probe, never once per candidate pair.
+    members = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("_cell"), F.lit(0).alias("_role")
+    )
+    probes = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
         F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        F.lit(1).alias("_role"),
     )
-    cand = (
-        queries.join(assigned.select(F.col(id_col).alias("n_id"), "_cell"), "_cell")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id")
-        .dropDuplicates(["q_id", "n_id"])
-    )
+    grouped = members.unionByName(probes)
 
-    qv = assigned.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("_q_emb"),
-        F.col("_norm").alias("_q_norm"),
-    )
-    nv = assigned.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("_n_emb"),
-        F.col("_norm").alias("_n_norm"),
-    )
-
-    @F.pandas_udf("double")
-    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+    def cell_rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["_role"] == 1]
+        mbr = pdf[pdf["_role"] == 0]
+        if len(q) == 0 or len(mbr) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "cosine": []})
+        Q = np.stack(q[vec_col].to_numpy()).astype(np.float64)
+        M = np.stack(mbr[vec_col].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        C = Qn @ Mn.T
+        q_ids = q[id_col].to_numpy()
+        m_ids = mbr[id_col].to_numpy()
+        qi, mi = np.nonzero(q_ids[:, None] != m_ids[None, :])
+        return pd.DataFrame(
+            {
+                "q_id": q_ids[qi],
+                "n_id": m_ids[mi],
+                "cosine": np.round(C[qi, mi], round_to),
+            }
+        )
 
     scored = (
-        cand.join(F.broadcast(qv), "q_id")
-        .join(F.broadcast(nv), "n_id")
-        .select(
-            "q_id",
-            "n_id",
-            F.round(
-                pair_dot(F.col("_q_emb"), F.col("_n_emb"))
-                / (F.col("_q_norm") * F.col("_n_norm")),
-                round_to,
-            ).alias("cosine"),
-        )
+        grouped.groupBy("_cell")
+        .applyInPandas(cell_rerank, schema="q_id long, n_id long, cosine double")
+        .dropDuplicates(["q_id", "n_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
