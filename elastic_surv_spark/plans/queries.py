@@ -1338,6 +1338,38 @@ def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_windows",
+    """
+    WITH slides AS (
+        SELECT e.*, to_timestamp(epoch(date_trunc('minute', ts))
+               - (epoch(date_trunc('minute', ts))::BIGINT % 900) - k * 900) AS window_start
+        FROM events e, unnest([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(window_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           count(*) AS n_events
+    FROM slides
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows, batch form (1 h window, 15 min slide) — the same
+    ``F.window`` expression the streaming twin uses; Spark expands each row
+    to its 4 overlapping windows (Expand) then hash-aggregates."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "order_value_percentiles",
     """
     SELECT o_orderpriority,
