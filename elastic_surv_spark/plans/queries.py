@@ -400,7 +400,7 @@ def customer_order_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_stats",
     """
     SELECT event_type, count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
