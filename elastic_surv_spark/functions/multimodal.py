@@ -42,10 +42,10 @@ MEDIA_STRUCT = T.StructType(
 DECODE_LIBS_AVAILABLE = False  # no PIL/av/librosa in this container
 
 
-def synthetic_media_table(
-    spark: SparkSession, n: int = 64, seed: int = 42
-) -> DataFrame:
-    """Deterministic fake media rows (bytes + metadata) for plumbing tests."""
+def synthetic_media_pandas(n: int = 64, seed: int = 42) -> pd.DataFrame:
+    """Deterministic fake media rows (bytes + metadata) as a pandas frame —
+    shared by the in-session table builder and the committed parquet fixture
+    writer (scripts/make_media_fixture.py)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -66,6 +66,13 @@ def synthetic_media_table(
                 },
             }
         )
+    return pd.DataFrame(rows)
+
+
+def synthetic_media_table(
+    spark: SparkSession, n: int = 64, seed: int = 42
+) -> DataFrame:
+    """Deterministic fake media rows (bytes + metadata) for plumbing tests."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -73,7 +80,7 @@ def synthetic_media_table(
             T.StructField("media", MEDIA_STRUCT),
         ]
     )
-    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+    return spark.createDataFrame(synthetic_media_pandas(n, seed), schema=schema)
 
 
 def size_aware_repartition(
@@ -108,13 +115,16 @@ def extract_features(
     media_col: str = "media",
     n_features: int = 8,
     fake_decode: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """Per-media feature vectors via an Arrow-batched mapInPandas pass.
 
     With ``fake_decode`` the "decoder" derives a deterministic feature
     vector from the payload bytes (moment statistics of byte histograms) —
     a stand-in with the exact batch shape, schema, and memory profile the
-    real decoder would have.
+    real decoder would have. ``normalize=False`` keeps raw bin counts
+    (exact integers — what the duckdb oracle recomputes from exploded
+    bytes).
     """
     if not fake_decode:
         decode_media(df, content_col)  # raises: real decode unavailable
@@ -130,8 +140,11 @@ def extract_features(
             for payload in pdf[content_col]:
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(float)
                 hist = np.histogram(arr, bins=n_features, range=(0, 256))[0]
-                total = hist.sum() or 1
-                feats.append((hist / total).tolist())
+                if normalize:
+                    total = hist.sum() or 1
+                    feats.append((hist / total).tolist())
+                else:
+                    feats.append(hist.astype(float).tolist())
             out = pdf[id_cols + ["_kind"]].copy()
             out["features"] = feats
             out["n_bytes"] = [len(p) for p in pdf[content_col]]

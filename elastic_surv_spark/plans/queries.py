@@ -24,6 +24,7 @@ what the 100 TB plan looks like.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -61,6 +62,12 @@ def query(name: str, oracle: str | None):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     return load_table(spark, sf_dir, name)
+
+
+# Committed parquet fixtures read by BOTH engines (scripts/make_media_fixture.py).
+_FIXTURE_DIR = Path(__file__).resolve().parents[2] / "tests" / "fixtures"
+_MEDIA_PARQUET = str(_FIXTURE_DIR / "media.parquet")
+_MEDIA_BYTES_PARQUET = str(_FIXTURE_DIR / "media_bytes.parquet")
 
 
 def _dec_sum(col, scale: int = 6, round_to: int = 2):
@@ -1635,33 +1642,73 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, k=5, n_probe=4)
 
 
-@query("media_feature_plumbing", None)  # synthetic media; rows-only check
+@query(
+    "media_feature_plumbing",
+    f"""
+    WITH m AS (
+      SELECT media_id, struct_extract(media, 'kind') AS kind,
+             CAST(octet_length(content) AS BIGINT) AS n_bytes
+      FROM read_parquet('{_MEDIA_PARQUET}')
+    ),
+    bins AS (SELECT CAST(unnest(range(8)) AS INT) AS feat_idx),
+    counts AS (
+      SELECT media_id AS cid, CAST(byte_val // 32 AS INT) AS cidx, count(*) AS c
+      FROM read_parquet('{_MEDIA_BYTES_PARQUET}') GROUP BY 1, 2
+    )
+    SELECT m.media_id, m.kind, m.n_bytes, b.feat_idx,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS feat_val
+    FROM m CROSS JOIN bins b
+    LEFT JOIN counts c ON c.cid = m.media_id AND c.cidx = b.feat_idx
+    """,
+)
 def media_feature_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (SURVEY §2.12): binary payload + typed metadata →
     size-aware repartition → Arrow-batched mapInPandas featurization.
-    Deterministic fake decode (byte-histogram moments) stands in for the
+    Deterministic fake decode (byte-histogram bin counts) stands in for the
     codec step; schema/batch shape/partitioning are the real thing.
+
+    Both engines read the committed parquet fixture (tests/fixtures/
+    media.parquet); the oracle recomputes the histogram in SQL from the
+    byte-exploded twin fixture. Output is scalar rows (feature vector
+    posexploded) so the driver can sort/hash it.
     """
-    from elastic_surv_spark.functions.multimodal import (
-        extract_features,
-        synthetic_media_table,
+    from elastic_surv_spark.functions.multimodal import extract_features
+
+    media = spark.read.parquet(_MEDIA_PARQUET)
+    feats = extract_features(media, normalize=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("features").alias("feat_idx", "feat_val"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.col("feat_val").cast("long").alias("feat_val"),
     )
 
-    media = synthetic_media_table(spark, n=96, seed=7)
-    return extract_features(media)
 
-
-@query("video_frame_sample_plan", None)  # synthetic media; rows-only check
+@query(
+    "video_frame_sample_plan",
+    f"""
+    SELECT media_id,
+           CAST(unnest(range(0, CAST(struct_extract(media, 'duration_ms') AS BIGINT), 2000)) AS BIGINT) AS frame_ts_ms
+    FROM read_parquet('{_MEDIA_PARQUET}')
+    WHERE struct_extract(media, 'kind') = 'video'
+    """,
+)
 def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: JVM-side sequence/explode of per-media
-    sample timestamps (decode of each frame is the stubbed step)."""
-    from elastic_surv_spark.functions.multimodal import (
-        frame_sample_plan,
-        synthetic_media_table,
-    )
+    sample timestamps (decode of each frame is the stubbed step). Reads the
+    committed media fixture so the duckdb oracle sees identical rows."""
+    from elastic_surv_spark.functions.multimodal import frame_sample_plan
 
-    media = synthetic_media_table(spark, n=96, seed=7)
-    return frame_sample_plan(media, every_ms=2000)
+    media = spark.read.parquet(_MEDIA_PARQUET)
+    return frame_sample_plan(media, every_ms=2000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
