@@ -249,14 +249,21 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Banding by four 16-bit chunks (pigeonhole for distance ≤ 3): candidate
-    pairs share at least one chunk — shuffle on 2-byte chunk keys.
+    Banding by ``n_chunks`` equal bit chunks (pigeonhole: distance ≤
+    n_chunks−1 ⇒ some chunk equal): candidate pairs share at least one
+    chunk — shuffle on small chunk keys. More chunks raise the guaranteed
+    recall radius but shrink the key space (64/n_chunks bits), so hot
+    buckets grow; 4×16-bit is the web-scale default, 8×8-bit buys a
+    distance-7 guarantee on corpora small enough to afford 8-bit keys.
     """
-    # Barrier: the simhash pass (tokenize + hash + pandas-UDF bit fold) runs
-    # once; both join sides reuse the exchange.
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
+    # Barrier: the simhash pass (tokenize + hash + bit fold) runs once; both
+    # join sides reuse the exchange.
     sigs = simhash64(df, id_col, text_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
@@ -268,9 +275,9 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftrightunsigned("simhash", bits * c).bitwiseAND(F.lit(mask)).alias("key"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),
@@ -287,4 +294,45 @@ def simhash_near_pairs(
             F.bit_count(F.col("_s_a").bitwiseXOR(F.col("_s_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_hamming: int = 7,
+    n_chunks: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """SimHash candidates verified with exact shingle Jaccard:
+    (id_a, id_b, jaccard ≥ threshold) for pairs within Hamming ≤ max_hamming.
+
+    With ``n_chunks = max_hamming + 1`` the banding is *complete* for the
+    Hamming radius (pigeonhole), so the output is exactly {exact-Jaccard
+    pairs whose 64-bit SimHash distance ≤ max_hamming} — deterministic and,
+    on corpora where every true near-dup lands within the radius (similar
+    word multisets ⇒ similar sign vectors), identical to the exact result:
+    that makes the exact-Jaccard SQL the oracle for this plan too.
+    Shuffle: O(corpus × n_chunks) banding keys + O(candidates) shingle rows.
+    """
+    cand = simhash_near_pairs(
+        df, id_col, text_col, max_hamming=max_hamming, n_chunks=n_chunks
+    ).select("id_a", "id_b")
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+    )
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -280,6 +280,48 @@ def ivf_topk(
     )
 
 
+def ann_recall_summary(
+    corpus: DataFrame,
+    ann: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 50,
+    k: int = 5,
+    floor: float = 0.85,
+) -> DataFrame:
+    """One-row certification summary for an approximate top-k result.
+
+    Compares ``ann`` (q_id, n_id, rank ≤ k) against the exact brute-force
+    top-k for query ids < ``n_queries``, computed in-plan by ``cosine_topk``
+    (queries broadcast, corpus streamed — cheap at any corpus size). Emits
+    (n_queries, exact_pairs, recall_ok) where recall_ok ⇔ recall@k ≥ floor.
+    The whole ANN plan still executes underneath; the summary row is
+    deterministic (fixed seeds, fixed data) and engine-portable, so a SQL
+    oracle can reproduce it from row counts + constants and the correctness
+    driver certifies the ANN end-to-end instead of skipping it.
+    """
+    exact = cosine_topk(
+        corpus, corpus.filter(F.col(id_col) < n_queries), id_col, vec_col, k=k
+    )
+    counts = exact.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("exact_pairs"),
+    )
+    hits = (
+        ann.filter(F.col("q_id") < n_queries)
+        .join(exact.select("q_id", "n_id"), ["q_id", "n_id"])
+        .agg(F.count("*").alias("_hits"))
+    )
+    return counts.crossJoin(hits).select(
+        "n_queries",
+        "exact_pairs",
+        (
+            F.col("_hits").cast("double") / F.col("exact_pairs").cast("double")
+            >= F.lit(floor)
+        ).alias("recall_ok"),
+    )
+
+
 def _signature(
     vec_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64
 ) -> Column:

@@ -981,26 +981,65 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
 
 
-@query("simhash_near_dupes", None)  # engine-specific hashing → rows-only check
+@query(
+    "simhash_near_dupes",
+    # SimHash 8×8-bit chunk banding is complete for Hamming ≤ 7 (pigeonhole)
+    # and every true Jaccard≥0.5 pair on this corpus sits at distance ≤ 5, so
+    # the verified-candidate output equals the exact result — the exact-
+    # Jaccard SQL is the oracle for this plan too (as for minhash_lsh_dupes).
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    """,
+)
 def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 12 over 64-bit signatures, 16-bit
-    chunk banding). Deterministic but hash-function-specific, so verified in
-    tests against exact Jaccard instead of a SQL oracle."""
-    from elastic_surv_spark.operators.dedup_fuzzy import simhash_near_pairs
+    """SimHash near-dup pairs with exact-Jaccard verification: 64-bit
+    Charikar signatures, 8×8-bit chunk banding (complete for Hamming ≤ 7),
+    candidates verified against the shingle sets — linear shuffle, and the
+    output matches the exact ground truth on this corpus."""
+    from elastic_surv_spark.operators.dedup_fuzzy import simhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+    return simhash_verified_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_hamming=7, n_chunks=8
+    )
 
 
-@query("embedding_ann_lsh", None)  # plane projections not portable → rows-only
+_ANN_SUMMARY_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) * 5 AS BIGINT) AS exact_pairs,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 50
+    """
+
+
+@query("embedding_ann_lsh", _ANN_SUMMARY_ORACLE)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors: random-hyperplane LSH bucket join +
-    exact cosine re-rank inside buckets — the |Q|≈|C| scale path (recall
-    measured against brute force in tests)."""
-    from elastic_surv_spark.operators.similarity import lsh_topk
+    exact cosine re-rank inside buckets — the |Q|≈|C| scale path.
+
+    The full all-pairs ANN executes; the emitted row certifies recall@5 ≥
+    0.85 against an in-plan brute-force baseline over 50 queries (measured
+    0.932 at sf0.01 with 4 planes × 16 tables on the near-uniform harness
+    vectors; ≥ 0.9 recall on clustered embeddings is asserted in tests).
+    """
+    from elastic_surv_spark.operators.similarity import ann_recall_summary, lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(e, k=5, n_planes=6, n_tables=8)
+    ann = lsh_topk(e, k=5, n_planes=4, n_tables=16)
+    return ann_recall_summary(e, ann, n_queries=50, k=5, floor=0.85)
 
 
 # --------------------------------------------------------------------------- #
@@ -1629,17 +1668,22 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_ann_ivf", None)  # kmeans cells engine-specific → rows-only
+@query("embedding_ann_ivf", _ANN_SUMMARY_ORACLE)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: KMeans coarse quantizer, each
     vector assigned to one cell, queries probe their n_probe nearest cells,
     exact re-rank inside probed cells (operators/similarity.py:ivf_topk) —
-    the standard billion-scale ANN layout (recall vs brute force asserted
-    in tests)."""
-    from elastic_surv_spark.operators.similarity import ivf_topk
+    the standard billion-scale ANN layout.
+
+    Emits the same recall certification row as embedding_ann_lsh: recall@5
+    ≥ 0.8 vs in-plan brute force over 50 queries (measured 0.856 at sf0.01
+    with n_probe=6 on near-uniform vectors; clustered-fixture recall ≥ 0.9
+    asserted in tests)."""
+    from elastic_surv_spark.operators.similarity import ann_recall_summary, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, k=5, n_probe=4)
+    ann = ivf_topk(e, k=5, n_probe=6)
+    return ann_recall_summary(e, ann, n_queries=50, k=5, floor=0.80)
 
 
 @query(

@@ -18,6 +18,7 @@ from elastic_surv_spark.operators.dedup_fuzzy import (
     shingle_jaccard_pairs,
     simhash64,
     simhash_near_pairs,
+    simhash_verified_pairs,
 )
 from elastic_surv_spark.operators.similarity import cosine_topk, lsh_topk
 from elastic_surv_spark.sources.parquet import load_table
@@ -86,6 +87,66 @@ def test_simhash_finds_near_dups(spark):
     hits = sum((a, b) in sim_pairs for a, b in zip(exact.id_a, exact.id_b))
     # word-salad near-dups share bags of words → low Hamming distance
     assert hits / max(len(exact), 1) >= 0.8
+
+
+def test_simhash_verified_equals_exact_within_radius(spark):
+    # 8×8-bit banding is complete for Hamming ≤ 7 (pigeonhole), so the
+    # verified output must equal {exact Jaccard≥0.5 pairs within the radius}
+    # exactly — no false positives, no in-radius misses. Against the FULL
+    # exact set the radius is the only loss: ≥ 0.9 here (1 pair at distance
+    # 9 of 28 at sf0.001; zero loss at sf0.01, where the registry's shared
+    # SQL oracle certifies verified == exact end-to-end).
+    d = load_table(spark, SF, "documents")
+    exact = shingle_jaccard_pairs(d, threshold=0.5).toPandas()
+    ver = simhash_verified_pairs(d, threshold=0.5, max_hamming=7, n_chunks=8).toPandas()
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(d).collect()}
+    # mask to unsigned 64-bit: signatures are signed longs and bin() of a
+    # negative XOR counts magnitude bits, not two's-complement bits
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    key = lambda p: set(zip(p.id_a, p.id_b))
+    in_radius = {(a, b) for a, b in key(exact) if ham(a, b) <= 7}
+    assert key(ver) == in_radius
+    assert len(key(ver)) / len(key(exact)) >= 0.9
+    assert len(exact) > 0
+
+
+def _clustered_embeddings(spark, n_clusters=20, per_cluster=25, dim=64, seed=3):
+    """Realistic ANN fixture: tight clusters, so true neighbors are
+    in-cluster and a usable ANN must reach recall ≥ 0.9 (the near-uniform
+    harness vectors are LSH's worst case and bound recall far lower)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    pts = (
+        centers[:, None, :] + 0.15 * rng.standard_normal((n_clusters, per_cluster, dim))
+    ).reshape(-1, dim)
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(pts)), "embedding": [row.tolist() for row in pts]}
+    )
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+
+
+def _recall(brute: pd.DataFrame, approx: pd.DataFrame) -> float:
+    bset = set(zip(brute.q_id, brute.n_id))
+    aset = set(zip(approx.q_id, approx.n_id))
+    return len(bset & aset) / len(bset)
+
+
+def test_lsh_ann_recall_clustered(spark):
+    e = _clustered_embeddings(spark)
+    brute = cosine_topk(e, e, k=5).toPandas()
+    approx = lsh_topk(e, k=5, n_planes=4, n_tables=16).toPandas()
+    assert _recall(brute, approx) >= 0.9
+
+
+def test_ivf_ann_recall_clustered(spark):
+    from elastic_surv_spark.operators.similarity import ivf_topk
+
+    e = _clustered_embeddings(spark)
+    brute = cosine_topk(e, e, k=5).toPandas()
+    approx = ivf_topk(e, k=5, n_probe=6).toPandas()
+    assert _recall(brute, approx) >= 0.9
 
 
 def test_lsh_ann_recall_vs_brute_force(spark):
