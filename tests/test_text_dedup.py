@@ -133,6 +133,18 @@ def _recall(brute: pd.DataFrame, approx: pd.DataFrame) -> float:
     return len(bset & aset) / len(bset)
 
 
+def test_cosine_topk_fast_matches_reference_form(spark):
+    # the matmul top-k must return the same (q_id, n_id) sets as the
+    # oracle-parity zip_with form it replaces inside ann_recall_summary
+    from elastic_surv_spark.operators.similarity import cosine_topk_fast
+
+    e = load_table(spark, SF, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10)
+    slow = cosine_topk(e, qs, k=5).toPandas()
+    fast = cosine_topk_fast(e, qs, k=5).toPandas()
+    assert set(zip(slow.q_id, slow.n_id)) == set(zip(fast.q_id, fast.n_id))
+
+
 def test_lsh_ann_recall_clustered(spark):
     e = _clustered_embeddings(spark)
     brute = cosine_topk(e, e, k=5).toPandas()
