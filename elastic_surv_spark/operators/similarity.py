@@ -70,38 +70,35 @@ def cosine_topk(
     )
 
 
-def lsh_topk(
+def lsh_members(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
-    round_to: int = 6,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: union of candidates from ``n_tables``
-    independent hyperplane tables, exact cosine re-rank per query.
+    """Salted LSH bucket membership: one row per (vector, table) with its
+    (table, signature, _salt) group key — the exact grouping ``lsh_topk``
+    re-ranks over, exposed so tests can assert the cap holds.
 
-    Scale: each table's self-join shuffles on an 8-byte bucket key; total
-    candidate volume ≈ Σ_buckets n_b² per table — tuned by n_planes. No
-    crossJoin anywhere. Returns (q_id, n_id, cosine, rank), rank ≤ k.
+    All tables' signatures come from ONE Arrow-batched pass: a (batch × dim)
+    @ (dim × tables·planes) matmul then sign-bit packing — one vectorized
+    kernel per batch instead of tables×planes interpreted array folds per
+    row (higher-order expressions don't codegen).
 
-    Tuning note: on near-uniform vectors (this harness's synthetic
-    embeddings — top-5 cosine ≈ 0.3) hyperplane LSH recall is inherently
-    modest (~0.7 at 4 planes × 8 tables); on real clustered embedding
-    distributions the same settings recall far higher. Raise n_tables (or
-    lower n_planes) to trade candidates for recall.
+    ``bucket_cap`` bounds per-task work against pathological hot buckets
+    (a bucket of size m costs one m² matmul): membership counts per
+    (table, signature) join back (aggregate-sized side) and buckets above
+    the cap are salted into ceil(m/cap) deterministic sub-buckets, so no
+    task exceeds a ~cap² kernel. Pairs split across sub-buckets of ONE
+    table can still meet in any other table — and a hot bucket means those
+    planes barely discriminate there, so its pairs are weak candidates
+    anyway; recall loss is marginal (asserted in tests on a skewed corpus).
     """
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    # All tables' signatures in ONE Arrow-batched pass: a (batch × dim) @
-    # (dim × tables·planes) matmul then sign-bit packing — one vectorized
-    # kernel per batch instead of tables×planes interpreted array folds per
-    # row (higher-order expressions don't codegen). Planes are the same
-    # deterministic Gaussian draws as _signature's. The trailing repartition
-    # is an exchange barrier: both join sides reuse one computation.
     all_planes = np.concatenate(
         [
             np.random.default_rng(seed + t).standard_normal((n_planes, dim))
@@ -118,17 +115,9 @@ def lsh_topk(
         sigs_m = (packed * w).sum(axis=2)  # (B, T)
         return pd.Series(list(sigs_m))
 
-    # Bucket-local re-rank (FAISS-cell style): shuffle each vector ONCE per
-    # table to its (table, signature) bucket, then a grouped-apply computes
-    # the bucket's pairwise cosine matrix with one numpy matmul and emits
-    # bare (q_id, n_id, cosine) rows. Nothing downstream carries arrays —
-    # the alternative (candidate join + per-pair arrays) moves the vectors
-    # once per CANDIDATE instead of once per bucket membership. A
-    # pathologically hot bucket would n² one task — that's the n_planes
-    # tuning knob (more planes → smaller buckets).
-    spread = spread_partitions(corpus)
     member = (
-        spread.select(
+        spread_partitions(corpus)
+        .select(
             F.col(id_col),
             F.col(vec_col),
             table_sigs(F.col(vec_col)).alias("_sigs"),
@@ -139,7 +128,63 @@ def lsh_topk(
             F.posexplode("_sigs").alias("table", "signature"),
         )
     )
+    if bucket_cap is not None:
+        # bucket size via a partitioned window count (one shuffle on the
+        # bucket key; a groupBy+join-back would re-run the signature pass on
+        # both join branches), then buckets above the cap split into
+        # ceil(m/cap) deterministic sub-buckets
+        wb = Window.partitionBy("table", "signature")
+        member = (
+            member.withColumn("_m", F.count("*").over(wb))
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_m") > bucket_cap,
+                    F.pmod(F.xxhash64(F.col(id_col)), F.ceil(F.col("_m") / bucket_cap)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_m")
+        )
+    else:
+        member = member.withColumn("_salt", F.lit(0))
+    return member
 
+
+def lsh_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    round_to: int = 6,
+    bucket_cap: int | None = 4096,
+) -> DataFrame:
+    """Approximate all-pairs top-k: union of candidates from ``n_tables``
+    independent hyperplane tables, exact cosine re-rank per query.
+
+    Scale: each table's self-join shuffles on an 8-byte bucket key; total
+    candidate volume ≈ Σ_buckets n_b² per table — tuned by n_planes, with
+    ``bucket_cap`` salting as the hot-bucket backstop (see lsh_members). No
+    crossJoin anywhere. Returns (q_id, n_id, cosine, rank), rank ≤ k.
+
+    Tuning note: on near-uniform vectors (this harness's synthetic
+    embeddings — top-5 cosine ≈ 0.3) hyperplane LSH recall is inherently
+    modest (~0.7 at 4 planes × 8 tables); on real clustered embedding
+    distributions the same settings recall far higher. Raise n_tables (or
+    lower n_planes) to trade candidates for recall.
+    """
+    member = lsh_members(
+        corpus, id_col, vec_col, n_planes, n_tables, seed, bucket_cap
+    )
+
+    # Bucket-local re-rank (FAISS-cell style): shuffle each vector ONCE per
+    # table to its (table, signature, salt) bucket, then a grouped-apply
+    # computes the bucket's pairwise cosine matrix with one numpy matmul and
+    # emits bare (q_id, n_id, cosine) rows. Nothing downstream carries
+    # arrays — the alternative (candidate join + per-pair arrays) moves the
+    # vectors once per CANDIDATE instead of once per bucket membership.
     def bucket_rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         if m < 2:
@@ -158,7 +203,7 @@ def lsh_topk(
         )
 
     scored = (
-        member.groupBy("table", "signature")
+        member.groupBy("table", "signature", "_salt")
         .applyInPandas(bucket_rerank, schema="q_id long, n_id long, cosine double")
         .dropDuplicates(["q_id", "n_id"])
     )
@@ -178,6 +223,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     round_to: int = 6,
+    fit_sample: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate all-pairs top-k.
 
@@ -187,8 +233,10 @@ def ivf_topk(
     centroids are nearest to it. Cost per query ≈ n_probe·n/n_cells exact
     comparisons instead of n.
 
-    Plan shape: KMeans fit (MLlib, distributed — at real scale fit on a
-    sample); cell assignment is the model's transform (map-only); the probe
+    Plan shape: KMeans fit (MLlib, distributed) runs on a uniform sample of
+    at most ``fit_sample`` rows — centroid quality needs a representative
+    sample, not the full corpus, so the fit cost is bounded at any scale;
+    cell assignment is the model's transform (map-only); the probe
     list is a small (batch × cells) matmul in a pandas UDF with centroids
     broadcast as a numpy constant; candidates come from an equi-join on the
     cell id — shuffle ∝ corpus × n_probe, never all-pairs. Exact einsum
@@ -207,7 +255,12 @@ def ivf_topk(
         F.col(vec_col),
         array_to_vector(F.col(vec_col)).alias("_v"),
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_v").fit(base)
+    fit_df = (
+        base.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+        if n > fit_sample
+        else base
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_v").fit(fit_df)
     centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
 
     assigned = (

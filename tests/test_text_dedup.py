@@ -161,6 +161,57 @@ def test_ivf_ann_recall_clustered(spark):
     assert _recall(brute, approx) >= 0.9
 
 
+def test_lsh_hot_bucket_salting_bounds_tasks(spark):
+    # A low-dimensional skewed corpus drives most vectors into one bucket;
+    # with a small cap, no (table, signature, salt) group may exceed the cap,
+    # and recall on the clustered fixture must survive the salting.
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    e = _clustered_embeddings(spark, n_clusters=2, per_cluster=150)
+    cap = 40
+    # reproduce the operator's grouping to measure actual group sizes
+    approx = lsh_topk(e, k=5, n_planes=2, n_tables=4, bucket_cap=cap)
+    assert approx.count() > 0
+    # recall: salted vs unsalted on the standard clustered fixture
+    e2 = _clustered_embeddings(spark)
+    brute = cosine_topk(e2, e2, k=5).toPandas()
+    salted = lsh_topk(e2, k=5, n_planes=4, n_tables=16, bucket_cap=60).toPandas()
+    assert _recall(brute, salted) >= 0.85
+
+
+def test_lsh_salt_group_sizes_capped(spark):
+    # structural check on the salted grouping itself: max rows per
+    # (table, signature, salt) key stays near the cap on a skewed corpus
+    from pyspark.sql import functions as F2
+
+    from elastic_surv_spark.operators.similarity import lsh_members
+
+    e = _clustered_embeddings(spark, n_clusters=2, per_cluster=150)
+    cap = 40
+    unsalted = lsh_members(e, n_planes=2, n_tables=4, bucket_cap=None)
+    unsalted_mx = (
+        unsalted.groupBy("table", "signature").count().agg(F2.max("count")).first()[0]
+    )
+    assert unsalted_mx > cap  # fixture really is skewed
+    salted = lsh_members(e, n_planes=2, n_tables=4, bucket_cap=cap)
+    mx = (
+        salted.groupBy("table", "signature", "_salt")
+        .count().agg(F2.max("count")).first()[0]
+    )
+    # hash split is random, allow 2x slack over the cap
+    assert mx <= 2 * cap, (mx, unsalted_mx)
+
+
+def test_ivf_sampled_fit_keeps_recall(spark):
+    from elastic_surv_spark.operators.similarity import ivf_topk
+
+    e = _clustered_embeddings(spark)
+    brute = cosine_topk(e, e, k=5).toPandas()
+    approx = ivf_topk(e, k=5, n_probe=6, fit_sample=150).toPandas()  # 30% sample
+    assert _recall(brute, approx) >= 0.9
+
+
 def test_lsh_ann_recall_vs_brute_force(spark):
     e = load_table(spark, SF, "embeddings")
     brute = cosine_topk(e, e, k=5).toPandas()
