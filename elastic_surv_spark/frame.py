@@ -26,6 +26,8 @@ total order). Both are exposed; callers pick semantics vs scale.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -56,12 +58,16 @@ class SurvFrame:
         features: list[str] | None = None,
         order_column: str | None = None,
         train_ratio: float = 0.9,
+        label_transformer: Callable | None = None,
     ) -> None:
         self.df = df
         self.time_column = time_column
         self.event_column = event_column
         self.order_column = order_column
         self.train_ratio = train_ratio
+        # ≡ reference dataset.py:25,76,213-214 — caller-injected outcome
+        # transform (t, e) -> (t', e'), applied at batch-extraction time
+        self.label_transformer = label_transformer
 
         schema = {f.name: f.dataType for f in df.schema.fields}
         for col in (time_column, event_column):
@@ -94,6 +100,7 @@ class SurvFrame:
         event_column: str,
         features: list[str] | None = None,
         train_ratio: float = 0.9,
+        label_transformer: Callable | None = None,
     ) -> "SurvFrame":
         """≡ reference PandasDataset (dataset.py:306-344).
 
@@ -110,6 +117,7 @@ class SurvFrame:
             features=features,
             order_column=ROW_ID,
             train_ratio=train_ratio,
+            label_transformer=label_transformer,
         )
 
     # ------------------------------------------------------------------ #
@@ -170,6 +178,22 @@ class SurvFrame:
             self.time_column, self.event_column
         )
 
+    def discrete_outcome(self, num_durations: int, scheme: str = "equidistant"):
+        """Fit a duration discretizer on the TRAIN split and install its
+        transform as this frame's label_transformer — ≡ reference
+        dataset.py:122-132 (``discrete_outcome`` fits on train().outcome()
+        and sets ``self._label_transformer = labtrans.transform``). Returns
+        the fitted transform (its ``cuts`` seed a model's duration_index).
+        """
+        from elastic_surv_spark.models.labels import LabelTransform
+
+        train, _ = self.split() if self.order_column else self.hash_split()
+        labtrans = LabelTransform.fit(
+            train, self.time_column, num_durations=num_durations, scheme=scheme
+        )
+        self.label_transformer = labtrans.transform_np
+        return labtrans
+
     def copy(self) -> "SurvFrame":
         """≡ reference dataset.py:283-297 — but free: DataFrames are immutable
         and fitted featurizers are shared rather than refit (fixes the
@@ -181,4 +205,5 @@ class SurvFrame:
             features=list(self.features),
             order_column=self.order_column,
             train_ratio=self.train_ratio,
+            label_transformer=self.label_transformer,
         )

@@ -50,6 +50,9 @@ class SurvDataset:
         X = pdf[self.features].to_numpy(dtype=float)
         t = pdf[self.time_column].to_numpy(dtype=float)
         e = pdf[self.event_column].to_numpy(dtype=float)
+        if self.frame.label_transformer is not None:
+            # ≡ reference dataset.py:213-214 — outcome hook at batch time
+            t, e = self.frame.label_transformer(t, e)
         return X, t, e
 
     def train_numpy(self):

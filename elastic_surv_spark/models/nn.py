@@ -114,7 +114,10 @@ class BatchNorm1d:
 
 
 class MLP:
-    """MLPVanilla shape: [Dense→BN→ReLU→Dropout]*hidden → Dense(out)."""
+    """MLPVanilla shape: [Dense→ReLU→BN→Dropout]*hidden → Dense(out) —
+    activation BEFORE batch norm, matching torchtuples' MLPVanilla block
+    order (DenseVanillaBlock: Linear→activation→BatchNorm→Dropout), which
+    the reference uses for every net."""
 
     def __init__(
         self,
@@ -131,9 +134,9 @@ class MLP:
         prev = in_features
         for h in hidden:
             self.layers.append(Dense(self.rng, prev, h))
+            self.layers.append(ReLU())
             if batch_norm:
                 self.layers.append(BatchNorm1d(h))
-            self.layers.append(ReLU())
             if dropout and dropout > 0:
                 self.layers.append(Dropout(self.rng, dropout))
             prev = h

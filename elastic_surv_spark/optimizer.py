@@ -74,6 +74,10 @@ class HyperbandOptimizer:
         self._seen: set[str] = set()
         self.best_score = -np.inf
         self.best_template: tuple[Type[SurvModel], dict[str, Any]] | None = None
+        # ≡ reference optimizer.py:63-69 — best score seen per model family
+        self.model_best_score: dict[str, float] = {
+            cls.name(): -np.inf for cls in self.seeds
+        }
 
     # ------------------------------------------------------------------ #
     def _sample_configs(self, n: int) -> list[tuple[Type[SurvModel], dict[str, Any]]]:
@@ -134,6 +138,8 @@ class HyperbandOptimizer:
                         )
                     )
                 for (cls, params), sc in zip(configs, scores):
+                    if sc > self.model_best_score.get(cls.name(), -np.inf):
+                        self.model_best_score[cls.name()] = sc
                     if sc > self.best_score:
                         self.best_score = sc
                         self.best_template = (cls, params)
@@ -142,6 +148,13 @@ class HyperbandOptimizer:
                 configs = [configs[j] for j in order[-keep:]] if keep else []
                 if not configs:
                     break
+
+        # ≡ reference optimizer.py:172-174 — after all brackets the seed list
+        # is trimmed to the two best-scoring model families (the reference
+        # stores their name()s; reproduced verbatim, including the str type)
+        self.seeds = sorted(
+            self.model_best_score, key=self.model_best_score.get, reverse=True
+        )[:2]
 
         assert self.best_template is not None, "no configs evaluated"
         cls, params = self.best_template

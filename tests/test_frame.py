@@ -88,3 +88,38 @@ def test_hash_split_deterministic_disjoint(spark):
     assert tr1.count() + te1.count() == 100
     # disjoint
     assert tr1.join(te1, on="_row_id", how="inner").count() == 0
+
+
+def test_label_transformer_hook_applied_at_batch_time(spark):
+    # ≡ reference dataset.py:25,213-214 — injected (t, e) transform runs on
+    # every extracted batch
+    from elastic_surv_spark.models.data import SurvDataset
+
+    pdf = generate_dummy(50)
+    sf = SurvFrame.from_pandas(
+        spark, pdf, "A", "B", label_transformer=lambda t, e: (t * 2.0, e)
+    )
+    ds = SurvDataset(sf, cache=False)
+    _, t_train, _ = ds.train_numpy()
+    expected = pdf["A"].to_numpy(dtype=float)[: len(t_train)] * 2.0
+    assert (t_train == expected).all()
+    # copy() carries the hook (reference copies the callable too)
+    assert sf.copy().label_transformer is sf.label_transformer
+
+
+def test_discrete_outcome_fits_on_train_and_installs_hook(spark):
+    # ≡ reference dataset.py:122-132
+    import numpy as np
+
+    pdf = generate_dummy(60)
+    sf = SurvFrame.from_pandas(spark, pdf, "A", "B")
+    assert sf.label_transformer is None
+    labtrans = sf.discrete_outcome(num_durations=5)
+    assert sf.label_transformer is not None
+    assert len(labtrans.cuts) == 5
+    # cuts span the TRAIN split's time range only
+    train_max = pdf["A"].to_numpy()[: int(0.9 * len(pdf))].max()
+    assert labtrans.cuts[-1] == float(train_max)
+    t, e = sf.label_transformer(pdf["A"].to_numpy(dtype=float), pdf["B"].to_numpy(dtype=float))
+    assert t.min() >= 0 and t.max() <= 4
+    assert np.array_equal(e, pdf["B"].to_numpy(dtype=float))

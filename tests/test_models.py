@@ -117,6 +117,18 @@ def test_logistic_hazard_beats_random(dataset):
     assert scores["c_index"] > 0.5, scores  # BASELINE.md quality floor
 
 
+@pytest.mark.parametrize("model_cls", [CoxPHModel, DeepHitModel])
+def test_all_models_beat_random_on_gbsg2(dataset, model_cls):
+    # ≡ reference tests/models posture: every family learns the informative
+    # covariates of the 686-row GBSG2-shaped fixture past random
+    model = model_cls(
+        in_features=dataset.in_features, epochs=40, patience=40, lr=1e-2, seed=42
+    )
+    model.train(dataset)
+    scores = model.score(dataset)
+    assert scores["c_index"] > 0.5, (model_cls.name(), scores)
+
+
 def test_averaged_mode_trains(dataset):
     model = LogisticHazardModel(
         in_features=dataset.in_features, epochs=3, mode="averaged", seed=42
@@ -142,3 +154,12 @@ def test_aft_baseline_scores(dataset):
     s = m.score(dataset)
     assert np.isfinite(s["c_index"]) and np.isfinite(s["brier_score"])
     assert s["c_index"] > 0.5  # informative covariates -> better than random
+
+
+def test_mlp_block_order_matches_mlpvanilla():
+    # torchtuples DenseVanillaBlock: Linear -> activation -> BatchNorm -> Dropout
+    from elastic_surv_spark.models.nn import MLP, BatchNorm1d, Dense, Dropout, ReLU
+
+    net = MLP(4, [8], 3, batch_norm=True, dropout=0.1)
+    kinds = [type(l).__name__ for l in net.layers]
+    assert kinds == ["Dense", "ReLU", "BatchNorm1d", "Dropout", "Dense"]

@@ -34,3 +34,27 @@ def test_select_model_end_to_end(spark):
     model.train(dataset)
     scores = model.score(dataset)
     assert 0 <= scores["c_index"] <= 1
+    # seed trim ≡ reference optimizer.py:172-174: seeds becomes the (≤2)
+    # best-scoring model family NAMES, best first
+    assert opt.seeds == sorted(
+        opt.model_best_score, key=opt.model_best_score.get, reverse=True
+    )[:2]
+    assert opt.seeds[0] == LogisticHazardModel.name()
+
+
+def test_seed_trim_orders_families(spark):
+    from elastic_surv_spark.models.cox_ph import CoxPHModel
+
+    frame = SurvFrame.from_pandas(spark, gbsg2_like(200), "time", "cens")
+    dataset = SurvDataset(frame)
+    opt = HyperbandOptimizer(
+        seeds=[LogisticHazardModel, CoxPHModel],
+        max_iter=1,
+        output_epochs=2,
+        parallelism=2,
+    )
+    opt.select_model(dataset)
+    assert len(opt.seeds) == 2
+    assert set(opt.seeds) <= {LogisticHazardModel.name(), CoxPHModel.name()}
+    scores = [opt.model_best_score[name] for name in opt.seeds]
+    assert scores == sorted(scores, reverse=True)
