@@ -1764,6 +1764,287 @@ def video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# TPC-H-class relational patterns round 2: correlated subqueries, exists/
+# not-exists, scalar subqueries (SURVEY §2.3/§2.4 width)
+# --------------------------------------------------------------------------- #
+@query(
+    "min_cost_part_supplier",
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS price
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, round(c.price, 2) AS price
+    FROM part p, costs c, supplier s
+    WHERE p.p_partkey = c.l_partkey AND c.l_suppkey = s.s_suppkey
+      AND p.p_size <= 5
+      AND c.price = (SELECT min(price) FROM costs c2 WHERE c2.l_partkey = p.p_partkey)
+    """,
+)
+def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern (partsupp stood in by observed lineitem prices):
+    for each small part, the supplier(s) quoting its minimum price.
+
+    The correlated min subquery decorrelates to a groupBy + equi-join on
+    (partkey, min_price) — ties keep every minimal supplier, exactly the
+    SQL semantics. Scale: two hash aggregates + broadcast of part (dim);
+    no window, no nested loop.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    costs = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("price")
+    )
+    min_costs = costs.groupBy("l_partkey").agg(F.min("price").alias("_minp"))
+    return (
+        costs.join(min_costs, ["l_partkey"])
+        .filter(F.col("price") == F.col("_minp"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", F.round("price", 2).alias("price")
+        )
+    )
+
+
+@query(
+    "nation_trade_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l, orders o, customer c, supplier s, nation cn, nation sn
+    WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = cn.n_nationkey
+      AND s.s_nationkey = sn.n_nationkey
+      AND ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+        OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 pattern: bilateral trade volume between two nations by year.
+
+    Star join with BOTH nation dims broadcast (asserted in plan-shape tests
+    for the sibling star joins); the fact-side shuffle is only the final
+    (nation, nation, year) aggregate — 2×years groups.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2") | (
+        F.col("cust_nation") == "NATION_2"
+    ) & (F.col("supp_nation") == "NATION_1")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_sn_key"))
+        .filter(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "large_quantity_orders",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150
+          )
+      AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 pattern (large-volume orders): IN-subquery with HAVING →
+    aggregate + semi join, then the enrichment joins re-aggregate.
+
+    Scale: the HAVING aggregate is map-side combinable; the semi join
+    carries only orderkeys; customer is the broadcast dim.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "lonely_late_suppliers",
+    """
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l, orders o
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ), multi AS (
+        SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) t
+        GROUP BY l_orderkey HAVING count(*) > 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM late
+    JOIN multi ON late.l_orderkey = multi.l_orderkey
+    JOIN supplier s ON late.l_suppkey = s.s_suppkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM late l2
+        WHERE l2.l_orderkey = late.l_orderkey AND l2.l_suppkey <> late.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 pattern: suppliers who were the ONLY late shipper on a
+    multi-supplier order (late = shipped >60 days after the order date).
+
+    EXISTS → left-semi join, NOT EXISTS → left-anti join on the composite
+    key; the anti-join side carries only (orderkey, suppkey) pairs. All
+    shuffles are key-hashed; no nested-loop anywhere.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+    )
+    multi = (
+        l.select("l_orderkey", "l_suppkey")
+        .dropDuplicates()
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .select("l_orderkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    lonely = (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        lonely.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "rich_idle_customers",
+    """
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: above-average-balance customers with no RECENT
+    orders (none since 2000-01-01), grouped by segment.
+
+    The scalar AVG subquery is one map-side-combinable aggregate whose
+    single-row result Catalyst injects as a literal-like broadcast; the NOT
+    EXISTS is a left-anti join against the orders keys. No per-row
+    subquery execution anywhere.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "events_dedup_stream",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (SURVEY §2.10 × §2.12): dropDuplicates on the
+    key columns over the replayed event stream — the streaming twin of exact
+    dedup, state pruned by the event-time watermark; checked against the
+    batch DISTINCT oracle (first-arrival row == any row once projected to
+    the key, so the stream result is deterministic)."""
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        dedup_keys_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    tune(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"), ts_is_nanos=True)
+    sink = f"_dedup_stream_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(
+        dedup_keys_stream(stream, ["user_id", "event_type"]), sink,
+        output_mode="append",
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

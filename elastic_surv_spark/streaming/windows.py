@@ -108,6 +108,28 @@ def sliding_counts_stream(
     )
 
 
+def dedup_keys_stream(
+    events: DataFrame, keys: list[str], within_watermark: str | None = None
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys``: first arrival of each key
+    combination is emitted, later duplicates dropped. Exact mode keeps one
+    state row per DISTINCT key — bounded by key cardinality, not stream
+    length, and globally equivalent to batch DISTINCT (first-arrival == any
+    arrival once projected to the keys), so the batch oracle certifies it.
+    For unbounded keyspaces pass ``within_watermark`` to switch to
+    ``dropDuplicatesWithinWatermark``: state evicts as event time passes,
+    at the cost of re-emitting keys recurring beyond the horizon (exact-
+    within-horizon semantics — the 100 TB/day posture when keys are
+    ever-growing, e.g. event ids)."""
+    if within_watermark is not None:
+        return (
+            events.withWatermark("ts", within_watermark)
+            .dropDuplicatesWithinWatermark(keys)
+            .select(*keys)
+        )
+    return events.dropDuplicates(keys).select(*keys)
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
