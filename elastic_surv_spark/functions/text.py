@@ -41,6 +41,52 @@ def token_count(col: Column) -> Column:
     return F.size(words(col))
 
 
+def chunk_starts(col: Column, chunk_size: int, overlap: int) -> Column:
+    """Start offsets (0-based) of overlapping token chunks: 0, step, 2·step …
+    while start < max(n_tokens − overlap, 1), step = chunk_size − overlap —
+    the standard sliding-window document chunking of an LLM data pipeline.
+    Pure JVM ``sequence``; pair with ``F.slice(words, start+1, chunk_size)``
+    to materialize chunk text (one map-side pass, no shuffle)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    n = F.size(words(col))
+    upper = F.greatest(n - F.lit(overlap), F.lit(1))  # exclusive bound
+    return F.sequence(F.lit(0), upper - 1, F.lit(step))
+
+
+# Public-pattern PII redaction: emails, international-ish phone numbers,
+# SSN-shaped ids, IPv4 — the standard scrub pass before LLM training.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"(?<![\w.])\+?\d[\d\s().-]{7,}\d(?![\w.])", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained regexp_replace over the PII pattern list (map-only, JVM).
+
+    Order matters: emails/SSNs/IPs first so the greedy phone pattern never
+    eats their digit runs. At 100 TB this is one pipelined pass fused into
+    the scan."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_match_count(col: Column) -> Column:
+    """How many PII spans redact_pii would replace (for audit metrics)."""
+    total = F.lit(0)
+    scrubbed = col
+    for pattern, token in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(scrubbed, F.lit(pattern), 0))
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+    return total
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Guarded for short texts (< n words).
 

@@ -2045,6 +2045,82 @@ def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_token_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), starts AS (
+        SELECT doc_id, w,
+               CAST(unnest(range(0, greatest(len(w) - 5, 1), 15)) AS INT) AS s
+        FROM toks
+    )
+    SELECT doc_id, CAST(s / 15 AS INT) AS chunk_idx,
+           array_to_string(w[s + 1 : s + 20], ' ') AS chunk_text,
+           CAST(least(20, len(w) - s) AS INT) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (chunk 20 tokens, overlap 5) — the
+    context-window packing pass of an LLM data pipeline. One map-side pass:
+    JVM sequence for chunk starts, slice + array_join for chunk text; no
+    shuffle, fully pipelined with the scan."""
+    from elastic_surv_spark.functions import text as TX
+
+    chunk, overlap = 20, 5
+    step = chunk - overlap
+    d = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            w.alias("_w"),
+            F.explode(TX.chunk_starts(F.col("text"), chunk, overlap)).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_s") / step).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("_w", F.col("_s") + 1, chunk), " ").alias("chunk_text"),
+            F.least(F.lit(chunk), F.size("_w") - F.col("_s")).cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
+@query(
+    "purchase_views_stream_join",
+    """
+    SELECT a.event_id AS p_event_id, b.event_id AS v_event_id,
+           a.user_id, round(b.value, 4) AS view_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'view'
+     AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+     AND epoch_us(b.ts) <= epoch_us(a.ts)
+    """,
+)
+def purchase_views_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.10): the purchases stream
+    joined to the views stream on user within [purchase−1h, purchase] —
+    the streaming twin of purchase_prior_views_range_join's batch plan,
+    with watermarks on BOTH sides bounding join state, checked against the
+    same batch SQL as matched pairs."""
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        interval_join_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    tune(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"), ts_is_nanos=True)
+    sink = f"_ssjoin_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(
+        interval_join_stream(stream, lower_seconds=3600), sink, output_mode="append"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -130,6 +130,51 @@ def dedup_keys_stream(
     return events.dropDuplicates(keys).select(*keys)
 
 
+def interval_join_stream(
+    events: DataFrame, lower_seconds: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: each
+    purchase matches the same user's views in [purchase − lower, purchase].
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark evicts join state once the watermark passes — state
+    is O(events per watermark horizon), the production posture for
+    stream-stream joins. Emits matched pairs; equivalent to the batch
+    range join on a bounded replay."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_event_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+            F.col("value"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    return joined.select(
+        "p_event_id",
+        "v_event_id",
+        "user_id",
+        F.round(F.col("value"), 4).alias("view_value"),
+    )
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

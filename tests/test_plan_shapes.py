@@ -58,6 +58,35 @@ def test_semi_anti_joins_are_semi_anti(spark):
     assert "LeftAnti" in _plan(spark, "customers_without_orders")
 
 
+def test_new_relational_queries_plan_shapes(spark):
+    # Q7-like: both nation dims broadcast, no cartesian
+    plan = _plan(spark, "nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:500]
+    assert "CartesianProduct" not in plan
+    # Q18-like: the IN+HAVING decorrelates to a semi join
+    plan = _plan(spark, "large_quantity_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # Q21-like: EXISTS/NOT EXISTS become semi/anti, never nested-loop over facts
+    plan = _plan(spark, "lonely_late_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # Q22-like: anti join present; the scalar-avg side is a 1-row broadcast
+    plan = _plan(spark, "rich_idle_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # Q2-like: min-subquery decorrelated to aggregate + equi-join
+    plan = _plan(spark, "min_cost_part_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_map_only(spark):
+    # one pass: no Exchange (shuffle) anywhere in the chunk plan
+    plan = _plan(spark, "doc_token_chunks")
+    assert "Exchange" not in plan, plan[:800]
+
+
 def test_rollup_cube_single_expand(spark):
     for name in ("order_priority_rollup", "order_status_cube"):
         plan = _plan(spark, name)

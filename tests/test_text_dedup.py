@@ -233,3 +233,38 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     aset = set(zip(approx["q_id"], approx["n_id"]))
     recall = len(bset & aset) / len(bset)
     assert recall >= 0.5, recall
+
+
+def test_redact_pii_golden(spark):
+    from elastic_surv_spark.functions.text import pii_match_count, redact_pii
+
+    rows = [
+        ("mail me at john.doe+x@corp.example.com today", "mail me at <EMAIL> today", 1),
+        ("ssn 123-45-6789 leaked", "ssn <SSN> leaked", 1),
+        ("host 192.168.0.1 and phone +1 (415) 555-0199 ok", "host <IP> and phone <PHONE> ok", 2),
+        ("no pii here", "no pii here", 0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": [r[0] for r in rows]}))
+    got = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        pii_match_count(F.col("text")).alias("n"),
+    ).collect()
+    for (src, want, want_n), row in zip(rows, got):
+        assert row["red"] == want, (src, row["red"])
+        assert row["n"] == want_n, (src, row["n"])
+
+
+def test_chunk_starts_golden(spark):
+    import pytest as _pytest
+
+    from elastic_surv_spark.functions.text import chunk_starts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": [" ".join(f"t{i}" for i in range(54)), "a b c", ""]})
+    )
+    got = [r[0] for r in df.select(chunk_starts(F.col("text"), 20, 5)).collect()]
+    assert got[0] == [0, 15, 30, 45]  # covers 1-20,16-35,31-50,46-54
+    assert got[1] == [0]
+    assert got[2] == [0]
+    with _pytest.raises(ValueError):
+        chunk_starts(F.col("text"), 10, 10)
