@@ -1,0 +1,197 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+The third leg of the ANN stool (next to hyperplane LSH and IVF in
+``operators/similarity.py``): each L2-normalized vector is split into ``m``
+subvectors, each quantized to one of ``n_codes`` learned centroids — storage
+drops from dim×4 bytes to m bytes (m=8: 32× for dim-64 float32), and
+asymmetric distance computation (ADC) scores a query against the COMPRESSED
+corpus with m table lookups per candidate instead of a dim-length dot
+product. Jégou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011); the FAISS IVF-PQ layout composes this with the IVF cells.
+
+Plan shape (all Spark-side work is linear, no shuffle until top-k):
+- codebook fit: Lloyd's k-means per subspace on a driver-side SAMPLE
+  capped at ``fit_sample`` rows (PQ training needs a representative sample,
+  not the corpus; same posture as ivf_topk's sampled quantizer fit);
+- encode: one Arrow-batched mapInPandas pass, argmin over (B, k) distances
+  per subspace — the corpus never leaves the executors;
+- search: per-query distance TABLES (m × n_codes dot products) broadcast to
+  an Arrow pass that gathers+sums per candidate — O(m) per candidate;
+  per-batch partial top-``shortlist`` keeps the shuffle tiny;
+- exact re-rank of the shortlist by true cosine restores ranking fidelity
+  lost to quantization (standard PQ + re-rank).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.sources.parquet import spread_partitions
+
+
+def _lloyd(X: np.ndarray, k: int, rng: np.random.Generator, iters: int = 12) -> np.ndarray:
+    """Tiny deterministic k-means (codebooks are (k, sub_dim), data fits the
+    driver by construction — the fit sample is bounded)."""
+    n = len(X)
+    centroids = X[rng.choice(n, size=min(k, n), replace=False)].copy()
+    if len(centroids) < k:  # degenerate tiny corpus: pad with jitter
+        pad = centroids[rng.integers(0, len(centroids), k - len(centroids))]
+        centroids = np.concatenate([centroids, pad + 1e-6])
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                centroids[j] = members.mean(0)
+    return centroids
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 32,
+    fit_sample: int = 100_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """(m, n_codes, dim//m) codebooks fit on an L2-normalized bounded sample."""
+    n = corpus.count()
+    sample = (
+        corpus.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+        if n > fit_sample
+        else corpus
+    )
+    X = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in sample.select(vec_col).collect()]
+    )
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [_lloyd(X[:, j * sub : (j + 1) * sub], n_codes, rng) for j in range(m)]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one Arrow pass, argmin per subspace."""
+    m, k, sub = codebooks.shape
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Xs = X[:, j * sub : (j + 1) * sub]
+                d2 = (
+                    (Xs * Xs).sum(1, keepdims=True)
+                    - 2.0 * Xs @ codebooks[j].T
+                    + (codebooks[j] * codebooks[j]).sum(1)
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)})
+
+    return spread_partitions(corpus).mapInPandas(
+        encode, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 32,
+    shortlist: int = 50,
+    fit_sample: int = 100_000,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact shortlist re-rank.
+
+    Returns (q_id, n_id, cosine, rank ≤ k) like cosine_topk/lsh_topk/
+    ivf_topk. ADC ranks by Σ_j table_j[code_j] ≈ ⟨q, x̂⟩ (normalized dot =
+    cosine); the top-``shortlist`` per query then re-ranks by TRUE cosine, so
+    ranking error only costs recall when a true neighbor falls outside the
+    shortlist entirely.
+    """
+    codebooks = fit_pq_codebooks(corpus, vec_col, m, n_codes, fit_sample, seed)
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    sub = Q.shape[1] // m
+    # per-query ADC tables: (|Q|, m, n_codes) dot products — broadcast constant
+    tables = np.einsum("qjs,jks->qjk", Q.reshape(len(Q), m, sub), codebooks)
+
+    def adc_partial(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            ids = pdf["vec_id"].to_numpy()
+            # scores[q, b] = Σ_j tables[q, j, codes[b, j]]
+            scores = tables[:, np.arange(codes.shape[1]), codes].sum(-1)  # (|Q|, B)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                take = min(shortlist, len(cand))
+                top = cand[np.argpartition(-scores[qi, cand], take - 1)[:take]]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(scores[qi, top])
+            yield pd.DataFrame(
+                {"q_id": np.array(out_q, dtype=np.int64),
+                 "n_id": np.array(out_n, dtype=np.int64),
+                 "adc": np.array(out_s, dtype=np.float64)}
+            )
+
+    cand = encoded.mapInPandas(adc_partial, schema="q_id long, n_id long, adc double")
+    w_s = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
+    short = (
+        cand.withColumn("_r", F.row_number().over(w_s))
+        .filter(F.col("_r") <= shortlist)
+        .select("q_id", "n_id")
+    )
+
+    # exact re-rank: shortlist joins back to the raw vectors; query vectors
+    # ride along as a broadcast numpy constant inside one Arrow pass
+    qvec = {int(i): Q[j] for j, i in enumerate(q_ids)}
+
+    def rerank(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            qs = np.stack([qvec[int(q)] for q in pdf["q_id"]])
+            cos = (qs * X).sum(1)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"].to_numpy(),
+                 "n_id": pdf["n_id"].to_numpy(),
+                 "cosine": np.round(cos, round_to)}
+            )
+
+    joined = short.join(
+        corpus.select(F.col(id_col).alias("n_id"), vec_col), "n_id"
+    ).select("q_id", "n_id", vec_col)
+    scored = joined.mapInPandas(rerank, schema="q_id long, n_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -268,3 +268,69 @@ def test_chunk_starts_golden(spark):
     assert got[2] == [0]
     with _pytest.raises(ValueError):
         chunk_starts(F.col("text"), 10, 10)
+
+
+def _cc_sets(df):
+    rows = df.collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r["comp"], set()).add(r["v"])
+    return sorted(frozenset(s) for s in comps.values())
+
+
+def test_star_cc_equals_label_propagation(spark):
+    # large-star/small-star must produce the identical component partition as
+    # label propagation — on a random near-dup graph AND a 40-vertex chain
+    # (the long-diameter adversary the star rounds exist for)
+    from elastic_surv_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 140)]
+    cliques = [(a, b) for base in (0, 50) for a in range(base, base + 5) for b in range(a + 1, base + 5)]
+    iso_pair = [(900, 901)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(chain + cliques + iso_pair, columns=["id_a", "id_b"])
+    )
+    lp = _cc_sets(connected_components(edges))
+    star = _cc_sets(connected_components_star(edges))
+    assert star == lp
+    assert frozenset(range(100, 141)) in star  # the chain is ONE component
+
+
+def test_star_cc_on_real_dup_graph(spark):
+    from elastic_surv_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    d = load_table(spark, SF, "documents")
+    edges = shingle_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    lp = _cc_sets(connected_components(edges))
+    star = _cc_sets(connected_components_star(edges))
+    assert star == lp and len(star) > 0
+
+
+def test_pq_topk_recall_clustered(spark):
+    from elastic_surv_spark.operators.pq import pq_topk
+
+    e = _clustered_embeddings(spark)
+    brute = cosine_topk(e, e, k=5).toPandas()
+    approx = pq_topk(e, e, k=5, m=8, n_codes=32, shortlist=50).toPandas()
+    assert _recall(brute, approx) >= 0.9
+
+
+def test_pq_encode_shapes_and_compression(spark):
+    import numpy as np
+
+    from elastic_surv_spark.operators.pq import fit_pq_codebooks, pq_encode
+
+    e = _clustered_embeddings(spark, n_clusters=4, per_cluster=30)
+    books = fit_pq_codebooks(e, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)  # dim 64 / m 8
+    enc = pq_encode(e, books).toPandas()
+    assert len(enc) == 120
+    codes = np.stack(enc["codes"].to_numpy())
+    assert codes.shape == (120, 8)
+    assert codes.min() >= 0 and codes.max() < 16  # 4 bits of payload per code
