@@ -180,3 +180,33 @@ def frame_sample_plan(
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def audio_window_plan(
+    df: DataFrame,
+    media_col: str = "media",
+    window_ms: int = 500,
+    hop_ms: int = 250,
+) -> DataFrame:
+    """Audio STFT-style windowing plumbing: per-clip overlapping analysis
+    windows (start_ms, n_samples-at-sample_rate) — the partitioning a real
+    feature extractor (mel spectrogram etc.) consumes; the DSP itself is
+    the stubbed codec step. JVM sequence + explode, map-only."""
+    dur = F.col(f"{media_col}.duration_ms")
+    rate = F.col(f"{media_col}.sample_rate")
+    return (
+        df.filter(F.col(f"{media_col}.kind") == "audio")
+        .select(
+            "media_id",
+            rate.alias("sample_rate"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(dur - window_ms, F.lit(0)), F.lit(hop_ms))
+            ).alias("window_start_ms"),
+        )
+        .select(
+            "media_id",
+            "sample_rate",
+            "window_start_ms",
+            (F.col("sample_rate") * window_ms / 1000).cast("int").alias("n_samples"),
+        )
+    )

@@ -195,3 +195,137 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 32,
+    n_cells: int | None = None,
+    n_probe: int = 6,
+    shortlist: int = 120,
+    fit_sample: int = 100_000,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ: coarse KMeans cells prune the search to n_probe cells per
+    query, PQ-ADC scores the surviving cells' COMPRESSED codes, and an exact
+    re-rank of the shortlist restores fidelity — the FAISS IVFPQ layout that
+    serves billion-vector corpora: per-query work is n_probe·(n/n_cells)·m
+    table lookups over byte codes, never a full-corpus float scan.
+
+    (Simplification vs FAISS: codes quantize the normalized vectors
+    directly rather than cell residuals — with the exact re-rank the
+    difference only moves the shortlist-miss rate, covered by the recall
+    certification.)
+
+    Plan: cell assignment + PQ encode are two map passes; candidates move
+    ONCE per probed cell via a cell-grouped applyInPandas (queries ride
+    along as broadcast ADC tables, not rows); shortlist + re-rank as in
+    pq_topk. Shuffle ∝ corpus + matches, no all-pairs anywhere.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    n_cells = n_cells or max(2, int(n**0.5 / 2))
+    n_probe = min(n_probe, n_cells)
+
+    base = spread_partitions(corpus).select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    fit_df = (
+        base.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+        if n > fit_sample
+        else base
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_v").fit(fit_df)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    codebooks = fit_pq_codebooks(corpus, vec_col, m, n_codes, fit_sample, seed)
+    assigned = model.transform(base).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("_cell")
+    )
+    encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
+        assigned.select(F.col(id_col).alias("vec_id"), "_cell"), "vec_id"
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sub = Qn.shape[1] // m
+    tables = np.einsum("qjs,jks->qjk", Qn.reshape(len(Qn), m, sub), codebooks)
+    # probe lists: n_probe nearest cells per query by squared euclidean on
+    # the raw query (matching the KMeans assignment metric)
+    d2 = (
+        (Q * Q).sum(1, keepdims=True) - 2.0 * (Q @ centroids.T)
+        + (centroids * centroids).sum(1)
+    )
+    order = np.argsort(d2, axis=1)[:, :n_probe]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(order):
+        for c in cells:
+            cell_to_queries.setdefault(int(c), []).append(qi)
+
+    def cell_adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["_cell"].iloc[0])
+        probing = cell_to_queries.get(cell, [])
+        if not probing:
+            return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
+        codes = np.stack(pdf["codes"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        for qi in probing:
+            scores = tables[qi, np.arange(codes.shape[1]), codes].sum(-1)
+            mask = ids != q_ids[qi]
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            take = min(shortlist, len(cand))
+            top = cand[np.argpartition(-scores[cand], take - 1)[:take]]
+            out_q.extend([q_ids[qi]] * len(top))
+            out_n.extend(ids[top])
+            out_s.extend(scores[top])
+        return pd.DataFrame(
+            {"q_id": np.array(out_q, dtype=np.int64),
+             "n_id": np.array(out_n, dtype=np.int64),
+             "adc": np.array(out_s, dtype=np.float64)}
+        )
+
+    cand = encoded.groupBy("_cell").applyInPandas(
+        cell_adc, schema="q_id long, n_id long, adc double"
+    )
+    w_s = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
+    short = (
+        cand.withColumn("_r", F.row_number().over(w_s))
+        .filter(F.col("_r") <= shortlist)
+        .select("q_id", "n_id")
+    )
+
+    qvec = {int(i): Qn[j] for j, i in enumerate(q_ids)}
+
+    def rerank(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            qs = np.stack([qvec[int(q)] for q in pdf["q_id"]])
+            cos = (qs * X).sum(1)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"].to_numpy(),
+                 "n_id": pdf["n_id"].to_numpy(),
+                 "cosine": np.round(cos, round_to)}
+            )
+
+    joined = short.join(
+        corpus.select(F.col(id_col).alias("n_id"), vec_col), "n_id"
+    ).select("q_id", "n_id", vec_col)
+    scored = joined.mapInPandas(rerank, schema="q_id long, n_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

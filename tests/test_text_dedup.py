@@ -334,3 +334,12 @@ def test_pq_encode_shapes_and_compression(spark):
     codes = np.stack(enc["codes"].to_numpy())
     assert codes.shape == (120, 8)
     assert codes.min() >= 0 and codes.max() < 16  # 4 bits of payload per code
+
+
+def test_ivfpq_topk_recall_clustered(spark):
+    from elastic_surv_spark.operators.pq import ivfpq_topk
+
+    e = _clustered_embeddings(spark)
+    brute = cosine_topk(e, e, k=5).toPandas()
+    approx = ivfpq_topk(e, e, k=5, n_probe=6, shortlist=50).toPandas()
+    assert _recall(brute, approx) >= 0.9
