@@ -2182,6 +2182,79 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "competing_risks_cif",
+    """
+    WITH per AS (
+        SELECT user_id, min(ts) AS t0,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+               min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+               max(ts) AS tmax
+        FROM events GROUP BY user_id
+    ), surv AS (
+        SELECT CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+                    WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause,
+               (epoch_us(CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp
+                              WHEN te IS NOT NULL THEN te ELSE tmax END)
+                - epoch_us(t0)) / 1000000.0 AS t
+        FROM per
+    ), ev AS (
+        SELECT t, count(*) AS n_total,
+               CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d_1,
+               CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d_2
+        FROM surv GROUP BY t
+    ), risk AS (
+        SELECT *, sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        FROM ev
+    ), km AS (
+        SELECT *, exp(sum(ln(greatest(1e-300, 1.0 - (d_1 + d_2)::DOUBLE / n_risk)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM risk
+    ), prev AS (
+        SELECT *, coalesce(lag(s) OVER (ORDER BY t), 1.0) AS s_prev FROM km
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_1, d_2,
+           round(sum(s_prev * d_1 / n_risk) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif_1,
+           round(sum(s_prev * d_2 / n_risk) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cif_2
+    FROM prev
+    """,
+)
+def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks (metrics/
+    competing.py): per user, first purchase (cause 1) competes with first
+    error (cause 2), censored at last activity otherwise — the estimator a
+    per-cause KM would bias upward. Same bounded-curve scale posture as
+    km_curve."""
+    from elastic_surv_spark.metrics.competing import cumulative_incidence
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias("te"),
+        F.max("ts").alias("tmax"),
+    )
+    cause = (
+        F.when(
+            F.col("tp").isNotNull()
+            & (F.col("te").isNull() | (F.col("tp") <= F.col("te"))),
+            1,
+        )
+        .when(F.col("te").isNotNull(), 2)
+        .otherwise(0)
+    )
+    tend = (
+        F.when(cause == 1, F.col("tp"))
+        .when(cause == 2, F.col("te"))
+        .otherwise(F.col("tmax"))
+    )
+    surv = per.select(
+        cause.alias("cause"),
+        ((F.unix_micros(tend) - F.unix_micros(F.col("t0"))) / 1000000.0).alias("t"),
+    )
+    return cumulative_incidence(surv, "t", "cause", n_causes=2, max_curve_points=512)
+
+
+@query(
     "audio_window_plan",
     f"""
     SELECT media_id,

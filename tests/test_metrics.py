@@ -252,3 +252,36 @@ def test_ipcw_brier_matches_numpy(spark, surv_pdf):
     want_ibs = np.trapz(want, grid) / (grid[-1] - grid[0])
     assert abs(ibs - want_ibs) < 1e-12
     assert 0 <= ibs <= 1
+
+
+def test_cumulative_incidence_matches_numpy(spark):
+    # Aalen-Johansen parity: F_k(t) = sum_{t_i<=t} S(t_i-) d_ki / n_i with
+    # S the any-cause KM; ties and censoring included
+    from elastic_surv_spark.metrics.competing import cumulative_incidence
+
+    rng = np.random.default_rng(9)
+    n = 300
+    t = rng.integers(1, 40, n).astype(float)  # heavy ties
+    cause = rng.choice([0, 1, 2], n, p=[0.3, 0.4, 0.3])
+    df = spark.createDataFrame(pd.DataFrame({"t": t, "cause": cause}))
+    got = (
+        cumulative_incidence(df, "t", "cause", n_causes=2, round_to=None)
+        .orderBy("t").toPandas()
+    )
+
+    times = np.unique(t)
+    s_prev, cif = 1.0, {1: 0.0, 2: 0.0}
+    exp_cif = {1: [], 2: []}
+    for u in times:
+        n_risk = (t >= u).sum()
+        d = {k: ((t == u) & (cause == k)).sum() for k in (1, 2)}
+        for k in (1, 2):
+            cif[k] += s_prev * d[k] / n_risk
+            exp_cif[k].append(cif[k])
+        s_prev *= 1 - (d[1] + d[2]) / n_risk
+    assert np.allclose(got["t"], times)
+    for k in (1, 2):
+        assert np.allclose(got[f"cif_{k}"], exp_cif[k], atol=1e-12), k
+    # estimator invariants: monotone, and total incidence + survival == 1
+    assert (np.diff(got["cif_1"]) >= -1e-12).all()
+    assert float(got["cif_1"].iloc[-1] + got["cif_2"].iloc[-1]) <= 1.0 + 1e-9
