@@ -30,7 +30,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from elastic_surv_spark.metrics.brier import censoring_km, step_lookup
+from elastic_surv_spark.metrics.brier import censoring_km
 from elastic_surv_spark.metrics.concordance import harrell_cindex_counts
 from elastic_surv_spark.metrics.km import km_curve
 from elastic_surv_spark.operators.asof import asof_join

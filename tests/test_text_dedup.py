@@ -165,9 +165,6 @@ def test_lsh_hot_bucket_salting_bounds_tasks(spark):
     # A low-dimensional skewed corpus drives most vectors into one bucket;
     # with a small cap, no (table, signature, salt) group may exceed the cap,
     # and recall on the clustered fixture must survive the salting.
-    import numpy as np
-    from pyspark.sql import functions as F2
-
     e = _clustered_embeddings(spark, n_clusters=2, per_cluster=150)
     cap = 40
     # reproduce the operator's grouping to measure actual group sizes
