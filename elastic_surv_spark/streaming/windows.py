@@ -243,3 +243,27 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Checkpointed exactly-once parquet sink: the file-sink transaction log
+    plus the source offsets in ``checkpoint_dir`` make restarts idempotent —
+    a rerun over the same (bounded) source commits NOTHING new, and a reader
+    of ``out_dir`` sees only committed files. This is the production landing
+    path (swap the directory for object storage; nothing else changes)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

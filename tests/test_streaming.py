@@ -94,3 +94,28 @@ def test_stateful_running_max(spark, stream_dir):
     for uid, row in final.iterrows():
         assert abs(row["peak"] - batch.loc[uid, "peak"]) < 1e-12
         assert row["n"] == batch.loc[uid, "n"]
+
+
+def test_checkpointed_parquet_sink_exactly_once(spark, stream_dir, tmp_path_factory):
+    # the file-sink transaction log + source offsets make restarts idempotent:
+    # a second run over the same bounded source must commit zero new rows
+    from elastic_surv_spark.streaming.windows import dedup_keys_stream, run_to_parquet
+
+    out = str(tmp_path_factory.mktemp("sink_out"))
+    ckpt = str(tmp_path_factory.mktemp("sink_ckpt"))
+
+    def run_once():
+        stream = read_events_stream(spark, stream_dir)
+        run_to_parquet(
+            dedup_keys_stream(stream, ["user_id", "event_type"]), out, ckpt
+        )
+        return spark.read.parquet(out).count()
+
+    n1 = run_once()
+    expected = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type").distinct().count()
+    )
+    assert n1 == expected
+    n2 = run_once()  # restart with same checkpoint: nothing new committed
+    assert n2 == n1
