@@ -2182,6 +2182,87 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_segment_scd2",
+    """
+    WITH changed AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0.0
+    )
+    SELECT c.c_custkey, c.c_mktsegment, 0.0 AS valid_from, 9999999999.0 AS valid_to_c
+    FROM customer c WHERE c.c_acctbal >= 0.0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 0.0, 100.0 FROM changed
+    UNION ALL
+    SELECT c_custkey, 'DELINQUENT', 100.0, 9999999999.0 FROM changed
+    """,
+)
+def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history merge (operators/scd.py): negative-balance
+    customers move to a DELINQUENT segment effective t=100 — the changed
+    keys close their open version and insert a new one, unchanged keys pass
+    through. One key equi-join + unions; open valid_to (NULL in the
+    operator) is coalesced to a sentinel for engine-portable output."""
+    from elastic_surv_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(0.0).alias("valid_from"),
+        F.lit(None).cast("double").alias("valid_to"),
+    )
+    updates = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0.0, F.lit("DELINQUENT"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.lit(100.0).alias("effective_ts"),
+    )
+    hist = scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
+    return hist.select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(9999999999.0)).alias("valid_to_c"),
+    )
+
+
+@query(
+    "doc_length_outliers",
+    """
+    WITH stats AS (
+        SELECT doc_id, lang, length(text) AS n_chars,
+               avg(length(text)) OVER (PARTITION BY lang) AS mu,
+               stddev_samp(length(text)) OVER (PARTITION BY lang) AS sigma
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           round((n_chars - mu) / sigma, 6) AS z,
+           CAST(abs((n_chars - mu) / sigma) > 2.0 AS BOOLEAN) AS is_outlier
+    FROM stats
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length z-scores + outlier flags — the statistical
+    outlier-filter pass of an LLM data pipeline. One windowed aggregate
+    partitioned by language (shuffle on lang; each partition's moment pass
+    is map-side combinable at scale via a groupBy+join instead — the window
+    form is the clearer plan at this cardinality)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang")
+    n_chars = F.length("text")
+    mu = F.avg(n_chars).over(w)
+    sigma = F.stddev_samp(n_chars).over(w)
+    z = (n_chars - mu) / sigma
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.cast("long").alias("n_chars"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("is_outlier"),
+    )
+
+
+@query(
     "competing_risks_cif",
     """
     WITH per AS (
