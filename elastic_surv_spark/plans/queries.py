@@ -2182,6 +2182,85 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_stratified_sample",
+    """
+    WITH fp AS (
+        SELECT doc_id, lang,
+               list_reduce([ascii(c)::BIGINT for c in string_split(text, '') if c != ''],
+                           (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, lang, fingerprint FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY fingerprint, doc_id) AS rn
+        FROM fp
+    ) r WHERE rn <= 20
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic sampling — the data-mixing
+    primitive of an LLM pipeline: a fixed quota per stratum, selected in
+    content-fingerprint order so the 'random' sample is reproducible across
+    engines AND across re-ingests (content-addressed, not row-order-
+    dependent). One windowed rank per stratum; at 100 TB the same plan runs
+    per-language partitions in parallel (shuffle on lang only)."""
+    from elastic_surv_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("fingerprint", "doc_id")
+    return (
+        d.select("doc_id", "lang", fingerprint(F.col("text")).alias("fingerprint"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@query(
+    "doc_context_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ceil(cum / 512.0) - 1 AS BIGINT) AS pack_id
+    FROM packed
+    """,
+)
+def doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (in stable doc_id order per
+    language) to ~512-token training packs via a running token total —
+    the sequence-packing pass that turns a corpus into fixed-budget model
+    batches. One window per stratum; the cumulative sum is the entire
+    algorithm (greedy sequential packing), so the plan is a single shuffle
+    on the stratum key."""
+    from elastic_surv_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_tokens = token_count(F.col("text"))
+    return (
+        d.select("doc_id", "lang", n_tokens.cast("long").alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            (F.ceil(F.col("cum") / 512.0) - 1).cast("long").alias("pack_id"),
+        )
+    )
+
+
+@query(
     "customer_segment_scd2",
     """
     WITH changed AS (

@@ -340,3 +340,29 @@ def test_ivfpq_topk_recall_clustered(spark):
     brute = cosine_topk(e, e, k=5).toPandas()
     approx = ivfpq_topk(e, e, k=5, n_probe=6, shortlist=50).toPandas()
     assert _recall(brute, approx) >= 0.9
+
+
+def test_chunks_reconstruct_document(spark):
+    # dropping each chunk's leading overlap and concatenating must rebuild
+    # the original token stream exactly — the invariant that makes the
+    # chunker safe for training-data pipelines
+    from elastic_surv_spark.functions.text import chunk_starts, words
+
+    d = load_table(spark, SF, "documents").limit(50)
+    chunk, overlap = 20, 5
+    rows = (
+        d.select(
+            "doc_id",
+            words(F.col("text")).alias("w"),
+            F.explode(chunk_starts(F.col("text"), chunk, overlap)).alias("s"),
+        )
+        .select("doc_id", "s", F.slice("w", F.col("s") + 1, chunk).alias("c"),
+                F.size("w").alias("n"))
+        .collect()
+    )
+    docs = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["s"])):
+        toks = r["c"] if r["s"] == 0 else r["c"][overlap:]
+        docs.setdefault(r["doc_id"], ([], r["n"]))[0].extend(toks)
+    for doc_id, (toks, n) in docs.items():
+        assert len(toks) == n, doc_id
