@@ -21,10 +21,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from elastic_surv_spark.plans.queries import pricing_summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return pricing_summary(spark, SMOKE_SF_DIR)
+    The capstone composition: quality filter → exact dedup → near-dup
+    removal → chunking → per-language corpus stats, fused by Catalyst into
+    one plan (plans/queries.py:llm_data_pipeline_e2e)."""
+    from elastic_surv_spark.plans.queries import llm_data_pipeline_e2e
+
+    return llm_data_pipeline_e2e(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

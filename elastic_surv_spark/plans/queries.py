@@ -2182,6 +2182,92 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_data_pipeline_e2e",
+    f"""
+    WITH toks0 AS (
+        SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w FROM documents
+    ), quality AS (
+        SELECT doc_id, lang, text,
+               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+                   + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+                   + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
+                 6) AS q
+        FROM toks0
+    ), filtered AS (
+        SELECT doc_id, lang, text FROM quality WHERE q >= 0.5
+    ), exact_kept AS (
+        SELECT min(doc_id) AS doc_id FROM filtered
+        GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+    ), survivors0 AS (
+        SELECT f.doc_id, f.lang, f.text FROM filtered f
+        JOIN exact_kept k ON f.doc_id = k.doc_id
+    ), sh AS (
+        SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)]) AS ts
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM survivors0)
+        WHERE len(w) >= 3
+    ), near_drop AS (
+        SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    ), survivors AS (
+        SELECT s.doc_id, s.lang, len(string_split(trim(s.text), ' ')) AS n_tokens
+        FROM survivors0 s WHERE s.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(len(range(0, greatest(n_tokens - 5, 1), 15))) AS BIGINT) AS n_chunks
+    FROM survivors GROUP BY lang
+    """,
+)
+def llm_data_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a complete LLM data-prep pipeline as ONE
+    declarative plan, every stage an operator certified elsewhere in this
+    registry:
+
+        quality filter (≥0.5) → exact dedup (normalized text, min-id kept)
+        → near-dup removal (inverted-index exact Jaccard ≥0.5; the larger
+        id of every dup pair drops) → sliding-window chunking (20/5)
+        → per-language corpus stats.
+
+    Catalyst fuses the whole thing: the scan is read once, filters push
+    down, and each stage's shuffle feeds the next without materialization —
+    the point of building the pipeline IN the engine instead of gluing
+    five jobs together. The near-dup stage runs the LINEAR-shuffle
+    MinHash+LSH plan (the 100 TB path); its verified output equals the
+    exact-Jaccard pairs the SQL oracle computes (the banded-miss
+    probability ≤ 4e-6 at this threshold — certified by the hash match)."""
+    from elastic_surv_spark.functions.text import chunk_starts, quality_score, token_count
+    from elastic_surv_spark.operators.dedup import exact_dedup
+    from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    filtered = d.filter(quality_score(F.col("text")) >= 0.5)
+    kept_ids = exact_dedup(filtered, ["text"], "doc_id", normalize=True).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors0 = filtered.join(kept_ids, "doc_id", "left_semi")
+    near_drop = (
+        minhash_lsh_pairs(survivors0, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = survivors0.join(near_drop, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(chunk_starts(F.col("text"), 20, 5)).alias("n_chunks"),
+    )
+    return survivors.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+    )
+
+
+@query(
     "doc_stratified_sample",
     """
     WITH fp AS (
