@@ -482,6 +482,62 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_funnel_conversion",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+               max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase_us
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN first_view_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_sessions,
+           CAST(sum(CASE WHEN first_view_us IS NOT NULL AND last_purchase_us > first_view_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM per_session GROUP BY user_id
+    """,
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis composed on sessionization: per user, how many
+    30-minute sessions contained a view, and how many of those converted
+    (a purchase strictly after the session's first view). Reuses the
+    sessionize operator; two hash aggregates on top — one shuffle on
+    user_id total, since the session grouping subsumes the window
+    partitioning."""
+    from elastic_surv_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, gap_seconds=1800)
+    us = F.unix_micros(F.col("ts"))
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view_us"),
+        F.max(F.when(F.col("event_type") == "purchase", us)).alias("last_purchase_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.col("first_view_us").isNotNull().cast("long")).alias("n_view_sessions"),
+        F.sum(
+            (
+                F.col("first_view_us").isNotNull()
+                & (F.col("last_purchase_us") > F.col("first_view_us"))
+            ).cast("long")
+        ).alias("n_converted"),
+    )
+
+
+@query(
     "events_asof_last_view",
     """
     WITH u AS (
