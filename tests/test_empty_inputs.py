@@ -1,0 +1,50 @@
+"""Empty-input robustness: operators must return empty/identity results, not
+crash — the behavior a pipeline hits on an empty partition or filtered-out
+day of data."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from elastic_surv_spark.metrics.concordance import harrell_cindex
+from elastic_surv_spark.metrics.km import km_curve
+from elastic_surv_spark.operators.cluster import connected_components
+from elastic_surv_spark.operators.dedup import exact_dedup
+from elastic_surv_spark.operators.dedup_fuzzy import shingle_jaccard_pairs
+from elastic_surv_spark.operators.scd import scd2_apply
+from elastic_surv_spark.operators.sessionize import session_stats
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_empty_survival_metrics(spark):
+    df = _empty(spark, "t double, e int, risk double")
+    assert km_curve(df, "t", "e").count() == 0
+    assert math.isnan(harrell_cindex(df, "t", "e", "risk"))
+
+
+def test_empty_dedup_and_cluster(spark):
+    docs = _empty(spark, "doc_id long, text string")
+    assert exact_dedup(docs, ["text"], "doc_id").count() == 0
+    assert shingle_jaccard_pairs(docs).count() == 0
+    edges = _empty(spark, "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_empty_sessionize(spark):
+    ev = _empty(spark, "user_id long, ts timestamp, event_id long, value double")
+    assert session_stats(ev).count() == 0
+
+
+def test_scd2_empty_updates_is_identity(spark):
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "seg": ["A"], "valid_from": [0.0], "valid_to": [None]}),
+        schema="k long, seg string, valid_from double, valid_to double",
+    )
+    updates = _empty(spark, "k long, seg string, effective_ts double")
+    out = scd2_apply(dim, updates, "k", ["seg"]).toPandas()
+    assert len(out) == 1 and out["seg"].iloc[0] == "A" and pd.isna(out["valid_to"].iloc[0])
