@@ -128,6 +128,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nxt = _star_round(_star_round(cur, large=True), large=False).localCheckpoint()
         changed = (
@@ -138,7 +139,13 @@ def connected_components_star(
         cur.unpersist()
         cur = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach an edge fixpoint in "
+            f"{max_iter} rounds (O(log² n) expected — raise max_iter)"
+        )
     # fixpoint edges are (vertex, component-min) stars; roots map to themselves
     comp = cur.select(F.col("a").alias("v"), F.col("b").alias("comp"))
     return vertices.join(comp, "v", "left").select(
