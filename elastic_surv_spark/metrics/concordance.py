@@ -257,11 +257,18 @@ def harrell_cindex_counts(
     ``mode``: "pairwise" (O(n²) join), "bucketed" (exact, linear shuffles),
     or "auto" — pairwise below ``exact_threshold`` rows, bucketed above.
     Both modes produce identical counts; auto only picks the cheaper plan.
+    Rows with NULL time or risk are excluded up front in EVERY mode (the
+    standard missing-risk convention), so the mode switch never changes the
+    answer on data with nulls.
     """
+    df = df.where(F.col(time_col).isNotNull() & F.col(risk_col).isNotNull())
     if sample_frac is not None:
         df = df.sample(fraction=sample_frac, seed=seed)
     if mode == "auto":
-        mode = "pairwise" if df.count() <= exact_threshold else "bucketed"
+        # bounded probe: limit(threshold+1) answers "bigger than threshold?"
+        # without a full scan of the evaluation frame
+        small = df.limit(exact_threshold + 1).count() <= exact_threshold
+        mode = "pairwise" if small else "bucketed"
     if mode == "bucketed":
         return harrell_cindex_counts_bucketed(df, time_col, event_col, risk_col)
     base = df.select(

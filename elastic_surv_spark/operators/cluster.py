@@ -50,7 +50,10 @@ def connected_components(
         .select("v", F.col("v").alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    # max_iter bounds label-CHANGING rounds; the +1 grants the zero-change
+    # confirmation round, so a graph converging exactly on round max_iter
+    # returns instead of spuriously raising
+    for _ in range(max_iter + 1):
         nbr = (
             bidir.join(labels, bidir.b == labels.v)
             .select(F.col("a").alias("v"), F.col("comp"))

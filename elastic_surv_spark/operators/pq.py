@@ -32,6 +32,13 @@ from pyspark.sql import functions as F
 from elastic_surv_spark.sources.parquet import spread_partitions
 
 
+def _safe_norm(X: np.ndarray) -> np.ndarray:
+    """Row norms with zeros mapped to 1 — a zero vector stays zero instead
+    of becoming NaN and poisoning every downstream dot product."""
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    return np.where(norms == 0, 1.0, norms)
+
+
 def _lloyd(X: np.ndarray, k: int, rng: np.random.Generator, iters: int = 12) -> np.ndarray:
     """Tiny deterministic k-means (codebooks are (k, sub_dim), data fits the
     driver by construction — the fit sample is bounded)."""
@@ -57,9 +64,13 @@ def fit_pq_codebooks(
     n_codes: int = 32,
     fit_sample: int = 100_000,
     seed: int = 42,
+    n: int | None = None,
 ) -> np.ndarray:
-    """(m, n_codes, dim//m) codebooks fit on an L2-normalized bounded sample."""
-    n = corpus.count()
+    """(m, n_codes, dim//m) codebooks fit on an L2-normalized bounded sample.
+    Pass ``n`` (corpus row count) when the caller already knows it."""
+    n = corpus.count() if n is None else n
+    if n == 0:
+        raise ValueError("fit_pq_codebooks: empty corpus")
     sample = (
         corpus.sample(fraction=min(1.0, fit_sample / n), seed=seed)
         if n > fit_sample
@@ -68,7 +79,7 @@ def fit_pq_codebooks(
     X = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in sample.select(vec_col).collect()]
     )
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X /= _safe_norm(X)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -91,7 +102,7 @@ def pq_encode(
     def encode(batches):
         for pdf in batches:
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            X /= _safe_norm(X)
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 Xs = X[:, j * sub : (j + 1) * sub]
@@ -105,6 +116,82 @@ def pq_encode(
 
     return spread_partitions(corpus).mapInPandas(
         encode, schema="vec_id long, codes array<int>"
+    )
+
+
+def _query_tables(
+    queries: DataFrame, id_col: str, vec_col: str, m: int, codebooks: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Collected query block → (q_ids, raw queries, normalized queries, ADC
+    tables). The tables are per-query (m × n_codes) centroid dot products —
+    the broadcast constant every ADC pass gathers from."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    Qn = Q / _safe_norm(Q)
+    sub = Qn.shape[1] // m
+    tables = np.einsum("qjs,jks->qjk", Qn.reshape(len(Qn), m, sub), codebooks)
+    return q_ids, Q, Qn, tables
+
+
+def _partial_shortlist(
+    q_id: int, scores: np.ndarray, ids: np.ndarray, shortlist: int
+) -> pd.DataFrame:
+    """Top-``shortlist`` candidates of one query within one batch/cell."""
+    mask = ids != q_id
+    cand = np.flatnonzero(mask)
+    if not len(cand):
+        return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
+    take = min(shortlist, len(cand))
+    top = cand[np.argpartition(-scores[cand], take - 1)[:take]]
+    return pd.DataFrame(
+        {"q_id": np.full(len(top), q_id, dtype=np.int64),
+         "n_id": ids[top].astype(np.int64),
+         "adc": scores[top].astype(np.float64)}
+    )
+
+
+def _shortlist_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q_ids: np.ndarray,
+    Qn: np.ndarray,
+    k: int,
+    shortlist: int,
+    round_to: int,
+) -> DataFrame:
+    """Global ADC shortlist → exact-cosine re-rank → top-k. The shortlist
+    joins back to the raw vectors once; query vectors ride along as a
+    broadcast numpy constant inside one Arrow pass."""
+    w_s = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
+    short = (
+        cand.withColumn("_r", F.row_number().over(w_s))
+        .filter(F.col("_r") <= shortlist)
+        .select("q_id", "n_id")
+    )
+    qvec = {int(i): Qn[j] for j, i in enumerate(q_ids)}
+
+    def rerank(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= _safe_norm(X)
+            qs = np.stack([qvec[int(q)] for q in pdf["q_id"]])
+            cos = (qs * X).sum(1)
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"].to_numpy(),
+                 "n_id": pdf["n_id"].to_numpy(),
+                 "cosine": np.round(cos, round_to)}
+            )
+
+    joined = short.join(
+        corpus.select(F.col(id_col).alias("n_id"), vec_col), "n_id"
+    ).select("q_id", "n_id", vec_col)
+    scored = joined.mapInPandas(rerank, schema="q_id long, n_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
     )
 
 
@@ -131,14 +218,7 @@ def pq_topk(
     """
     codebooks = fit_pq_codebooks(corpus, vec_col, m, n_codes, fit_sample, seed)
     encoded = pq_encode(corpus, codebooks, id_col, vec_col)
-
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-    sub = Q.shape[1] // m
-    # per-query ADC tables: (|Q|, m, n_codes) dot products — broadcast constant
-    tables = np.einsum("qjs,jks->qjk", Q.reshape(len(Q), m, sub), codebooks)
+    q_ids, _, Qn, tables = _query_tables(queries, id_col, vec_col, m, codebooks)
 
     def adc_partial(batches):
         for pdf in batches:
@@ -146,54 +226,17 @@ def pq_topk(
             ids = pdf["vec_id"].to_numpy()
             # scores[q, b] = Σ_j tables[q, j, codes[b, j]]
             scores = tables[:, np.arange(codes.shape[1]), codes].sum(-1)  # (|Q|, B)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                mask = ids != q_ids[qi]
-                cand = np.flatnonzero(mask)
-                if not len(cand):
-                    continue
-                take = min(shortlist, len(cand))
-                top = cand[np.argpartition(-scores[qi, cand], take - 1)[:take]]
-                out_q.extend([q_ids[qi]] * len(top))
-                out_n.extend(ids[top])
-                out_s.extend(scores[qi, top])
-            yield pd.DataFrame(
-                {"q_id": np.array(out_q, dtype=np.int64),
-                 "n_id": np.array(out_n, dtype=np.int64),
-                 "adc": np.array(out_s, dtype=np.float64)}
+            frames = [
+                _partial_shortlist(q_ids[qi], scores[qi], ids, shortlist)
+                for qi in range(len(q_ids))
+            ]
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                {"q_id": [], "n_id": [], "adc": []}
             )
 
     cand = encoded.mapInPandas(adc_partial, schema="q_id long, n_id long, adc double")
-    w_s = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
-    short = (
-        cand.withColumn("_r", F.row_number().over(w_s))
-        .filter(F.col("_r") <= shortlist)
-        .select("q_id", "n_id")
-    )
-
-    # exact re-rank: shortlist joins back to the raw vectors; query vectors
-    # ride along as a broadcast numpy constant inside one Arrow pass
-    qvec = {int(i): Q[j] for j, i in enumerate(q_ids)}
-
-    def rerank(batches):
-        for pdf in batches:
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            qs = np.stack([qvec[int(q)] for q in pdf["q_id"]])
-            cos = (qs * X).sum(1)
-            yield pd.DataFrame(
-                {"q_id": pdf["q_id"].to_numpy(),
-                 "n_id": pdf["n_id"].to_numpy(),
-                 "cosine": np.round(cos, round_to)}
-            )
-
-    joined = short.join(
-        corpus.select(F.col(id_col).alias("n_id"), vec_col), "n_id"
-    ).select("q_id", "n_id", vec_col)
-    scored = joined.mapInPandas(rerank, schema="q_id long, n_id long, cosine double")
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
+    return _shortlist_rerank(
+        cand, corpus, id_col, vec_col, q_ids, Qn, k, shortlist, round_to
     )
 
 
@@ -246,7 +289,7 @@ def ivfpq_topk(
     model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_v").fit(fit_df)
     centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
-    codebooks = fit_pq_codebooks(corpus, vec_col, m, n_codes, fit_sample, seed)
+    codebooks = fit_pq_codebooks(corpus, vec_col, m, n_codes, fit_sample, seed, n=n)
     assigned = model.transform(base).select(
         F.col(id_col), F.col(vec_col), F.col("prediction").alias("_cell")
     )
@@ -254,12 +297,7 @@ def ivfpq_topk(
         assigned.select(F.col(id_col).alias("vec_id"), "_cell"), "vec_id"
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    sub = Qn.shape[1] // m
-    tables = np.einsum("qjs,jks->qjk", Qn.reshape(len(Qn), m, sub), codebooks)
+    q_ids, Q, Qn, tables = _query_tables(queries, id_col, vec_col, m, codebooks)
     # probe lists: n_probe nearest cells per query by squared euclidean on
     # the raw query (matching the KMeans assignment metric)
     d2 = (
@@ -279,53 +317,20 @@ def ivfpq_topk(
             return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
         codes = np.stack(pdf["codes"].to_numpy())
         ids = pdf["vec_id"].to_numpy()
-        out_q, out_n, out_s = [], [], []
-        for qi in probing:
-            scores = tables[qi, np.arange(codes.shape[1]), codes].sum(-1)
-            mask = ids != q_ids[qi]
-            cand = np.flatnonzero(mask)
-            if not len(cand):
-                continue
-            take = min(shortlist, len(cand))
-            top = cand[np.argpartition(-scores[cand], take - 1)[:take]]
-            out_q.extend([q_ids[qi]] * len(top))
-            out_n.extend(ids[top])
-            out_s.extend(scores[top])
-        return pd.DataFrame(
-            {"q_id": np.array(out_q, dtype=np.int64),
-             "n_id": np.array(out_n, dtype=np.int64),
-             "adc": np.array(out_s, dtype=np.float64)}
-        )
+        frames = [
+            _partial_shortlist(
+                q_ids[qi],
+                tables[qi, np.arange(codes.shape[1]), codes].sum(-1),
+                ids,
+                shortlist,
+            )
+            for qi in probing
+        ]
+        return pd.concat(frames, ignore_index=True)
 
     cand = encoded.groupBy("_cell").applyInPandas(
         cell_adc, schema="q_id long, n_id long, adc double"
     )
-    w_s = Window.partitionBy("q_id").orderBy(F.desc("adc"), F.asc("n_id"))
-    short = (
-        cand.withColumn("_r", F.row_number().over(w_s))
-        .filter(F.col("_r") <= shortlist)
-        .select("q_id", "n_id")
-    )
-
-    qvec = {int(i): Qn[j] for j, i in enumerate(q_ids)}
-
-    def rerank(batches):
-        for pdf in batches:
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            qs = np.stack([qvec[int(q)] for q in pdf["q_id"]])
-            cos = (qs * X).sum(1)
-            yield pd.DataFrame(
-                {"q_id": pdf["q_id"].to_numpy(),
-                 "n_id": pdf["n_id"].to_numpy(),
-                 "cosine": np.round(cos, round_to)}
-            )
-
-    joined = short.join(
-        corpus.select(F.col(id_col).alias("n_id"), vec_col), "n_id"
-    ).select("q_id", "n_id", vec_col)
-    scored = joined.mapInPandas(rerank, schema="q_id long, n_id long, cosine double")
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
+    return _shortlist_rerank(
+        cand, corpus, id_col, vec_col, q_ids, Qn, k, shortlist, round_to
     )

@@ -43,17 +43,21 @@ def scd2_apply(
     """
     out_cols = [key, *attrs, from_col, to_col]
     closed = dim.filter(F.col(to_col).isNotNull()).select(*out_cols)
-    open_rows = dim.filter(F.col(to_col).isNull())
+    # explicit presence flag: detecting join-side presence via a data column
+    # (e.g. valid_from IS NOT NULL) would silently drop open rows whose
+    # valid_from is legitimately NULL ("since forever" initial loads)
+    open_rows = dim.filter(F.col(to_col).isNull()).withColumn("_open", F.lit(True))
 
     upd = updates.select(
         F.col(key),
         *[F.col(a).alias(f"_u_{a}") for a in attrs],
         F.col(eff_col).alias("_u_eff"),
+        F.lit(True).alias("_upd"),
     )
     joined = open_rows.join(upd, key, "full_outer")
 
-    has_open = F.col(from_col).isNotNull()
-    has_upd = F.col("_u_eff").isNotNull()
+    has_open = F.col("_open").isNotNull()
+    has_upd = F.col("_upd").isNotNull()
     diff = F.lit(False)
     for a in attrs:
         diff = diff | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))

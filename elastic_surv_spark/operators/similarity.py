@@ -359,7 +359,11 @@ def cosine_topk_fast(
         for pdf in batches:
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            C = Xn @ Qn  # (B, |Q|)
+            # round BEFORE the per-batch selection so the partial top-k uses
+            # the exact ordering the global window ranks by — (rounded
+            # cosine desc, id asc); raw-value selection could discard the
+            # lower-id member of a rounded tie and diverge from cosine_topk
+            C = np.round(Xn @ Qn, 6)  # (B, |Q|)
             ids = pdf[id_col].to_numpy()
             out_q, out_n, out_c = [], [], []
             for j in range(C.shape[1]):
@@ -369,14 +373,15 @@ def cosine_topk_fast(
                 if not len(cand_idx):
                     continue
                 take = min(k, len(cand_idx))
-                top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:take]
+                top = cand_idx[order]
                 out_q.extend([q_ids[j]] * len(top))
                 out_n.extend(ids[top])
                 out_c.extend(col[top])
             yield pd.DataFrame(
                 {"q_id": np.array(out_q, dtype=np.int64),
                  "n_id": np.array(out_n, dtype=np.int64),
-                 "cosine": np.round(np.array(out_c, dtype=np.float64), 6)}
+                 "cosine": np.array(out_c, dtype=np.float64)}
             )
 
     cand = spread_partitions(corpus).mapInPandas(

@@ -2126,9 +2126,11 @@ def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication (SURVEY §2.10 × §2.12): dropDuplicates on the
     key columns over the replayed event stream — the streaming twin of exact
-    dedup, state pruned by the event-time watermark; checked against the
-    batch DISTINCT oracle (first-arrival row == any row once projected to
-    the key, so the stream result is deterministic)."""
+    dedup. Exact mode here: state is bounded by KEY CARDINALITY (750
+    user×type pairs), not pruned by a watermark; for ever-growing keyspaces
+    dedup_keys_stream's within_watermark mode trades global exactness for
+    event-time state eviction. Checked against the batch DISTINCT oracle
+    (first-arrival row == any row once projected to the key)."""
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
@@ -2525,7 +2527,9 @@ def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
     competing.py): per user, first purchase (cause 1) competes with first
     error (cause 2), censored at last activity otherwise — the estimator a
     per-cause KM would bias upward. Same bounded-curve scale posture as
-    km_curve."""
+    km_curve. (max_curve_points=512 is a no-op at the correctness gate's
+    ~150 users; like the ipcw query, if the cap ever engages the SQL oracle
+    needs the matching equidistant quantization added to its time CTE.)"""
     from elastic_surv_spark.metrics.competing import cumulative_incidence
 
     e = _t(spark, sf_dir, "events")

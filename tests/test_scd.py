@@ -53,3 +53,21 @@ def test_scd2_null_safe_attr_compare(spark):
     )
     out = scd2_apply(dim, updates, "k", ["seg"]).toPandas()
     assert len(out) == 1 and pd.isna(out["valid_to"].iloc[0])  # NULL == NULL: no-op
+
+
+def test_scd2_null_valid_from_open_row_still_closes(spark):
+    # "since forever" open row (valid_from NULL) must close on update, not
+    # vanish — presence is detected by a join flag, not a data column
+    dim = spark.createDataFrame(
+        [(1, "A", None, None)], "k long, seg string, valid_from double, valid_to double"
+    )
+    updates = spark.createDataFrame(
+        [(1, "B", 7.0)], "k long, seg string, effective_ts double"
+    )
+    out = scd2_apply(dim, updates, "k", ["seg"]).toPandas()
+    rows = {
+        (r.seg, None if pd.isna(r.valid_from) else r.valid_from,
+         None if pd.isna(r.valid_to) else r.valid_to)
+        for r in out.itertuples()
+    }
+    assert rows == {("A", None, 7.0), ("B", 7.0, None)}
