@@ -1717,6 +1717,76 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    ), edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    ), bidir AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), verts AS (SELECT DISTINCT a AS v FROM bidir),
+    reach(v, r) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT reach.v, bidir.b FROM reach JOIN bidir ON reach.r = bidir.a
+    ), comp AS (
+        SELECT v AS doc_id, min(r) AS comp_id FROM reach GROUP BY v
+    ), q AS (
+        SELECT doc_id, lang,
+               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+                   + 0.3 * (len(list_distinct(string_split(trim(text), ' ')))::DOUBLE
+                            / len(string_split(trim(text), ' ')))
+                   + 0.2 * least(5.0 * (len(list_filter(string_split(trim(text), ' '),
+                                        t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE
+                                        / len(string_split(trim(text), ' '))), 1.0)
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                                                 / length(text)), 0.0),
+                 6) AS quality
+        FROM documents
+    )
+    SELECT c.comp_id, q.doc_id AS keep_doc_id, q.lang, q.quality
+    FROM comp c JOIN q ON c.doc_id = q.doc_id
+    QUALIFY row_number() OVER (PARTITION BY c.comp_id ORDER BY q.quality DESC, q.doc_id) = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection: near-dup components
+    (MinHash pairs → connected components) keep their HIGHEST-quality member
+    (ties → min doc_id) instead of an arbitrary id — the policy a real
+    training-data pipeline wants. Composition: two certified operators plus
+    one ranking window per component."""
+    from elastic_surv_spark.functions.text import quality_score
+    from elastic_surv_spark.operators.cluster import connected_components
+    from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5)
+    comp = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("comp_id")
+    )
+    quality = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("comp_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("comp_id", F.col("doc_id").alias("keep_doc_id"), "lang", "quality")
+    )
+
+
+@query(
     "orders_monthly_trend",
     """
     WITH monthly AS (
