@@ -2564,13 +2564,25 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(CASE WHEN event_type = 'error' THEN ts END) AS te,
                max(ts) AS tmax
         FROM events GROUP BY user_id
-    ), surv AS (
+    ), surv0 AS (
         SELECT CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
                     WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause,
                (epoch_us(CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp
                               WHEN te IS NOT NULL THEN te ELSE tmax END)
                 - epoch_us(t0)) / 1000000.0 AS t
         FROM per
+    ), bounds AS (
+        SELECT min(t) AS lo, max(t) AS hi, count(DISTINCT t) AS nd FROM surv0
+    ), surv AS (
+        -- equidistant quantization to <=64 bin edges, mirroring Spark's
+        -- quantize_times exactly (same double arithmetic, same no-op
+        -- condition) so the bounded-curve scale path is itself certified
+        SELECT cause,
+               CASE WHEN b.nd > 64
+                    THEN least(b.hi, b.lo + ceil((t - b.lo) / ((b.hi - b.lo) / 64.0))
+                                           * ((b.hi - b.lo) / 64.0))
+                    ELSE t END AS t
+        FROM surv0, bounds b
     ), ev AS (
         SELECT t, count(*) AS n_total,
                CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d_1,
@@ -2596,10 +2608,10 @@ def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aalen-Johansen cumulative incidence under competing risks (metrics/
     competing.py): per user, first purchase (cause 1) competes with first
     error (cause 2), censored at last activity otherwise — the estimator a
-    per-cause KM would bias upward. Same bounded-curve scale posture as
-    km_curve. (max_curve_points=512 is a no-op at the correctness gate's
-    ~150 users; like the ipcw query, if the cap ever engages the SQL oracle
-    needs the matching equidistant quantization added to its time CTE.)"""
+    per-cause KM would bias upward. The continuous per-user times EXCEED the
+    64-point curve cap at the gate, so the equidistant quantization actually
+    engages and the oracle (which mirrors it in SQL) certifies the
+    bounded-curve scale path itself — not just the exact small-n form."""
     from elastic_surv_spark.metrics.competing import cumulative_incidence
 
     e = _t(spark, sf_dir, "events")
@@ -2627,7 +2639,7 @@ def competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         cause.alias("cause"),
         ((F.unix_micros(tend) - F.unix_micros(F.col("t0"))) / 1000000.0).alias("t"),
     )
-    return cumulative_incidence(surv, "t", "cause", n_causes=2, max_curve_points=512)
+    return cumulative_incidence(surv, "t", "cause", n_causes=2, max_curve_points=64)
 
 
 @query(
