@@ -92,3 +92,14 @@ def test_rollup_cube_single_expand(spark):
         plan = _plan(spark, name)
         assert plan.count("Expand") >= 1, name
         assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["llm_data_pipeline_e2e", "dedup_keep_best", "session_funnel_conversion",
+     "doc_stratified_sample", "doc_context_packing", "customer_segment_scd2"],
+)
+def test_round2_compositions_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
