@@ -18,6 +18,72 @@ from elastic_surv_spark.plans.queries import REGISTRY
 from elastic_surv_spark.session import get_spark
 
 
+def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:
+    """Cumulative-prefix timing of llm_data_pipeline_e2e's stages
+    (SPARK_GRAFT_E2E_STAGES=1): runs the pipeline cut off after each stage
+    and reports per-stage deltas, so the bench shows WHERE the flagship
+    query's time goes (scan+quality / exact dedup / minhash near-dup /
+    chunk+agg) rather than one opaque number."""
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.functions.text import chunk_starts, quality_score, token_count
+    from elastic_surv_spark.operators.dedup import exact_dedup
+    from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+    from elastic_surv_spark.sources.parquet import load_table
+
+    def quality(d):
+        return d.filter(quality_score(F.col("text")) >= 0.5)
+
+    def exact(d):
+        kept = exact_dedup(quality(d), ["text"], "doc_id", normalize=True).select(
+            F.col("keep_id").alias("doc_id")
+        )
+        return quality(d).join(kept, "doc_id", "left_semi")
+
+    def near(d):
+        s0 = exact(d)
+        drop = (
+            minhash_lsh_pairs(s0, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        return s0.join(drop, "doc_id", "left_anti")
+
+    def full(d):
+        return (
+            near(d)
+            .select(
+                "doc_id", "lang",
+                token_count(F.col("text")).alias("n_tokens"),
+                F.size(chunk_starts(F.col("text"), 20, 5)).alias("n_chunks"),
+            )
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum("n_chunks").cast("long").alias("n_chunks"),
+            )
+        )
+
+    cuts = [("scan_quality", quality), ("exact_dedup", exact),
+            ("near_dup", near), ("chunk_agg", full)]
+    out: dict[str, float] = {}
+    prev = 0.0
+    for name, fn in cuts:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        d = load_table(spark, sf_dir, "documents")
+        start = time.perf_counter()
+        fn(d).write.format("noop").mode("overwrite").save()
+        cum = time.perf_counter() - start
+        out[name] = round(max(cum - prev, 0.0), 3)
+        prev = cum
+    out["total"] = round(prev, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -36,6 +102,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in REGISTRY.items():
         # Local mode runs driver+executor in ONE JVM: without a nudge the
         # 48g heap GCs rarely, ContextCleaner lags, and stale shuffle/
@@ -45,23 +112,61 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        df = spec.fn(spark, sf_dir)  # build plan (lazy)
-        start = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        # One broken query must not sink the whole bench (a round-3 schema
+        # drift in the testdata crashed the run before any JSON printed).
+        # Timing starts AFTER plan construction — same methodology as every
+        # prior round's baseline (fn-side driver work like iterative
+        # clustering or codebook fits is setup, not the measured plan).
+        try:
+            df = spec.fn(spark, sf_dir)  # build plan (lazy)
+            start = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # pragma: no cover - defensive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    e2e_stages = None
+    if os.environ.get("SPARK_GRAFT_E2E_STAGES"):
+        e2e_stages = time_e2e_stages(spark, sf_dir)
+    payload = {
+        "metric": "registry_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    if e2e_stages:
+        payload["e2e_stages"] = e2e_stages
+    line = json.dumps(payload, separators=(",", ":"))
+    # Full detail always lands in a sibling file.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
+    # The driver keeps only the LAST ~2000 chars of output and parses the
+    # JSON line from that window (r2's parse failed: 69 queries pushed the
+    # line past the window and its head was cut). If the full line risks
+    # truncation, print a window-safe variant: keep the slowest queries'
+    # entries (the ones a reader acts on), drop the fastest, and say how
+    # many were omitted; value/metric stay exact.
+    LIMIT = 1900
+    if len(line) > LIMIT:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict[str, float] = {}
+        for k, v in slowest:
+            trial = dict(payload, queries={**kept, k: v})
+            trial["queries_omitted"] = len(timings) - len(kept) - 1
+            if len(json.dumps(trial, separators=(",", ":"))) > LIMIT:
+                break
+            kept[k] = v
+        payload["queries"] = dict(sorted(kept.items()))
+        payload["queries_omitted"] = len(timings) - len(kept)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -301,14 +301,22 @@ def simhash_near_pairs(
     )
 
 
+#: Above this corpus size the 8-bit band keys (256 buckets/chunk) start
+#: going quadratic — bucket occupancy grows ∝ n/256, candidate pairs ∝
+#: n²/256 per chunk — so the auto gate drops to 4×16-bit keys (65 536
+#: buckets/chunk, linear far longer) at the cost of a Hamming ≤ 3
+#: completeness guarantee instead of ≤ 7.
+SIMHASH_SMALL_CORPUS = 20_000
+
+
 def simhash_verified_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_hamming: int = 7,
-    n_chunks: int = 8,
+    max_hamming: int | None = None,
+    n_chunks: int | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """SimHash candidates verified with exact shingle Jaccard:
@@ -321,7 +329,17 @@ def simhash_verified_pairs(
     word multisets ⇒ similar sign vectors), identical to the exact result:
     that makes the exact-Jaccard SQL the oracle for this plan too.
     Shuffle: O(corpus × n_chunks) banding keys + O(candidates) shingle rows.
+
+    When ``n_chunks``/``max_hamming`` are left unset, the banding is
+    size-gated: 8×8-bit (complete to distance 7) up to
+    :data:`SIMHASH_SMALL_CORPUS` rows, 4×16-bit (complete to distance 3,
+    linear-shuffle at web scale) above. The one extra ``count()`` is a
+    column-less metadata-cheap scan.
     """
+    if n_chunks is None or max_hamming is None:
+        small = df.count() <= SIMHASH_SMALL_CORPUS
+        n_chunks = n_chunks or (8 if small else 4)
+        max_hamming = max_hamming if max_hamming is not None else n_chunks - 1
     cand = simhash_near_pairs(
         df, id_col, text_col, max_hamming=max_hamming, n_chunks=n_chunks
     ).select("id_a", "id_b")

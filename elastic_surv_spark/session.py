@@ -27,6 +27,7 @@ def get_spark(app_name: str = "elastic-surv-spark", cpus: int | None = None) -> 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
@@ -48,6 +49,10 @@ def tune(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # naive-micros parquet timestamps read as TimestampType at the scan
+        # (fields-as-UTC under the UTC session tz) — keeps filter pushdown
+        # and unix_micros/watermark semantics identical to duckdb's epoch_us
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
     for k, v in conf.items():
         try:

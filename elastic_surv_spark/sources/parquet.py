@@ -37,19 +37,57 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ntz_to_utc_ts(colname: str):
+    """TIMESTAMP_NTZ column → TimestampType whose epoch is the NTZ fields
+    interpreted as UTC. ``timestampdiff`` on two NTZ values is pure field
+    arithmetic — no session-timezone dependency — so this matches DuckDB's
+    ``epoch_us`` on the same naive parquet values exactly, regardless of the
+    driver session's timezone."""
+    return F.timestamp_micros(
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {colname})"
+        )
+    )
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Rewrite every TIMESTAMP_NTZ column as TimestampType (fields-as-UTC).
+
+    Fallback path only: the preferred fix is reading naive-micros parquet
+    directly as TimestampType via ``spark.sql.parquet.inferTimestampNTZ.
+    enabled=false`` (set in :func:`load_table`), which keeps filter pushdown
+    at the scan. This projection-based rewrite covers a session whose conf
+    is locked; it is a map-only JVM expression but sits above the scan, so
+    predicates on the rewritten column no longer push down."""
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, ntz_to_utc_ts(c))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver's events table carries TIMESTAMP(NANOS) parquet columns,
-    # which Spark rejects by default; nanosAsLong (runtime-settable) reads
-    # them as long nanos and we rebuild a proper timestamp at micro
-    # precision (truncating, matching duckdb's nanos→micros behavior).
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:  # pragma: no cover - conf locked by session owner
-        pass
+    # The harness regenerates the testdata parquet between rounds with
+    # varying timestamp physical types: TIMESTAMP(NANOS) (Spark rejects by
+    # default → nanosAsLong reads long nanos, rebuilt at micro precision,
+    # matching duckdb's nanos→micros truncation) and naive micros (Spark 4
+    # infers TIMESTAMP_NTZ → inferTimestampNTZ=false reads them as
+    # TimestampType fields-as-UTC directly AT THE SCAN, keeping predicate
+    # pushdown; the session timezone is pinned UTC in session.py, so epoch
+    # arithmetic matches duckdb's epoch_us on the same naive values).
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by session owner
+            pass
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def spread_partitions(df: DataFrame) -> DataFrame:

@@ -43,15 +43,31 @@ def read_events_stream(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int = 1,
-    ts_is_nanos: bool = False,
+    ts_is_nanos: bool | None = None,
 ) -> DataFrame:
     """File-stream source over events parquet.
 
-    ``ts_is_nanos=True`` handles the driver's TIMESTAMP(NANOS) original
-    (read as long + rebuilt at micro precision); normal parquet timestamps
-    read directly.
-    """
+    The physical type of ``ts`` varies by harness data generation
+    (TIMESTAMP(NANOS) → long via nanosAsLong; naive micros → TIMESTAMP_NTZ;
+    UTC-adjusted micros → TIMESTAMP). A streaming source needs the schema up
+    front, so we probe it with a batch schema read (footer-only, no data
+    scan) and normalize ``ts`` to TimestampType fields-as-UTC — the same
+    contract ``sources.parquet.load_table`` gives batch plans. Passing the
+    wrong schema silently corrupts event time (a nanos÷1000 rebuild applied
+    to micros collapses the stream into ~2 days of 1970), so auto-detection
+    is the default; ``ts_is_nanos`` remains as an explicit override."""
     import os
+
+    from elastic_surv_spark.sources.parquet import ntz_to_utc_ts
+
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by session owner
+            pass
 
     def _reader(schema):
         r = spark.readStream.schema(schema).option(
@@ -65,10 +81,16 @@ def read_events_stream(
             )
         return r.parquet(path)
 
-    if ts_is_nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ts_is_nanos is None:
+        batch_type = spark.read.parquet(path).schema["ts"].dataType
+    else:
+        batch_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    if isinstance(batch_type, T.LongType):
         raw = _reader(_events_schema(T.LongType()))
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_type, T.TimestampNTZType):
+        raw = _reader(_events_schema(T.TimestampNTZType()))
+        return raw.withColumn("ts", ntz_to_utc_ts("ts"))
     return _reader(_events_schema(T.TimestampType()))
 
 

@@ -103,3 +103,19 @@ def test_round2_compositions_no_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_context_packing_no_single_stratum_window(spark):
+    # The corpus-sized cumsum must partition by (lang, shard) — a window
+    # partitioned by lang alone serializes each language into one task.
+    # Only the tiny per-shard-totals window (over the aggregated table)
+    # may partition by lang alone; it sits above an Aggregate, which the
+    # sort-spec check below distinguishes via the _shard ordering column.
+    plan = _plan(spark, "doc_context_packing")
+    import re
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    assert windows, plan[:500]
+    big = [w for w in windows if "doc_id" in w and "windowspecdefinition" in w]
+    assert big, windows
+    for w in big:
+        assert "_shard" in w, w  # corpus window is sharded

@@ -366,3 +366,29 @@ def test_chunks_reconstruct_document(spark):
         docs.setdefault(r["doc_id"], ([], r["n"]))[0].extend(toks)
     for doc_id, (toks, n) in docs.items():
         assert len(toks) == n, doc_id
+
+
+def test_simhash_wide_band_path_radius_semantics(spark):
+    # The 4×16-bit web-scale path (what the auto gate picks above
+    # SIMHASH_SMALL_CORPUS): complete for Hamming ≤ 3 by pigeonhole, so
+    # the verified output must equal {exact pairs within distance 3} —
+    # same law as the 8×8 path, tighter radius, 256× larger band keyspace.
+    d = load_table(spark, SF, "documents")
+    exact = shingle_jaccard_pairs(d, threshold=0.5).toPandas()
+    ver = simhash_verified_pairs(d, threshold=0.5, max_hamming=3, n_chunks=4).toPandas()
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(d).collect()}
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    key = lambda p: set(zip(p.id_a, p.id_b))
+    in_radius = {(a, b) for a, b in key(exact) if ham(a, b) <= 3}
+    assert key(ver) == in_radius
+    assert len(exact) > 0
+
+
+def test_simhash_auto_gate_small_corpus_is_complete_path(spark):
+    # Below the gate the defaulted call must reproduce the explicit
+    # 8×8/distance-7 result bit-for-bit.
+    d = load_table(spark, SF, "documents")
+    auto = simhash_verified_pairs(d, threshold=0.5).toPandas()
+    full = simhash_verified_pairs(d, threshold=0.5, max_hamming=7, n_chunks=8).toPandas()
+    key = lambda p: set(zip(p.id_a, p.id_b))
+    assert key(auto) == key(full)
