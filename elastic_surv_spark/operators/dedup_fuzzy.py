@@ -106,6 +106,38 @@ def shingle_jaccard_pairs(
     )
 
 
+def _tokenized(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, _sh) behind an exchange barrier so every consumer reads the
+    stored array instead of re-running the (interpreted, non-CSE'd)
+    shingle expression."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        _spread(df)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .repartition(par)
+    )
+
+
+def _minhash_flat(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, _m0.._m{k-1}) minhash columns via explode → k codegen'd
+    xxhash64 projections → hash-aggregate min per doc.
+
+    This shape beats the k× ``array_min(transform(_sh, ...))`` folds ~3×:
+    higher-order array functions run interpreted (each of the k passes
+    re-walks the array through the expression evaluator), while the
+    exploded form is one whole-stage-codegen pipeline and the aggregate's
+    map-side partials shrink the shuffle to |corpus| × k longs."""
+    exploded = tokenized.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    hashed = exploded.select(
+        F.col(id_col),
+        *[F.xxhash64(F.lit(i), F.col("_s")).alias(f"_m{i}") for i in range(k)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"_m{i}").alias(f"_m{i}") for i in range(k)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -114,29 +146,17 @@ def minhash_signatures(
     k: int = 16,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: min over shingles of
-    xxhash64(perm_index, shingle) — pure JVM expressions.
-
-    Tokenization is materialized through an exchange barrier first, so the
-    k hash passes fold over the stored ``_sh`` array attribute instead of
-    re-running the (interpreted, non-CSE'd) shingle expression k times."""
-
-    def _perm_hash(i: int):
-        # single-arg lambda on purpose: a two-arg lambda would be treated by
-        # transform() as an (element, index) function, shadowing the
-        # permutation constant with the array position
-        return lambda s: F.xxhash64(F.lit(i), s)
-
-    par = df.sparkSession.sparkContext.defaultParallelism
-    tokenized = (
-        _spread(df)
-        .select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .repartition(par)
+    xxhash64(perm_index, shingle) — pure JVM expressions (codegen'd
+    exploded hash-aggregate; see :func:`_minhash_flat`)."""
+    tokenized = _tokenized(df, id_col, text_col, n)
+    flat = _minhash_flat(tokenized, id_col, k)
+    sig = flat.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("signature"),
     )
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_sh"), _perm_hash(i))) for i in range(k)]
+    return tokenized.join(sig, id_col).select(
+        F.col(id_col), F.col("_sh"), F.col("signature")
     )
-    return tokenized.select(F.col(id_col), F.col("_sh"), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -157,25 +177,26 @@ def minhash_lsh_pairs(
     bands) band keys + O(candidates) verification rows — never O(n²).
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    tokenized = _tokenized(df, id_col, text_col, n)
+    flat = _minhash_flat(tokenized, id_col, k)
     band_cols = [
         F.xxhash64(
             F.lit(b),
-            *[F.element_at("signature", b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
         ).alias(f"_band_{b}")
         for b in range(bands)
     ]
-    banded = sigs.select(F.col(id_col), F.col("_sh"), *band_cols)
+    banded = flat.select(F.col(id_col), *band_cols)
     exploded = banded.select(
         F.col(id_col),
-        F.col("_sh"),
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_band_{b}").alias("key")) for b in range(bands)])
         ).alias("bk"),
-    ).select(F.col(id_col), F.col("_sh"), F.col("bk.band"), F.col("bk.key"))
+    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
 
     # Band join carries only (id, band, key) — 24-byte rows; shingle arrays
-    # re-join afterwards for the (few) surviving candidate pairs.
+    # re-join afterwards (from the tokenized barrier) for the (few)
+    # surviving candidate pairs, so signature and array stay decoupled.
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
@@ -184,7 +205,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = banded.select(F.col(id_col), F.col("_sh"))
+    sh = tokenized.select(F.col(id_col), F.col("_sh"))
     return (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
@@ -305,8 +326,10 @@ def simhash_near_pairs(
 #: going quadratic — bucket occupancy grows ∝ n/256, candidate pairs ∝
 #: n²/256 per chunk — so the auto gate drops to 4×16-bit keys (65 536
 #: buckets/chunk, linear far longer) at the cost of a Hamming ≤ 3
-#: completeness guarantee instead of ≤ 7.
-SIMHASH_SMALL_CORPUS = 20_000
+#: completeness guarantee instead of ≤ 7. The bound keeps the expected
+#: uniform-case candidate stream near 100k pairs: 8 chunks × 256 ×
+#: C(n/256, 2) ≈ n²/64 ⇒ n ≈ 2.5k.
+SIMHASH_SMALL_CORPUS = 2_500
 
 
 def simhash_verified_pairs(

@@ -1073,11 +1073,12 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with exact-Jaccard verification: 64-bit
     Charikar signatures, size-gated chunk banding (8×8-bit, complete for
-    Hamming ≤ 7, below 20k docs — where the exact-Jaccard SQL is the
-    oracle; 4×16-bit keys above, whose 65 536-bucket chunks keep the
-    candidate join linear at web scale), candidates verified against the
-    shingle sets. The certification SF (sf0.01, 5k docs) takes the
-    complete path, so the output matches the exact ground truth."""
+    Hamming ≤ 7, up to the ~100k-candidate budget at 2.5k docs — where the
+    exact-Jaccard SQL is the oracle; 4×16-bit keys above, whose
+    65 536-bucket chunks keep the candidate join linear at web scale),
+    candidates verified against the shingle sets. The certification SF
+    (sf0.01, 500 docs) takes the complete path, so the output matches the
+    exact ground truth."""
     from elastic_surv_spark.operators.dedup_fuzzy import simhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -2775,6 +2776,43 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         redact_pii(F.col("text")).alias("clean_text"),
         pii_match_count(F.col("text")).cast("long").alias("n_pii"),
+    )
+
+
+@query(
+    "events_value_by_type_salted",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py:salted_agg) on the
+    events table, whose event_type distribution is dominated by views — the
+    exact shape that melts a single hot reducer at 100 TB. Partials fold per
+    (key, salt), then re-fold per key; decimal sums make the result
+    reassociation-exact, so the plain GROUP BY SQL is the oracle."""
+    from elastic_surv_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        "event_type",
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value": F.sum(F.col("value").cast("decimal(18,6)")),
+            "max_value": F.max("value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).cast("double").alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
     )
 
 
