@@ -100,6 +100,19 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass
+    # Absorb whole-stage-codegen JIT (janino compile + C2 warmup of the
+    # agg/join/exchange pipelines) so the FIRST timed query isn't charged
+    # ~2s of one-time JVM cost the rest never pay.
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.groupBy("l_returnflag")
+            .count()
+            .join(li.select("l_returnflag").distinct(), "l_returnflag")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -128,6 +128,33 @@ def punct_ratio(col: Column) -> Column:
     return F.length(stripped).cast("double") / F.length(col)
 
 
+def ngrams_with_repeats(col: Column, n: int = 3) -> Column:
+    """Word n-grams WITHOUT the dedup — the multiset the Gopher-style
+    repetition signals need (``shingles`` distinct-ifies). Same shifted-
+    slice zip construction, so the tokenization regex runs O(n) times per
+    row, not O(n × grams)."""
+    w = words(col)
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    grams = F.slice(w, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(w, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return grams
+
+
+def dup_ngram_frac(col: Column, n: int) -> Column:
+    """Fraction of the doc's n-gram occurrences that are repeats of an
+    earlier one — the repetition signal from the Gopher quality filters
+    (1 − |distinct n-grams| / |n-grams|; 0 for docs shorter than n)."""
+    grams = ngrams_with_repeats(col, n) if n > 1 else words(col)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
 def quality_score(col: Column) -> Column:
     """Deterministic doc-quality heuristic in [0, 1]: rewards moderate
     length, lexical diversity and some stopwords; penalizes punctuation

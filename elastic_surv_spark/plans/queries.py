@@ -2816,6 +2816,103 @@ def events_value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_decontaminate",
+    """
+    WITH w AS (
+        SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+    ), g AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+                                     for i in range(1, len(w) - 6)])) AS gram
+        FROM w WHERE len(w) >= 8
+    ), hold AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+    )
+    SELECT g.doc_id, any_value(g.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM g JOIN hold USING (gram)
+    WHERE g.doc_id % 20 != 0
+    GROUP BY g.doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): docs whose
+    id ≡ 0 (mod 20) stand in for a held-out eval suite; every training doc
+    sharing an 8-word n-gram with it is reported with its contaminated-gram
+    count (and would be dropped by ``decontaminate``). The holdout's gram
+    set BROADCASTS — at 100 TB the corpus side is one map-side-filtered
+    pass with no corpus-gram shuffle, which is why this formulation scales
+    where a corpus×holdout join would not."""
+    from elastic_surv_spark.operators.decontaminate import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    holdout = d.filter(F.col("doc_id") % 20 == 0)
+    report = contamination_report(corpus, holdout, "doc_id", "text", n=8)
+    return report.join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_shared_grams")
+
+
+@query(
+    "doc_repetition_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), base AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+               round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_word_frac,
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                for i in range(1, len(w) - 1)] AS g3
+        FROM w
+    ), tw AS (
+        SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac
+        FROM (
+            SELECT doc_id, count(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS word FROM w)
+            GROUP BY doc_id, word
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.dup_word_frac,
+           CASE WHEN len(b.g3) > 0
+                THEN round(1.0 - len(list_distinct(b.g3))::DOUBLE / len(b.g3), 6)
+                ELSE 0.0 END AS dup_3gram_frac,
+           t.top_word_frac
+    FROM base b JOIN tw t USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style intra-document repetition signals: fraction
+    of repeated words, repeated 3-grams, and the most-frequent word's share
+    of the doc (functions/text.py:dup_ngram_frac). The word/3-gram
+    fractions are pure map-side array expressions; the top-word share is an
+    exploded two-level hash aggregate (codegen'd, map-side combined) —
+    together the filter inputs every repetition-based quality gate uses."""
+    from elastic_surv_spark.functions import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    w = TX.words(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+        ).alias("dup_word_frac"),
+        F.round(TX.dup_ngram_frac(F.col("text"), 3), 6).alias("dup_3gram_frac"),
+    )
+    top = (
+        d.select("doc_id", F.explode(w).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_frac"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id", "n_words", "dup_word_frac", "dup_3gram_frac", "top_word_frac"
+    )
+
+
 def _certified_names() -> set[str]:
     """Query names with a green (rows+hash) row in any past driver
     CORRECTNESS_r*.json at the repo root.
