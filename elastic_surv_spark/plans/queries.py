@@ -2913,6 +2913,41 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_segment_stream_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_segment_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/windows.py:stream_static_enrich):
+    the events file-stream joins each micro-batch against a broadcast
+    customer-dimension snapshot and maintains per-segment running totals.
+    Complete output mode over the bounded replay makes the batch
+    join+groupBy SQL its oracle."""
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    tune(spark)
+    dim = _t(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    sink = f"_enrich_stream_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(
+        stream_static_enrich(stream, dim, "c_custkey", "c_mktsegment"),
+        sink,
+        output_mode="complete",
+    )
+
+
 def _certified_names() -> set[str]:
     """Query names with a green (rows+hash) row in any past driver
     CORRECTNESS_r*.json at the repo root.

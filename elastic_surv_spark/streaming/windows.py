@@ -220,6 +220,29 @@ def session_window_stream(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, dim_key: str, seg_col: str
+) -> DataFrame:
+    """Stream-static enrichment join + running aggregate: every micro-batch
+    joins against a broadcast snapshot of a static dimension (no state, no
+    watermark needed — the stream side never waits for the dim side), then
+    feeds a keyed aggregation. The canonical "enrich events with reference
+    data" production pattern; at 100 TB/day the dim broadcast is per-batch
+    and the only stateful operator is the final aggregate (one row per
+    segment). Globally equivalent to the batch join+groupBy, so the plain
+    SQL twin is its oracle under complete output mode."""
+    enriched = events.join(
+        F.broadcast(dim.select(F.col(dim_key).alias("user_id"), seg_col)),
+        "user_id",
+    )
+    return enriched.groupBy(F.col(seg_col).alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def stateful_running_max(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful operator: per-user running max event value via
     ``applyInPandasWithState`` (state = one float; event-time timeout)."""
