@@ -181,20 +181,38 @@ def language_scores(col: Column) -> dict[str, Column]:
 def fingerprint(col: Column) -> Column:
     """Rolling polynomial hash over characters, mod 1e9+7.
 
-    Fold shape matches duckdb ``list_reduce`` (seed = first element):
-    h = c_0; h = (h*31 + c_i) % M. Exact integer arithmetic — bit-identical
-    across engines. Scale path: ``xxhash64`` (one JVM hash, no array), same
-    dedup semantics, not oracle-portable.
+    Equals duckdb ``list_reduce`` per-char Horner (seed = first element):
+    h = c_0; h = (h*31 + c_i) % M — which is plain Horner from acc = 0.
+    Computed 4 characters per fold step: the higher-order ``aggregate``
+    runs interpreted, so iteration count is the cost driver (~4× fewer
+    steps than a per-char fold); within a step the chunk's partial Horner
+    is a flat codegen-able expression. 31⁴·(M−1) ≈ 9.2e14 keeps the
+    accumulator far from long overflow, and the per-length multiplier
+    handles the short trailing chunk exactly — bit-identical across
+    engines. Scale path: ``xxhash64`` (one JVM hash, no array), same dedup
+    semantics, not oracle-portable.
     """
-    codes = F.transform(
-        F.filter(F.split(col, ""), lambda c: c != ""), lambda c: F.ascii(c).cast("long")
-    )
-    rest = F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0)))
+    chunks = F.regexp_extract_all(col, F.lit(r"[\s\S]{1,4}"), 0)
+
+    def _step(acc: Column, chunk: Column) -> Column:
+        ln = F.length(chunk)
+        c = [F.ascii(F.substring(chunk, i, 1)).cast("long") for i in range(1, 5)]
+        h2 = c[0] * 31 + c[1]
+        h3 = h2 * 31 + c[2]
+        h4 = h3 * 31 + c[3]
+        poly = (
+            F.when(ln == 4, h4).when(ln == 3, h3).when(ln == 2, h2).otherwise(c[0])
+        )
+        mult = (
+            F.when(ln == 4, F.lit(31**4))
+            .when(ln == 3, F.lit(31**3))
+            .when(ln == 2, F.lit(31**2))
+            .otherwise(F.lit(31))
+            .cast("long")
+        )
+        return (acc * mult + poly) % FINGERPRINT_MOD
+
     return F.when(
-        F.size(codes) > 0,
-        F.aggregate(
-            rest,
-            F.element_at(codes, 1),
-            lambda acc, c: (acc * 31 + c) % FINGERPRINT_MOD,
-        ),
+        F.length(col) > 0,
+        F.aggregate(chunks, F.lit(0).cast("long"), _step),
     ).otherwise(F.lit(0).cast("long"))
