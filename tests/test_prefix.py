@@ -1,0 +1,39 @@
+"""Property check: two-level sharded cumsum == naive single-window cumsum."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.operators.prefix import sharded_cumsum
+
+
+def test_sharded_cumsum_matches_single_window(spark):
+    rng = random.Random(11)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "k": [rng.randrange(n * 3) for _ in range(n)],  # sparse, gappy keys
+            "g": [rng.choice(["a", "b", "c"]) for _ in range(n)],
+            "v": [rng.randrange(-50, 50) for _ in range(n)],
+        }
+    ).drop_duplicates(subset=["g", "k"])
+    df = spark.createDataFrame(pdf, schema="k long, g string, v long")
+
+    got = sharded_cumsum(
+        df, ["g"], "k", "v", shard=F.floor(F.col("k") / 37)
+    ).toPandas()
+
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.withColumn("cum", F.sum("v").over(w)).toPandas()
+    )
+
+    key = ["g", "k"]
+    got = got.sort_values(key, ignore_index=True)
+    want = want.sort_values(key, ignore_index=True)
+    assert list(got["cum"]) == list(want["cum"])
+    assert sorted(got.columns) == sorted(want.columns)
