@@ -16,9 +16,111 @@ parquet source (sources/parquet.py) everywhere else in the repo.
 
 from __future__ import annotations
 
+import json
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
 
 ES_FORMAT = "org.elasticsearch.spark.sql"
+
+
+# --- predicate → ES Query DSL ------------------------------------------------
+# The role eland's query compiler plays in the reference (server-side
+# filtering before data leaves the cluster). The connector already pushes
+# Catalyst filters on its own; this explicit translator covers the
+# ``es.query`` escape hatch — pre-filtering an index the same way
+# ``ESDataset`` users filter via eland — and is testable without a cluster.
+
+
+@dataclass(frozen=True)
+class EqualTo:
+    col: str
+    value: object
+
+
+@dataclass(frozen=True)
+class In:
+    col: str
+    values: tuple
+
+    def __init__(self, col: str, values) -> None:  # tolerate lists
+        object.__setattr__(self, "col", col)
+        object.__setattr__(self, "values", tuple(values))
+
+
+@dataclass(frozen=True)
+class Range:
+    """gt/gte/lt/lte bounds; None bounds are omitted."""
+
+    col: str
+    gt: object = None
+    gte: object = None
+    lt: object = None
+    lte: object = None
+
+
+@dataclass(frozen=True)
+class IsNull:
+    col: str
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+    def __init__(self, *children) -> None:
+        object.__setattr__(self, "children", tuple(children))
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+    def __init__(self, *children) -> None:
+        object.__setattr__(self, "children", tuple(children))
+
+
+def _clause(f) -> dict:
+    if isinstance(f, EqualTo):
+        return {"term": {f.col: f.value}}
+    if isinstance(f, In):
+        return {"terms": {f.col: list(f.values)}}
+    if isinstance(f, Range):
+        bounds = {
+            k: getattr(f, k)
+            for k in ("gt", "gte", "lt", "lte")
+            if getattr(f, k) is not None
+        }
+        if not bounds:
+            raise ValueError(f"Range({f.col}) needs at least one bound")
+        return {"range": {f.col: bounds}}
+    if isinstance(f, IsNull):
+        return {"bool": {"must_not": [{"exists": {"field": f.col}}]}}
+    if isinstance(f, Not):
+        return {"bool": {"must_not": [_clause(f.child)]}}
+    if isinstance(f, And):
+        return {"bool": {"filter": [_clause(c) for c in f.children]}}
+    if isinstance(f, Or):
+        return {"bool": {"should": [_clause(c) for c in f.children],
+                         "minimum_should_match": 1}}
+    raise TypeError(f"unsupported filter: {type(f).__name__}")
+
+
+def filters_to_es_query(*filters) -> dict:
+    """AND-combined filters as a full ES request body (``{"query": ...}``).
+
+    Filter context (no scoring) — exactly what a scan source wants; ES
+    caches filter-context clauses across slices."""
+    if not filters:
+        return {"query": {"match_all": {}}}
+    if len(filters) == 1:
+        return {"query": _clause(filters[0])}
+    return {"query": _clause(And(*filters))}
 
 
 def es_reader(
@@ -27,23 +129,40 @@ def es_reader(
     nodes: str = "localhost",
     port: int = 9200,
     fields: list[str] | None = None,
+    query: dict | None = None,
 ) -> DataFrameReader:
     """Configured ES reader ≡ ``ESDataset(es_index_pattern, es_client=...)``.
 
     ``fields`` maps to ES source filtering (the pushdown eland applies for
     column selection); equality/range filters on the resulting DataFrame
-    push down as ES query DSL via the connector.
+    push down as ES query DSL via the connector. ``query`` (a dict from
+    :func:`filters_to_es_query`) pre-filters server-side via ``es.query``.
     """
-    r = (
-        spark.read.format(ES_FORMAT)
-        .option("es.nodes", nodes)
-        .option("es.port", str(port))
-        .option("es.resource", index_pattern)
-        .option("es.read.field.as.array.include", "")
-    )
-    if fields:
-        r = r.option("es.read.source.filter", ",".join(fields))
+    r = spark.read.format(ES_FORMAT)
+    for k, v in es_options(index_pattern, nodes, port, fields, query).items():
+        r = r.option(k, v)
     return r
+
+
+def es_options(
+    index_pattern: str,
+    nodes: str = "localhost",
+    port: int = 9200,
+    fields: list[str] | None = None,
+    query: dict | None = None,
+) -> dict[str, str]:
+    """The connector option map ``es_reader`` applies (pure, testable)."""
+    opts = {
+        "es.nodes": nodes,
+        "es.port": str(port),
+        "es.resource": index_pattern,
+        "es.read.field.as.array.include": "",
+    }
+    if fields:
+        opts["es.read.source.filter"] = ",".join(fields)
+    if query is not None:
+        opts["es.query"] = json.dumps(query)
+    return opts
 
 
 def read_es(

@@ -1,0 +1,97 @@
+"""ES Query-DSL translation — the cluster-free half of the ES source.
+
+Shapes asserted against the public Elasticsearch Query DSL reference
+(term / terms / range / exists / bool filter contexts)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from elastic_surv_spark.sources.elastic import (
+    And,
+    EqualTo,
+    In,
+    IsNull,
+    Not,
+    Or,
+    Range,
+    es_reader,
+    filters_to_es_query,
+)
+
+
+def test_term_terms_range():
+    assert filters_to_es_query(EqualTo("event_type", "purchase")) == {
+        "query": {"term": {"event_type": "purchase"}}
+    }
+    assert filters_to_es_query(In("lang", ["en", "fr"])) == {
+        "query": {"terms": {"lang": ["en", "fr"]}}
+    }
+    assert filters_to_es_query(Range("value", gte=1.5, lt=10)) == {
+        "query": {"range": {"value": {"gte": 1.5, "lt": 10}}}
+    }
+
+
+def test_null_and_boolean_composition():
+    q = filters_to_es_query(
+        Or(EqualTo("a", 1), And(Range("t", gt=0), Not(IsNull("u"))))
+    )
+    assert q == {
+        "query": {
+            "bool": {
+                "should": [
+                    {"term": {"a": 1}},
+                    {
+                        "bool": {
+                            "filter": [
+                                {"range": {"t": {"gt": 0}}},
+                                {
+                                    "bool": {
+                                        "must_not": [
+                                            {
+                                                "bool": {
+                                                    "must_not": [
+                                                        {"exists": {"field": "u"}}
+                                                    ]
+                                                }
+                                            }
+                                        ]
+                                    }
+                                },
+                            ]
+                        }
+                    },
+                ],
+                "minimum_should_match": 1,
+            }
+        }
+    }
+
+
+def test_multiple_filters_and_combined_and_empty():
+    q = filters_to_es_query(EqualTo("a", 1), Range("b", lte=2))
+    assert q["query"]["bool"]["filter"] == [
+        {"term": {"a": 1}},
+        {"range": {"b": {"lte": 2}}},
+    ]
+    assert filters_to_es_query() == {"query": {"match_all": {}}}
+
+
+def test_range_requires_bound():
+    with pytest.raises(ValueError):
+        filters_to_es_query(Range("x"))
+
+
+def test_reader_option_map_carries_query(spark):
+    from elastic_surv_spark.sources.elastic import es_options
+
+    q = filters_to_es_query(EqualTo("event_type", "view"))
+    opts = es_options("events-*", fields=["ts", "user_id"], query=q)
+    assert json.loads(opts["es.query"]) == q
+    assert opts["es.read.source.filter"] == "ts,user_id"
+    assert opts["es.resource"] == "events-*"
+    # the reader builds without a cluster (failure only occurs at .load())
+    r = es_reader(spark, "events-*", fields=["ts", "user_id"], query=q)
+    assert r is not None
