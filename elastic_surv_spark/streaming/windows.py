@@ -42,7 +42,13 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 def read_events_stream(
     spark: SparkSession,
     path: str,
-    max_files_per_trigger: int = 1,
+    # Bounded-replay certification default: take every file in ONE
+    # micro-batch, so event-time order across files can't advance the
+    # watermark past late rows and results equal the batch twin regardless
+    # of the testdata's file layout (also ~one batch of fixed streaming
+    # overhead instead of one per file). Live deployments tune this down
+    # for latency; the watermark/state plumbing is identical either way.
+    max_files_per_trigger: int = 10_000,
     ts_is_nanos: bool | None = None,
 ) -> DataFrame:
     """File-stream source over events parquet.
