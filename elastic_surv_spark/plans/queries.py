@@ -2948,6 +2948,53 @@ def events_segment_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_mixture_weights",
+    """
+    WITH toks AS (
+        SELECT lang, len(string_split(trim(text), ' ')) AS n_tokens FROM documents
+    ), per_lang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY lang
+    ), tot AS (SELECT sum(n_tokens) AS total FROM per_lang)
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens / total, 6) AS actual_frac,
+           round(0.2 / (n_tokens / total), 6) AS weight,
+           round(least(0.2 / (n_tokens / total), 4.0), 6) AS epochs
+    FROM per_lang, tot
+    """,
+)
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights — the sampling step between dedup and packing in
+    a training pipeline: given a uniform target mix (1/|sources|), each
+    source's weight is target/actual token share, capped at 4 epochs (the
+    usual repetition bound). One groupBy over the corpus + a 1-row total
+    broadcast — at 100 TB the per-source table is |sources| rows, so the
+    division is driver-trivial and the plan is a single aggregation pass."""
+    from elastic_surv_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    per_lang = (
+        d.select("lang", token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per_lang.agg(F.sum("n_tokens").cast("double").alias("total"))
+    frac = F.col("n_tokens") / F.col("total")
+    return per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(frac, 6).alias("actual_frac"),
+        F.round(F.lit(0.2) / frac, 6).alias("weight"),
+        F.round(F.least(F.lit(0.2) / frac, F.lit(4.0)), 6).alias("epochs"),
+    )
+
+
 def _certification_state() -> tuple[set[str], set[str]]:
     """(ever_green, latest_green) per query from the driver's past
     CORRECTNESS_r*.json files at the repo root.
