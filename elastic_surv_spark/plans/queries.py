@@ -2983,9 +2983,14 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
-    total = per_lang.agg(F.sum("n_tokens").cast("double").alias("total"))
+    # total via a global window over the POST-AGGREGATE table (|sources|
+    # rows), not a second corpus scan: a rejoined agg branch would read the
+    # parquet twice (and only maybe get deduped by ReuseExchange).
+    with_total = per_lang.withColumn(
+        "total", F.sum("n_tokens").over(Window.partitionBy()).cast("double")
+    )
     frac = F.col("n_tokens") / F.col("total")
-    return per_lang.crossJoin(F.broadcast(total)).select(
+    return with_total.select(
         "lang",
         "n_docs",
         "n_tokens",

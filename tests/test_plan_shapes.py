@@ -119,3 +119,17 @@ def test_context_packing_no_single_stratum_window(spark):
     assert big, windows
     for w in big:
         assert "_shard" in w, w  # corpus window is sharded
+
+
+def test_decontaminate_broadcasts_holdout(spark):
+    # The corpus side must NOT shuffle its grams: the holdout gram set is
+    # the broadcast side of the contamination join.
+    plan = _plan(spark, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_weights_single_agg_pass(spark):
+    plan = _plan(spark, "doc_mixture_weights")
+    # one corpus aggregation + a broadcast 1-row total; no corpus re-scan
+    assert plan.count("FileScan parquet") == 1, plan[:600]
