@@ -742,19 +742,33 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", "e")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # population survival curve S (the "prediction"); max_curve_points bounds
-    # both collects for continuous times — a no-op below 512 distinct times
-    # (as here), so the SQL oracle's exact curve still matches. (If the cap
-    # ever engages, the G(t⁻) equi-join below needs surv.t quantized with the
-    # same quantize_times call so join keys stay curve points.)
-    s_rows = (
-        km_curve(surv, "t", "e", round_to=None, max_curve_points=512)
-        .select("t", "survival").orderBy("t").collect()
+    # population survival curve S (the "prediction") and censoring curve G,
+    # unioned into ONE collect (one Spark job over the persisted 1-row-per-
+    # user aggregate instead of two); max_curve_points bounds the collect
+    # for continuous times — a no-op below 512 distinct times (as here), so
+    # the SQL oracle's exact curve still matches. (If the cap ever engages,
+    # the G(t⁻) equi-join below needs surv.t quantized with the same
+    # quantize_times call so join keys stay curve points.)
+    s_curve = km_curve(surv, "t", "e", round_to=None, max_curve_points=512).select(
+        F.lit("s").alias("_which"), "t", "survival"
     )
+    g_curve = km_curve(
+        surv.withColumn("_cens", 1 - F.col("e").cast("int")),
+        "t",
+        "_cens",
+        round_to=None,
+        max_curve_points=512,
+    ).select(F.lit("g").alias("_which"), "t", "survival")
+    both = sorted(
+        s_curve.unionByName(g_curve).collect(),
+        key=lambda r: (r["_which"], float(r["t"])),
+    )
+    s_rows = [r for r in both if r["_which"] == "s"]
+    g_rows = [r for r in both if r["_which"] == "g"]
     s_ts = [float(r["t"]) for r in s_rows]
     s_vals = [float(r["survival"]) for r in s_rows]
-    # censoring curve G
-    g_ts, g_vals = censoring_km(surv, "t", "e", max_curve_points=512)
+    g_ts = [float(r["t"]) for r in g_rows]
+    g_vals = [float(r["survival"]) for r in g_rows]
 
     def _at(ts: list[float], vals: list[float], x: float) -> float:
         i = bisect.bisect_right(ts, x)
