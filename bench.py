@@ -26,7 +26,7 @@ def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:
     chunk+agg) rather than one opaque number."""
     from pyspark.sql import functions as F
 
-    from elastic_surv_spark.functions.text import chunk_starts, quality_score, token_count
+    from elastic_surv_spark.functions.text import quality_score, token_count
     from elastic_surv_spark.operators.dedup import exact_dedup
     from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
     from elastic_surv_spark.sources.parquet import load_table
@@ -53,9 +53,12 @@ def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:
         return (
             near(d)
             .select(
-                "doc_id", "lang",
-                token_count(F.col("text")).alias("n_tokens"),
-                F.size(chunk_starts(F.col("text"), 20, 5)).alias("n_chunks"),
+                "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+            )
+            .select(
+                "doc_id", "lang", "n_tokens",
+                (F.floor((F.greatest(F.col("n_tokens") - 5, F.lit(1)) - 1) / 15) + 1)
+                .cast("int").alias("n_chunks"),
             )
             .groupBy("lang")
             .agg(

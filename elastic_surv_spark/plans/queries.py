@@ -2384,7 +2384,7 @@ def llm_data_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash+LSH plan (the 100 TB path); its verified output equals the
     exact-Jaccard pairs the SQL oracle computes (the banded-miss
     probability ≤ 4e-6 at this threshold — certified by the hash match)."""
-    from elastic_surv_spark.functions.text import chunk_starts, quality_score, token_count
+    from elastic_surv_spark.functions.text import quality_score, token_count
     from elastic_surv_spark.operators.dedup import exact_dedup
     from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
 
@@ -2399,11 +2399,21 @@ def llm_data_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
+    # One tokenization: n_chunks is closed-form on the token count
+    # (⌊(max(n−overlap,1)−1)/step⌋+1 ≡ size(chunk_starts(text, 20, 5))),
+    # so the chunk stage costs zero extra regex splits per doc.
+    n_tok = token_count(F.col("text"))
     survivors = survivors0.join(near_drop, "doc_id", "left_anti").select(
         "doc_id",
         "lang",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.size(chunk_starts(F.col("text"), 20, 5)).alias("n_chunks"),
+        n_tok.alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            F.floor((F.greatest(F.col("n_tokens") - 5, F.lit(1)) - 1) / 15) + 1
+        ).cast("int").alias("n_chunks"),
     )
     return survivors.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
