@@ -133,3 +133,25 @@ def test_mixture_weights_single_agg_pass(spark):
     plan = _plan(spark, "doc_mixture_weights")
     # one corpus aggregation + a broadcast 1-row total; no corpus re-scan
     assert plan.count("FileScan parquet") == 1, plan[:600]
+
+
+def test_export_order_rotation():
+    # Rotation is a pure permutation of the registry; the env flag disables
+    # reading driver artifacts and restores definition order verbatim.
+    import os
+    from elastic_surv_spark.plans import queries as q
+
+    order = q._export_order()
+    assert sorted(order) == sorted(q.REGISTRY)
+
+    os.environ["ELASTIC_SURV_SPARK_NO_CERT_ROTATION"] = "1"
+    try:
+        assert q._export_order() == list(q.REGISTRY)
+    finally:
+        del os.environ["ELASTIC_SURV_SPARK_NO_CERT_ROTATION"]
+
+    # Among all-green queries, less-recently-certified must sort earlier.
+    _, latest_green, rounds = q._certification_state()
+    greens = [n for n in order if n in latest_green and rounds.get(n)]
+    certified_rounds = [rounds[n] for n in greens]
+    assert certified_rounds == sorted(certified_rounds)
