@@ -357,12 +357,29 @@ def simhash_verified_pairs(
     size-gated: 8×8-bit (complete to distance 7) up to
     :data:`SIMHASH_SMALL_CORPUS` rows, 4×16-bit (complete to distance 3,
     linear-shuffle at web scale) above. The one extra ``count()`` is a
-    column-less metadata-cheap scan.
+    column-less metadata-cheap scan — but note it runs eagerly at plan
+    construction, and the gated wide path has REDUCED recall (pairs at
+    signature Hamming 4-7 are dropped). Callers that certify against an
+    exact oracle must pin both parameters explicitly (the registered
+    ``simhash_near_dupes`` query pins 8/7).
     """
-    if n_chunks is None or max_hamming is None:
+    if n_chunks is None and max_hamming is not None:
+        raise ValueError(
+            "max_hamming without n_chunks is unsound: the default banding "
+            "cannot guarantee completeness to an arbitrary radius — pass "
+            "n_chunks >= max_hamming + 1 explicitly"
+        )
+    if n_chunks is None:
         small = df.count() <= SIMHASH_SMALL_CORPUS
-        n_chunks = n_chunks or (8 if small else 4)
-        max_hamming = max_hamming if max_hamming is not None else n_chunks - 1
+        n_chunks = 8 if small else 4
+    if max_hamming is None:
+        max_hamming = n_chunks - 1
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"banding with n_chunks={n_chunks} is only complete to Hamming "
+            f"distance {n_chunks - 1}; got max_hamming={max_hamming} — "
+            "raise n_chunks or lower max_hamming"
+        )
     cand = simhash_near_pairs(
         df, id_col, text_col, max_hamming=max_hamming, n_chunks=n_chunks
     ).select("id_a", "id_b")

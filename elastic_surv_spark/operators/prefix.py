@@ -63,8 +63,25 @@ def sharded_cumsum(
         "_offset", F.coalesce(F.sum("_shard_total").over(offset_w), F.lit(0))
     ).select(*part_cols, "_shard", "_offset")
 
+    # Null-safe rejoin: a plain equi-join would drop rows whose stratum key
+    # is NULL (NULL != NULL), diverging from the single-window form, which
+    # keeps a NULL partition. eqNullSafe keeps the two bit-identical.
+    off = offsets.select(
+        *[F.col(c).alias(f"_off_{c}") for c in part_cols],
+        F.col("_shard").alias("_off_shard"),
+        "_offset",
+    )
+    cond = d["_shard"].eqNullSafe(off["_off_shard"])
+    for c in part_cols:
+        cond = cond & d[c].eqNullSafe(off[f"_off_{c}"])
     return (
-        d.join(F.broadcast(offsets), [*part_cols, "_shard"])
+        d.join(F.broadcast(off), cond)
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
-        .drop("_shard", "_local_cum", "_offset")
+        .drop(
+            "_shard",
+            "_local_cum",
+            "_offset",
+            "_off_shard",
+            *[f"_off_{c}" for c in part_cols],
+        )
     )

@@ -1086,17 +1086,21 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with exact-Jaccard verification: 64-bit
-    Charikar signatures, size-gated chunk banding (8×8-bit, complete for
-    Hamming ≤ 7, up to the ~100k-candidate budget at 2.5k docs — where the
-    exact-Jaccard SQL is the oracle; 4×16-bit keys above, whose
-    65 536-bucket chunks keep the candidate join linear at web scale),
-    candidates verified against the shingle sets. The certification SF
-    (sf0.01, 500 docs) takes the complete path, so the output matches the
-    exact ground truth."""
+    Charikar signatures, 8×8-bit chunk banding (complete for Hamming ≤ 7 by
+    pigeonhole), candidates verified against the shingle sets.
+
+    The banding is PINNED to 8/7 here — the declared oracle is the exact
+    Jaccard SQL, which only holds when the banding is complete to a radius
+    that covers every true pair's signature distance; the operator's
+    size-gated default would silently drop to 4×16-bit (radius 3) above
+    2.5k docs and break that contract. The web-scale 4×16 path is certified
+    separately (``simhash_near_dupes_wide``) with a radius-aware check."""
     from elastic_surv_spark.operators.dedup_fuzzy import simhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_verified_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return simhash_verified_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_hamming=7, n_chunks=8
+    )
 
 
 _ANN_SUMMARY_ORACLE = """
@@ -1281,6 +1285,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
         hourly_counts_stream,
         read_events_stream,
         run_to_memory,
@@ -1288,7 +1293,7 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     stream = read_events_stream(
-        spark, table_path(sf_dir, "events")
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
     )
     sink = f"_hourly_stream_{uuid.uuid4().hex[:8]}"
     return run_to_memory(hourly_counts_stream(stream), sink, output_mode="complete")
@@ -1417,13 +1422,16 @@ def events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
         read_events_stream,
         run_to_memory,
         session_window_stream,
     )
 
     tune(spark)
-    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
+    )
     sink = f"_session_stream_{uuid.uuid4().hex[:8]}"
     return run_to_memory(
         session_window_stream(stream, gap="30 minutes"), sink, output_mode="complete"
@@ -1454,13 +1462,16 @@ def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
         read_events_stream,
         run_to_memory,
         sliding_counts_stream,
     )
 
     tune(spark)
-    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
+    )
     sink = f"_sliding_stream_{uuid.uuid4().hex[:8]}"
     return run_to_memory(sliding_counts_stream(stream), sink, output_mode="complete")
 
@@ -1542,13 +1553,16 @@ def user_peak_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
         read_events_stream,
         run_to_memory,
         stateful_running_max,
     )
 
     tune(spark)
-    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
+    )
     sink = f"_peak_stream_{uuid.uuid4().hex[:8]}"
     out = run_to_memory(stateful_running_max(stream), sink, output_mode="update")
     return out.select("user_id", F.round("peak", 6).alias("peak"), "n")
@@ -2221,13 +2235,16 @@ def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
         dedup_keys_stream,
         read_events_stream,
         run_to_memory,
     )
 
     tune(spark)
-    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
+    )
     sink = f"_dedup_stream_{uuid.uuid4().hex[:8]}"
     return run_to_memory(
         dedup_keys_stream(stream, ["user_id", "event_type"]), sink,
@@ -2761,13 +2778,16 @@ def purchase_views_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
         interval_join_stream,
         read_events_stream,
         run_to_memory,
     )
 
     tune(spark)
-    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
+    )
     sink = f"_ssjoin_{uuid.uuid4().hex[:8]}"
     return run_to_memory(
         interval_join_stream(stream, lower_seconds=3600), sink, output_mode="append"
@@ -2956,6 +2976,7 @@ def events_segment_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
         read_events_stream,
         run_to_memory,
         stream_static_enrich,
@@ -2963,7 +2984,9 @@ def events_segment_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     dim = _t(spark, sf_dir, "customer")
-    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
+    )
     sink = f"_enrich_stream_{uuid.uuid4().hex[:8]}"
     return run_to_memory(
         stream_static_enrich(stream, dim, "c_custkey", "c_mktsegment"),

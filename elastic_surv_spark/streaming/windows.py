@@ -39,16 +39,19 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
+# Bounded-replay certification setting: take every file in ONE micro-batch,
+# so event-time order across files can't advance the watermark past late rows
+# and results equal the batch twin regardless of the testdata's file layout
+# (also ~one batch of fixed streaming overhead instead of one per file).
+# Certification queries pass this EXPLICITLY; the library default stays
+# incremental so real consumers keep genuine micro-batch/watermark behavior.
+CERT_ONE_BATCH = 10_000
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
-    # Bounded-replay certification default: take every file in ONE
-    # micro-batch, so event-time order across files can't advance the
-    # watermark past late rows and results equal the batch twin regardless
-    # of the testdata's file layout (also ~one batch of fixed streaming
-    # overhead instead of one per file). Live deployments tune this down
-    # for latency; the watermark/state plumbing is identical either way.
-    max_files_per_trigger: int = 10_000,
+    max_files_per_trigger: int = 1,
     ts_is_nanos: bool | None = None,
 ) -> DataFrame:
     """File-stream source over events parquet.
