@@ -138,6 +138,61 @@ def _minhash_flat(tokenized: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def _verified_jaccard_pairs(
+    cand: DataFrame,
+    tokenized: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs via a postings join.
+
+    ``cand`` is (id_a, id_b) and MUST be pair-distinct (duplicate candidate
+    rows would multiply-count intersections); ``tokenized`` is (id, _sh)
+    with distinct shingles. |A∩B| comes from joining the candidates to each side's
+    exploded ``xxhash64`` postings and hash-counting matches — whole-stage
+    codegen end to end, versus the earlier per-pair
+    ``array_intersect``/``array_union`` folds that ran interpreted over
+    full shingle arrays (the dominant cost once banding yields many
+    candidates). Work is O(candidates × avg shingles); zero-intersection
+    pairs drop out of the inner join, which is exact for any positive
+    threshold. Same 64-bit-collision caveat as
+    :func:`shingle_jaccard_pairs`.
+    """
+    sizes = tokenized.select(F.col(id_col), F.size("_sh").alias("_n"))
+    postings = tokenized.select(
+        F.col(id_col), F.explode("_sh").alias("_s_str")
+    ).select(F.col(id_col), F.xxhash64("_s_str").alias("_s"))
+    inter = (
+        cand.join(
+            postings.select(F.col(id_col).alias("id_a"), "_s"), "id_a"
+        )
+        .join(postings.select(F.col(id_col).alias("id_b"), "_s"), ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                round_to,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -205,64 +260,54 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = tokenized.select(F.col(id_col), F.col("_sh"))
-    return (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verified_jaccard_pairs(cand, tokenized, id_col, threshold, round_to)
 
 
 def simhash64(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash over word tokens (Charikar): bit b of the signature is
-    the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)).
+    the sign of Σ_tokens (±1 depending on bit b of xxhash64(token)), ties →
+    0: bit b set ⟺ 2·count_ones_b > n_tokens.
 
-    Pure JVM, entirely map-side — per row: fold token hashes into a
-    64-counter vote array (aggregate + zip_with), then pack the sign bits:
-    bit b set ⟺ 2·count_ones_b > n_tokens (vote sum > 0, ties → 0). No
-    shuffle and no Python; the expression stays small (no 64-way aggregate,
-    whose generated code takes seconds to janino-compile). For corpora of
-    very long documents (≥10⁴ tokens) prefer an exploded (doc, bit)
-    hash-aggregate instead — codegen'd sums beat interpreted array folds at
-    that token count.
+    Plan: explode tokens → 64 codegen'd bit-extract projections →
+    hash-aggregate (count + 64 sums) per doc → pack the sign bits in one
+    projection. The same exploded-hash-aggregate shape as
+    :func:`_minhash_flat`, and for the same reason: the earlier per-row
+    ``aggregate``+``zip_with`` fold ran in the expression interpreter
+    (higher-order functions don't codegen) — ~tokens×64 interpreted lambda
+    evals; the exploded form is one whole-stage-codegen pipeline whose
+    map-side partials shrink the shuffle to |docs| × 65 longs. Docs whose
+    text is NULL (no token rows survive the explode) rejoin with signature
+    0, matching the old fold's ``coalesce``.
     """
+    base = _spread(df).select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    hashed = base.select(F.col(id_col), F.explode("_w").alias("_t")).select(
+        F.col(id_col), F.xxhash64("_t").alias("_h")
+    )
+    agg = hashed.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftrightunsigned("_h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+            for b in range(64)
+        ],
+    )
     # 1<<63 wraps to long min — the sign bit's two's-complement value.
-    pows = F.array(
-        *[F.lit((1 << b) if b < 63 else -(2**63)).cast("long") for b in range(64)]
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        pow_b = F.lit((1 << b) if b < 63 else -(2**63)).cast("long")
+        sig = sig + F.when(F.col(f"_c{b}") * 2 > F.col("_n"), pow_b).otherwise(
+            F.lit(0).cast("long")
+        )
+    sigs = agg.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        base.select(F.col(id_col))
+        .join(sigs, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
+        )
     )
-    hashes = F.transform(words(F.col(text_col)), lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long")
-                    for b in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            pows,
-            lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return _spread(df).select(F.col(id_col), F.coalesce(sig, F.lit(0).cast("long")).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -383,18 +428,6 @@ def simhash_verified_pairs(
     cand = simhash_near_pairs(
         df, id_col, text_col, max_hamming=max_hamming, n_chunks=n_chunks
     ).select("id_a", "id_b")
-    sh = (
-        _spread(df)
-        .select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-    )
-    return (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_jaccard(F.col("_sh_a"), F.col("_sh_b")), round_to).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _verified_jaccard_pairs(
+        cand, _tokenized(df, id_col, text_col, n), id_col, threshold, round_to
     )
