@@ -1236,31 +1236,20 @@ def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The blocking column turns the all-pairs O(n²) into Σ per-block n_b² —
     the standard scale pattern when a cheap partitioner exists (language,
-    shard, cluster id). Equi-join on the block key shuffles vectors once;
-    cosine runs JVM-side (zip_with + aggregate) on co-located pairs only.
+    shard, cluster id). Each block shuffles once to a grouped-apply task
+    whose single numpy Gram matmul scores every pair (Arrow-batched
+    vectorized kernel); the earlier per-pair interpreted zip_with cosine is
+    kept as blocked_cosine_pairs_folded, the oracle twin — tests assert the
+    two forms agree pair-for-pair on the rounded output.
     """
-    from elastic_surv_spark.operators.similarity import cosine
+    from elastic_surv_spark.operators.similarity import blocked_cosine_pairs
     from elastic_surv_spark.sources.parquet import spread_partitions
 
     e = spread_partitions(
         _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     )
-    a = e.select(
-        F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("_emb_a")
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("_emb_b")
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("label"),
-            F.round(cosine(F.col("_emb_a"), F.col("_emb_b")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.3)
+    return blocked_cosine_pairs(
+        e, "vec_id", "embedding", "label", threshold=0.3, round_to=6
     )
 
 

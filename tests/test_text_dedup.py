@@ -392,3 +392,39 @@ def test_simhash_auto_gate_small_corpus_is_complete_path(spark):
     full = simhash_verified_pairs(d, threshold=0.5, max_hamming=7, n_chunks=8).toPandas()
     key = lambda p: set(zip(p.id_a, p.id_b))
     assert key(auto) == key(full)
+
+
+def test_blocked_cosine_kernel_matches_folded_oracle_form(spark):
+    # vectorized Gram-matmul kernel vs interpreted zip_with fold: pair-for-
+    # pair equality on the rounded cosine (same dot/(|a||b|) association)
+    from elastic_surv_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        blocked_cosine_pairs_folded,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    fast = blocked_cosine_pairs(e, threshold=0.3).toPandas()
+    slow = blocked_cosine_pairs_folded(e, threshold=0.3).toPandas()
+    key = lambda p: {(a, b): (l, c) for a, b, l, c in
+                     zip(p.id_a, p.id_b, p.label, p.cosine)}
+    assert len(fast) > 0
+    assert key(fast) == key(slow)
+
+
+def test_blocked_cosine_null_block_and_null_vector(spark):
+    # NULL block key -> no pairs (SQL equality join semantics); NULL vector
+    # rows are dropped, not crashed on
+    from elastic_surv_spark.operators.similarity import blocked_cosine_pairs
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4, 5],
+            "label": [0, 0, None, None, 0],
+            "embedding": [[1.0, 0.0], [1.0, 0.1], [1.0, 0.0], [1.0, 0.0], None],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, schema="vec_id long, label int, embedding array<double>"
+    )
+    got = blocked_cosine_pairs(df, threshold=0.0).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(1, 2)}
