@@ -74,3 +74,30 @@ def test_es_reader_is_configured_without_cluster(spark):
     assert r is not None
     with pytest.raises(Exception):  # connector jar absent in this harness
         read_es(spark, "events-*")
+
+
+def test_no_ntz_survives_load_table_any_table(spark):
+    # r3's red round came entirely from one physical-type drift (testdata
+    # regenerated with TIMESTAMP_NTZ): every scan must normalize timestamps
+    # to session-TZ TimestampType. Probe EVERY table's full schema so the
+    # next drift is a local failure, not a driver red.
+    from elastic_surv_spark.sources.parquet import TABLES, load_table
+
+    def has_ntz(dt):
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.TimestampNTZType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(has_ntz(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return has_ntz(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_ntz(dt.keyType) or has_ntz(dt.valueType)
+        return False
+
+    for name in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", name)
+        bad = [f.name for f in df.schema.fields if has_ntz(f.dataType)]
+        assert not bad, f"{name}: TIMESTAMP_NTZ survived in {bad}"
+        assert df.limit(1).count() >= 0  # the scan actually executes
