@@ -39,22 +39,63 @@ def _safe_norm(X: np.ndarray) -> np.ndarray:
     return np.where(norms == 0, 1.0, norms)
 
 
+def _pairwise_d2(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared euclidean via the quadratic expansion — O(n·k) memory,
+    not the O(n·k·dim) of broadcasting (X - C)²: at the 100k fit-sample cap
+    with a few hundred centroids the broadcast intermediate would be GBs."""
+    return (
+        (X * X).sum(1, keepdims=True) - 2.0 * (X @ C.T) + (C * C).sum(1)
+    )
+
+
 def _lloyd(X: np.ndarray, k: int, rng: np.random.Generator, iters: int = 12) -> np.ndarray:
-    """Tiny deterministic k-means (codebooks are (k, sub_dim), data fits the
-    driver by construction — the fit sample is bounded)."""
+    """Tiny deterministic k-means (data fits the driver by construction —
+    the fit sample is bounded)."""
     n = len(X)
     centroids = X[rng.choice(n, size=min(k, n), replace=False)].copy()
     if len(centroids) < k:  # degenerate tiny corpus: pad with jitter
         pad = centroids[rng.integers(0, len(centroids), k - len(centroids))]
         centroids = np.concatenate([centroids, pad + 1e-6])
     for _ in range(iters):
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
+        assign = _pairwise_d2(X, centroids).argmin(1)
         for j in range(k):
             members = X[assign == j]
             if len(members):
                 centroids[j] = members.mean(0)
     return centroids
+
+
+def fit_coarse_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    fit_sample: int,
+    seed: int,
+    n: int | None = None,
+) -> np.ndarray:
+    """(n_cells, dim) coarse-quantizer centroids for IVF cell assignment,
+    fit with the deterministic driver-side Lloyd on a bounded sample — the
+    same posture as the PQ codebook fit (a quantizer needs a representative
+    sample, never the corpus, so the collect is capped at ``fit_sample``
+    regardless of corpus size). Replaces the earlier MLlib KMeans fit,
+    whose 10 driver-scheduled iterations cost seconds of job overhead per
+    query at any data size; assignment stays distributed (one Arrow argmin
+    pass with the centroids broadcast as a numpy closure)."""
+    n = corpus.count() if n is None else n
+    if n == 0:
+        raise ValueError("fit_coarse_centroids: empty corpus")
+    sample = (
+        corpus.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+        if n > fit_sample
+        else corpus
+    )
+    X = np.stack(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in sample.select(vec_col).collect()
+        ]
+    )
+    return _lloyd(X, n_cells, np.random.default_rng(seed))
 
 
 def fit_pq_codebooks(
@@ -249,7 +290,8 @@ def ivfpq_topk(
     m: int = 8,
     n_codes: int = 32,
     n_cells: int | None = None,
-    n_probe: int = 6,
+    n_probe: int | None = 6,
+    probe_frac: float = 0.25,
     shortlist: int = 120,
     fit_sample: int = 100_000,
     seed: int = 42,
@@ -261,37 +303,40 @@ def ivfpq_topk(
     serves billion-vector corpora: per-query work is n_probe·(n/n_cells)·m
     table lookups over byte codes, never a full-corpus float scan.
 
+    ``n_probe=None`` probes ``ceil(probe_frac · n_cells)`` — a fixed count
+    loses recall as n_cells grows with the corpus; a fixed fraction holds
+    it constant across scale (see ivf_topk's probe-depth note).
+
     (Simplification vs FAISS: codes quantize the normalized vectors
     directly rather than cell residuals — with the exact re-rank the
     difference only moves the shortlist-miss rate, covered by the recall
     certification.)
 
-    Plan: cell assignment + PQ encode are two map passes; candidates move
-    ONCE per probed cell via a cell-grouped applyInPandas (queries ride
-    along as broadcast ADC tables, not rows); shortlist + re-rank as in
-    pq_topk. Shuffle ∝ corpus + matches, no all-pairs anywhere.
+    Plan: coarse centroids come from the bounded driver-side Lloyd fit
+    (``fit_coarse_centroids``); cell assignment + PQ encode are two Arrow
+    map passes; candidates move ONCE per probed cell via a cell-grouped
+    applyInPandas (queries ride along as broadcast ADC tables, not rows);
+    shortlist + re-rank as in pq_topk. Shuffle ∝ corpus + matches, no
+    all-pairs anywhere.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     n = corpus.count()
     n_cells = n_cells or max(2, int(n**0.5 / 2))
-    n_probe = min(n_probe, n_cells)
+    if n_probe is None:
+        n_probe = int(np.ceil(probe_frac * n_cells))
+    n_probe = max(1, min(n_probe, n_cells))
 
-    base = spread_partitions(corpus).select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
-    )
-    fit_df = (
-        base.sample(fraction=min(1.0, fit_sample / n), seed=seed)
-        if n > fit_sample
-        else base
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_v").fit(fit_df)
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    base = spread_partitions(corpus).select(F.col(id_col), F.col(vec_col))
+    centroids = fit_coarse_centroids(base, vec_col, n_cells, fit_sample, seed, n=n)
 
     codebooks = fit_pq_codebooks(corpus, vec_col, m, n_codes, fit_sample, seed, n=n)
-    assigned = model.transform(base).select(
-        F.col(id_col), F.col(vec_col), F.col("prediction").alias("_cell")
+
+    @F.pandas_udf("int")
+    def assign_cell(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(_pairwise_d2(X, centroids).argmin(1).astype(np.int32))
+
+    assigned = base.select(
+        F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col)).alias("_cell")
     )
     encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
         assigned.select(F.col(id_col).alias("vec_id"), "_cell"), "vec_id"

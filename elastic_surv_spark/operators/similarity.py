@@ -320,7 +320,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_cells: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
+    probe_frac: float = 0.25,
     seed: int = 42,
     round_to: int = 6,
     fit_sample: int = 100_000,
@@ -329,46 +330,56 @@ def ivf_topk(
 
     The billion-scale ANN layout: a KMeans coarse quantizer partitions the
     corpus into ~√n cells; each vector is indexed under its nearest
-    centroid; a query only compares against the ``n_probe`` cells whose
-    centroids are nearest to it. Cost per query ≈ n_probe·n/n_cells exact
-    comparisons instead of n.
+    centroid; a query only compares against its nearest cells. Cost per
+    query ≈ n_probe·n/n_cells exact comparisons instead of n.
 
-    Plan shape: KMeans fit (MLlib, distributed) runs on a uniform sample of
-    at most ``fit_sample`` rows — centroid quality needs a representative
-    sample, not the full corpus, so the fit cost is bounded at any scale;
-    cell assignment is the model's transform (map-only); the probe
-    list is a small (batch × cells) matmul in a pandas UDF with centroids
-    broadcast as a numpy constant; candidates come from an equi-join on the
-    cell id — shuffle ∝ corpus × n_probe, never all-pairs. Exact einsum
-    re-rank + windowed top-k as in lsh_topk.
+    Probe depth: pass ``n_probe`` for a fixed count, or ``n_probe=None`` to
+    probe ``ceil(probe_frac · n_cells)`` — a fixed COUNT silently loses
+    recall as the corpus grows (n_cells ∝ √n, so 6 probes is 55 % of the
+    cells at 500 rows but 27 % at 2 000: measured recall@5 fell 0.86 → 0.68
+    on the near-uniform harness vectors); a fixed FRACTION holds the probed
+    share of the corpus, and with it the worst-case recall, constant across
+    scale. Clustered real embeddings reach high recall at far smaller
+    fractions (tests assert ≥ 0.9 with 6 probes on the clustered fixture).
+
+    Plan shape: the coarse quantizer is the deterministic driver-side Lloyd
+    on a sample of at most ``fit_sample`` rows (see
+    ``pq.fit_coarse_centroids`` — bounded at any scale, no per-iteration
+    job scheduling); cell assignment is one Arrow argmin pass with the
+    centroids as a broadcast numpy closure; the probe list is a small
+    (batch × cells) matmul in a pandas UDF; candidates come from an
+    equi-join on the cell id — shuffle ∝ corpus × n_probe, never all-pairs.
+    Exact einsum re-rank + windowed top-k as in lsh_topk.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from elastic_surv_spark.operators.pq import fit_coarse_centroids
 
     n = corpus.count()
     n_cells = n_cells or max(2, int(n ** 0.5 / 2))
-    n_probe = min(n_probe, n_cells)
+    if n_probe is None:
+        n_probe = int(np.ceil(probe_frac * n_cells))
+    n_probe = max(1, min(n_probe, n_cells))
     par = corpus.sparkSession.sparkContext.defaultParallelism
 
-    base = spread_partitions(corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col)).alias("_v"),
-    )
-    fit_df = (
-        base.sample(fraction=min(1.0, fit_sample / n), seed=seed)
-        if n > fit_sample
-        else base
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="_v").fit(fit_df)
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (C, dim)
+    base = spread_partitions(corpus).select(F.col(id_col), F.col(vec_col))
+    centroids = fit_coarse_centroids(
+        base, vec_col, n_cells, fit_sample, seed, n=n
+    )  # (C, dim)
+
+    @F.pandas_udf("int")
+    def assign_cell(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)  # (B, dim)
+        d2 = (
+            (X * X).sum(1, keepdims=True)
+            - 2.0 * (X @ centroids.T)
+            + (centroids * centroids).sum(1)
+        )
+        return pd.Series(d2.argmin(1).astype(np.int32))
 
     assigned = (
-        model.transform(base)
-        .select(
+        base.select(
             F.col(id_col),
             F.col(vec_col),
-            F.col("prediction").alias("_cell"),
+            assign_cell(F.col(vec_col)).alias("_cell"),
         )
         .repartition(par)
     )

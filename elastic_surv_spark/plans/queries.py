@@ -1103,6 +1103,87 @@ def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "simhash_near_dupes_wide",
+    # The 4×16-bit banding's output law — wide == {exact Jaccard≥0.5 pairs
+    # at signature Hamming ≤ 3} — isn't SQL-expressible (duckdb can't
+    # reproduce Spark's xxhash64 signatures), so the certified row is a
+    # summary: the exact-pair count IS SQL-derivable (same exact-Jaccard CTE
+    # as simhash_near_dupes), and the two law booleans are computed in-plan
+    # from real data (anti-join cardinalities), ANN-recall-summary style.
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS wide_equals_exact_within_radius3,
+           TRUE AS wide_subset_of_exact
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    """,
+)
+def simhash_near_dupes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the web-scale 4×16-bit SimHash banding (complete only to
+    Hamming ≤ 3 — the shape whose 65 536-bucket chunks keep the candidate
+    join linear at 100 TB, unlike the 8×8 path's 256 buckets).
+
+    Law (pigeonhole): the wide path's verified output equals
+    {exact-Jaccard ≥ 0.5 pairs whose 64-bit signature distance ≤ 3} — no
+    false positives, no in-radius misses. The row emits the SQL-derivable
+    exact-pair count plus two booleans computed in-plan: set equality of
+    wide vs the Hamming-≤3-filtered exact pairs, and wide ⊆ exact. A
+    broken banding, signature, or verification flips a boolean and the
+    driver's hash check goes red."""
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        shingle_jaccard_pairs,
+        simhash64,
+        simhash_verified_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wide = simhash_verified_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_hamming=3, n_chunks=4
+    ).select("id_a", "id_b")
+    exact = shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sigs = simhash64(d, "doc_id", "text")
+    exact_r3 = (
+        exact.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")),
+            "id_b",
+        )
+        .filter(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
+    miss = wide.exceptAll(exact_r3).agg(F.count("*").alias("_m1"))
+    extra = exact_r3.exceptAll(wide).agg(F.count("*").alias("_m2"))
+    not_subset = wide.exceptAll(exact).agg(F.count("*").alias("_m3"))
+    return (
+        n_exact.crossJoin(miss)
+        .crossJoin(extra)
+        .crossJoin(not_subset)
+        .select(
+            "n_exact_pairs",
+            ((F.col("_m1") == 0) & (F.col("_m2") == 0)).alias(
+                "wide_equals_exact_within_radius3"
+            ),
+            (F.col("_m3") == 0).alias("wide_subset_of_exact"),
+        )
+    )
+
+
 _ANN_SUMMARY_ORACLE = """
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST(count(*) * 5 AS BIGINT) AS exact_pairs,
@@ -1876,13 +1957,17 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard billion-scale ANN layout.
 
     Emits the same recall certification row as embedding_ann_lsh: recall@5
-    ≥ 0.8 vs in-plan brute force over 50 queries (measured 0.856 at sf0.01
-    with n_probe=6 on near-uniform vectors; clustered-fixture recall ≥ 0.9
-    asserted in tests)."""
+    ≥ 0.8 vs in-plan brute force over 50 queries. Probing is
+    FRACTION-based (55 % of cells): a fixed probe count loses recall as
+    n_cells grows with √corpus — n_probe=6 measured 0.856 at sf0.01 but
+    0.676 at sf0.1; the pinned fraction holds the probed corpus share, and
+    with it worst-case recall on these near-uniform vectors, constant
+    across SF. Clustered real embeddings reach ≥ 0.9 at far smaller
+    fractions (asserted in tests)."""
     from elastic_surv_spark.operators.similarity import ann_recall_summary, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    ann = ivf_topk(e, k=5, n_probe=6)
+    ann = ivf_topk(e, k=5, n_probe=None, probe_frac=0.55)
     return ann_recall_summary(e, ann, n_queries=50, k=5, floor=0.80)
 
 
@@ -2318,17 +2403,20 @@ def quantile_sketch_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_ann_ivfpq", _ANN_SUMMARY_ORACLE)
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (operators/pq.py:ivfpq_topk): coarse cells prune
-    to n_probe=6, PQ-ADC scores byte codes inside probed cells, exact
-    shortlist re-rank — the FAISS billion-vector layout end-to-end.
-    Certifies recall@5 ≥ 0.8 vs in-plan brute force (measured 0.844 at
-    sf0.01 — bounded by the cell-probe recall, the PQ+re-rank stage loses
-    almost nothing; ≥ 0.9 on the clustered fixture in tests)."""
+    to a pinned 55 % probe fraction (fixed-count probing loses recall as
+    n_cells grows with √corpus — see embedding_ann_ivf), PQ-ADC scores
+    byte codes inside probed cells, exact shortlist re-rank — the FAISS
+    billion-vector layout end-to-end. Certifies recall@5 ≥ 0.8 vs in-plan
+    brute force (bounded by the cell-probe recall, the PQ+re-rank stage
+    loses almost nothing; ≥ 0.9 on the clustered fixture in tests)."""
     from elastic_surv_spark.operators.pq import ivfpq_topk
     from elastic_surv_spark.operators.similarity import ann_recall_summary
 
     e = _t(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 50)
-    ann = ivfpq_topk(e, qs, k=5, n_probe=6, shortlist=120)
+    ann = ivfpq_topk(
+        e, qs, k=5, n_probe=None, probe_frac=0.55, shortlist=256, n_codes=64
+    )
     return ann_recall_summary(e, ann, n_queries=50, k=5, floor=0.80)
 
 
