@@ -428,3 +428,14 @@ def test_blocked_cosine_null_block_and_null_vector(spark):
     )
     got = blocked_cosine_pairs(df, threshold=0.0).toPandas()
     assert set(zip(got.id_a, got.id_b)) == {(1, 2)}
+
+
+def test_ivf_full_probe_fraction_is_exact(spark):
+    # law check for fraction-based probing: probe_frac=1.0 probes every
+    # cell, so IVF must return exactly the brute-force top-k
+    from elastic_surv_spark.operators.similarity import ivf_topk
+
+    e = _clustered_embeddings(spark, n_clusters=4, per_cluster=15)
+    brute = cosine_topk(e, e, k=5).toPandas()
+    full = ivf_topk(e, k=5, n_probe=None, probe_frac=1.0).toPandas()
+    assert _recall(brute, full) == 1.0
