@@ -326,13 +326,27 @@ def simhash_near_pairs(
     buckets grow; 4×16-bit is the web-scale default, 8×8-bit buys a
     distance-7 guarantee on corpora small enough to afford 8-bit keys.
     """
-    bits = 64 // n_chunks
-    mask = (1 << bits) - 1
     # Barrier: the simhash pass (tokenize + hash + bit fold) runs once; both
     # join sides reuse the exchange.
     sigs = simhash64(df, id_col, text_col).repartition(
         df.sparkSession.sparkContext.defaultParallelism
     )
+    return simhash_near_pairs_from_sigs(sigs, id_col, max_hamming, n_chunks)
+
+
+def simhash_near_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Banded near-pair join over precomputed (id, simhash) signatures —
+    split out so a caller that needs the signatures for other plan branches
+    too (e.g. the radius-aware wide-band certification) can compute them
+    once behind one exchange barrier instead of re-running the token fold
+    per consumer."""
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

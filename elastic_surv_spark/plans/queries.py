@@ -1141,21 +1141,34 @@ def simhash_near_dupes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken banding, signature, or verification flips a boolean and the
     driver's hash check goes red."""
     from elastic_surv_spark.operators.dedup_fuzzy import (
+        _tokenized,
+        _verified_jaccard_pairs,
         shingle_jaccard_pairs,
         simhash64,
-        simhash_verified_pairs,
+        simhash_near_pairs_from_sigs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    wide = simhash_verified_pairs(
-        d, "doc_id", "text", n=3, threshold=0.5, max_hamming=3, n_chunks=4
-    ).select("id_a", "id_b")
-    exact = shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
-        "id_a", "id_b"
+    # One signature pass behind one exchange barrier: the wide banding AND
+    # the radius filter below both read it via ReusedExchange (the packaged
+    # simhash_verified_pairs would re-run the token fold for each branch).
+    sigs = simhash64(d, "doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    sigs = simhash64(d, "doc_id", "text")
-    exact_r3 = (
-        exact.join(
+    cand = simhash_near_pairs_from_sigs(
+        sigs, "doc_id", max_hamming=3, n_chunks=4
+    ).select("id_a", "id_b")
+    wide = _verified_jaccard_pairs(
+        cand, _tokenized(d, "doc_id", "text", 3), "doc_id", 0.5, 6
+    ).select("id_a", "id_b", F.lit(1).alias("_w"))
+    # exact pairs annotated with their in-radius flag: one full-outer join
+    # against the wide pairs + ONE aggregation evaluates every subtree once
+    # — a per-check exceptAll/count formulation re-executed the wide and
+    # exact plans for each of the four crossJoined branches.
+    exact = (
+        shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .join(
             sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")),
             "id_a",
         )
@@ -1163,24 +1176,37 @@ def simhash_near_dupes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")),
             "id_b",
         )
-        .filter(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 3)
-        .select("id_a", "id_b")
-    )
-    n_exact = exact.agg(F.count("*").alias("n_exact_pairs"))
-    miss = wide.exceptAll(exact_r3).agg(F.count("*").alias("_m1"))
-    extra = exact_r3.exceptAll(wide).agg(F.count("*").alias("_m2"))
-    not_subset = wide.exceptAll(exact).agg(F.count("*").alias("_m3"))
-    return (
-        n_exact.crossJoin(miss)
-        .crossJoin(extra)
-        .crossJoin(not_subset)
         .select(
-            "n_exact_pairs",
-            ((F.col("_m1") == 0) & (F.col("_m2") == 0)).alias(
-                "wide_equals_exact_within_radius3"
-            ),
-            (F.col("_m3") == 0).alias("wide_subset_of_exact"),
+            "id_a",
+            "id_b",
+            F.lit(1).alias("_e"),
+            (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 3)
+            .cast("int")
+            .alias("_r3"),
         )
+    )
+    j = exact.join(wide, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("_e").cast("long").alias("n_exact_pairs"),
+        (
+            F.coalesce(
+                F.sum(
+                    (
+                        F.coalesce(F.col("_w"), F.lit(0))
+                        != F.coalesce(F.col("_r3"), F.lit(0))
+                    ).cast("int")
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("wide_equals_exact_within_radius3"),
+        (
+            F.coalesce(
+                F.sum(((F.col("_w") == 1) & F.col("_e").isNull()).cast("int")),
+                F.lit(0),
+            )
+            == 0
+        ).alias("wide_subset_of_exact"),
     )
 
 
