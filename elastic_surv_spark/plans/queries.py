@@ -1350,11 +1350,11 @@ def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     two forms agree pair-for-pair on the rounded output.
     """
     from elastic_surv_spark.operators.similarity import blocked_cosine_pairs
-    from elastic_surv_spark.sources.parquet import spread_partitions
 
-    e = spread_partitions(
-        _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    )
+    # no spread_partitions: the grouped-apply's hash exchange redistributes
+    # anyway, so a round-robin repartition first would just be a second
+    # full shuffle of the vectors (asserted single-exchange in plan tests)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return blocked_cosine_pairs(
         e, "vec_id", "embedding", "label", threshold=0.3, round_to=6
     )

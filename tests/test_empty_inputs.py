@@ -48,3 +48,23 @@ def test_scd2_empty_updates_is_identity(spark):
     updates = _empty(spark, "k long, seg string, effective_ts double")
     out = scd2_apply(dim, updates, "k", ["seg"]).toPandas()
     assert len(out) == 1 and out["seg"].iloc[0] == "A" and pd.isna(out["valid_to"].iloc[0])
+
+
+def test_empty_simhash_and_minhash(spark):
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        minhash_lsh_pairs,
+        simhash64,
+        simhash_verified_pairs,
+    )
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert simhash64(docs).count() == 0
+    assert simhash_verified_pairs(docs, max_hamming=7, n_chunks=8).count() == 0
+    assert minhash_lsh_pairs(docs).count() == 0
+
+
+def test_empty_blocked_cosine(spark):
+    from elastic_surv_spark.operators.similarity import blocked_cosine_pairs
+
+    e = _empty(spark, "vec_id long, embedding array<double>, label int")
+    assert blocked_cosine_pairs(e).count() == 0

@@ -155,3 +155,37 @@ def test_export_order_rotation():
     greens = [n for n in order if n in latest_green and rounds.get(n)]
     certified_rounds = [rounds[n] for n in greens]
     assert certified_rounds == sorted(certified_rounds)
+
+
+def test_blocked_cosine_kernel_is_single_exchange_no_join(spark):
+    # the vectorized near-dup kernel must shuffle each block ONCE to its
+    # grouped-apply task — no pair join, no cartesian, no second exchange
+    plan = _plan(spark, "embedding_near_dupes")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+
+def test_simhash_signature_is_codegen_aggregate_not_interpreted_fold(spark):
+    # r4's board-slowest query ran the signature as an interpreted per-row
+    # aggregate/zip_with fold; the rewrite must keep it a codegen'd
+    # hash-aggregate over exploded token hashes
+    plan = _plan(spark, "simhash_near_dupes")
+    # array_repeat(0, 64) was the interpreted fold's vote accumulator; the
+    # shingle tokenizer's small zip_with remains, so key on the fold marker
+    assert "array_repeat" not in plan
+    assert "HashAggregate" in plan and "Generate explode" in plan
+
+
+def test_wide_simhash_certification_is_one_pass(spark):
+    # the three outputs must come from ONE aggregation over one full-outer
+    # join — a per-check exceptAll formulation would show one aggregation
+    # per boolean stitched together by crossJoins (and re-execute the
+    # wide/exact subtrees per branch)
+    plan = _plan(spark, "simhash_near_dupes_wide")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one global (keyless) aggregation pair: partial + final
+    assert plan.count("HashAggregate(keys=[]") == 2, plan.count(
+        "HashAggregate(keys=[]"
+    )
