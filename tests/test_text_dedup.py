@@ -439,3 +439,17 @@ def test_ivf_full_probe_fraction_is_exact(spark):
     brute = cosine_topk(e, e, k=5).toPandas()
     full = ivf_topk(e, k=5, n_probe=None, probe_frac=1.0).toPandas()
     assert _recall(brute, full) == 1.0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_ann_recall_floors_hold_across_scale(spark, sf_dir):
+    # r5 found two latent reds of the same shape: parameters tuned at the
+    # certification SF (fixed probe count, coarse PQ codes) silently lost
+    # recall at 4x the corpus. Every recall-floor query must emit
+    # recall_ok=True at BOTH shipped scales.
+    from elastic_surv_spark.plans.queries import REGISTRY
+
+    for q in ("embedding_ann_lsh", "embedding_ann_ivf",
+              "embedding_pq_topk", "embedding_ann_ivfpq"):
+        row = REGISTRY[q].fn(spark, sf_dir).collect()[0]
+        assert row["recall_ok"], (q, sf_dir)
