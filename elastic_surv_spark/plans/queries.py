@@ -2514,6 +2514,12 @@ def llm_data_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
+    # Deliberately NO repartition barriers here: the consumers that share
+    # `filtered`/`survivors0` re-run a pushed parquet scan + the quality
+    # expression, which measures CHEAPER than materializing the full text
+    # column through extra round-robin exchanges (tried in r5: barriers on
+    # both took the warm sf0.1 time from 4.6 s to 10.2 s — document bytes
+    # dominate the shuffle, expressions don't).
     filtered = d.filter(quality_score(F.col("text")) >= 0.5)
     kept_ids = exact_dedup(filtered, ["text"], "doc_id", normalize=True).select(
         F.col("keep_id").alias("doc_id")
