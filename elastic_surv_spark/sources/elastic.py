@@ -65,6 +65,39 @@ class IsNull:
 
 
 @dataclass(frozen=True)
+class StartsWith:
+    """Keyword prefix — the DSL the connector emits for Catalyst's
+    StringStartsWith pushdown."""
+
+    col: str
+    value: str
+
+
+@dataclass(frozen=True)
+class Contains:
+    """Substring via wildcard (Catalyst StringContains pushdown). The value
+    is escaped so literal ``*``/``?`` in it don't become wildcards."""
+
+    col: str
+    value: str
+
+
+@dataclass(frozen=True)
+class EndsWith:
+    col: str
+    value: str
+
+
+@dataclass(frozen=True)
+class Match:
+    """Analyzed full-text match (eland's text-search passthrough) — unlike
+    the term/wildcard clauses this scores and honors the field analyzer."""
+
+    col: str
+    value: str
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -85,6 +118,10 @@ class Or:
         object.__setattr__(self, "children", tuple(children))
 
 
+def _escape_wildcard(value: str) -> str:
+    return value.replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
+
+
 def _clause(f) -> dict:
     if isinstance(f, EqualTo):
         return {"term": {f.col: f.value}}
@@ -101,6 +138,14 @@ def _clause(f) -> dict:
         return {"range": {f.col: bounds}}
     if isinstance(f, IsNull):
         return {"bool": {"must_not": [{"exists": {"field": f.col}}]}}
+    if isinstance(f, StartsWith):
+        return {"prefix": {f.col: f.value}}
+    if isinstance(f, Contains):
+        return {"wildcard": {f.col: f"*{_escape_wildcard(f.value)}*"}}
+    if isinstance(f, EndsWith):
+        return {"wildcard": {f.col: f"*{_escape_wildcard(f.value)}"}}
+    if isinstance(f, Match):
+        return {"match": {f.col: f.value}}
     if isinstance(f, Not):
         return {"bool": {"must_not": [_clause(f.child)]}}
     if isinstance(f, And):

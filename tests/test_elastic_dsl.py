@@ -95,3 +95,47 @@ def test_reader_option_map_carries_query(spark):
     # the reader builds without a cluster (failure only occurs at .load())
     r = es_reader(spark, "events-*", fields=["ts", "user_id"], query=q)
     assert r is not None
+
+
+def test_string_predicates_and_wildcard_escaping():
+    from elastic_surv_spark.sources.elastic import (
+        Contains,
+        EndsWith,
+        Match,
+        StartsWith,
+    )
+
+    q = filters_to_es_query(StartsWith("sku", "AB"))
+    assert q == {"query": {"prefix": {"sku": "AB"}}}
+    q = filters_to_es_query(Contains("comment", "urgent"))
+    assert q == {"query": {"wildcard": {"comment": "*urgent*"}}}
+    q = filters_to_es_query(EndsWith("path", ".json"))
+    assert q == {"query": {"wildcard": {"path": "*.json"}}}
+    # literal */? in the needle must not act as wildcards
+    q = filters_to_es_query(Contains("note", "a*b?c"))
+    assert q == {"query": {"wildcard": {"note": "*a\\*b\\?c*"}}}
+    q = filters_to_es_query(Match("title", "neural survival"))
+    assert q == {"query": {"match": {"title": "neural survival"}}}
+
+
+def test_nested_bool_composition_golden():
+    from elastic_surv_spark.sources.elastic import Or, StartsWith
+
+    q = filters_to_es_query(
+        Or(And(EqualTo("lang", "en"), StartsWith("title", "intro")),
+           Not(Range("len", lt=10)))
+    )
+    assert q == {
+        "query": {
+            "bool": {
+                "should": [
+                    {"bool": {"filter": [
+                        {"term": {"lang": "en"}},
+                        {"prefix": {"title": "intro"}},
+                    ]}},
+                    {"bool": {"must_not": [{"range": {"len": {"lt": 10}}}]}},
+                ],
+                "minimum_should_match": 1,
+            }
+        }
+    }
