@@ -27,7 +27,7 @@ def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from elastic_surv_spark.functions.text import quality_score, token_count
-    from elastic_surv_spark.operators.dedup import exact_dedup
+    from elastic_surv_spark.operators.dedup import fingerprint_dedup
     from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
     from elastic_surv_spark.sources.parquet import load_table
 
@@ -35,7 +35,7 @@ def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:
         return d.filter(quality_score(F.col("text")) >= 0.5)
 
     def exact(d):
-        kept = exact_dedup(quality(d), ["text"], "doc_id", normalize=True).select(
+        kept = fingerprint_dedup(quality(d), "text", "doc_id").select(
             F.col("keep_id").alias("doc_id")
         )
         return quality(d).join(kept, "doc_id", "left_semi")

@@ -2510,7 +2510,7 @@ def llm_data_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard pairs the SQL oracle computes (the banded-miss
     probability ≤ 4e-6 at this threshold — certified by the hash match)."""
     from elastic_surv_spark.functions.text import quality_score, token_count
-    from elastic_surv_spark.operators.dedup import exact_dedup
+    from elastic_surv_spark.operators.dedup import fingerprint_dedup
     from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -2521,7 +2521,12 @@ def llm_data_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both took the warm sf0.1 time from 4.6 s to 10.2 s — document bytes
     # dominate the shuffle, expressions don't).
     filtered = d.filter(quality_score(F.col("text")) >= 0.5)
-    kept_ids = exact_dedup(filtered, ["text"], "doc_id", normalize=True).select(
+    # fingerprint variant: the dedup stage shuffles 8-byte xxhash64 keys of
+    # the normalized text instead of the documents themselves — at 100 TB
+    # that is terabytes of shuffle vs gigabytes; keep-set identical to the
+    # raw-text groupBy modulo 64-bit collisions (same accepted caveat as
+    # the postings-join verification)
+    kept_ids = fingerprint_dedup(filtered, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
     survivors0 = filtered.join(kept_ids, "doc_id", "left_semi")
