@@ -19,17 +19,11 @@ North-star operators (SURVEY §2.12). Three tiers, same semantics target
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from elastic_surv_spark.functions.text import shingles, words
 from elastic_surv_spark.sources.parquet import spread_partitions as _spread
-
-
-def _jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return inter.cast("double") / union.cast("double")
 
 
 def shingle_jaccard_pairs(
