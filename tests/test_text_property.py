@@ -68,3 +68,104 @@ def test_dup_ngram_frac_matches_reference(spark):
     }
     for i, t in enumerate(texts):
         assert abs(got[i] - round(_ref_dup3(t), 9)) < 1e-9, (i, t)
+
+
+def test_simhash_matches_python_vote_fold(spark):
+    # The r5 rewrite turned the signature into an exploded hash-aggregate +
+    # sign-packing projection; verify the vote/tie/two's-complement packing
+    # against a transparent Python fold over the SAME token hashes (Spark's
+    # xxhash64 output is the shared input, so this pins the aggregation
+    # logic, not the hash function).
+    from pyspark.sql import functions as SF
+
+    from elastic_surv_spark.functions.text import words
+    from elastic_surv_spark.operators.dedup_fuzzy import simhash64
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yy"]
+    texts = [
+        "",                     # one empty-string token
+        "alpha",                # single token
+        "alpha alpha alpha",    # all-repeat (every vote unanimous)
+        None,                   # null text -> signature 0
+    ] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
+        for _ in range(40)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+
+    hashed = (
+        df.select(SF.col("doc_id"), SF.explode(words(SF.col("text"))).alias("_t"))
+        .select("doc_id", SF.xxhash64("_t").alias("_h"))
+        .collect()
+    )
+    per_doc: dict[int, list[int]] = {}
+    for r in hashed:
+        per_doc.setdefault(r["doc_id"], []).append(r["_h"] % (1 << 64))
+
+    for doc_id in range(len(texts)):
+        hs = per_doc.get(doc_id, [])
+        n = len(hs)
+        sig_u = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > n and n > 0:
+                sig_u |= 1 << b
+        want = sig_u - (1 << 64) if sig_u >= (1 << 63) else sig_u
+        assert got[doc_id] == want, (doc_id, texts[doc_id])
+
+
+def test_postings_verification_matches_array_fold_on_random_corpora(spark):
+    # _verified_jaccard_pairs (postings join) vs a transparent per-pair
+    # Python set computation over random near-dup corpora
+    from pyspark.sql import functions as SF
+
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        _tokenized,
+        _verified_jaccard_pairs,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    base_docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25)))
+        for _ in range(20)
+    ]
+    # append perturbed copies so some pairs exceed the threshold
+    texts = base_docs + [d + " extra token here" for d in base_docs[:8]]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+
+    def py_shingles(s):
+        w = s.strip().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: py_shingles(t) for i, t in enumerate(texts)}
+    cand_pairs = [
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if sets[a] and sets[b]
+    ]
+    cand = spark.createDataFrame(
+        pd.DataFrame(cand_pairs, columns=["id_a", "id_b"]),
+        schema="id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in _verified_jaccard_pairs(
+            cand, _tokenized(df, "doc_id", "text", 3), "doc_id", 0.3, 6
+        ).collect()
+    }
+    want = {}
+    for a, b in cand_pairs:
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = round(inter / len(sets[a] | sets[b]), 6)
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert got == want and len(want) > 0
