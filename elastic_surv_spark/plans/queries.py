@@ -625,6 +625,75 @@ def km_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_curve(surv, "t", "e")
 
 
+@query(
+    "logrank_user_cohorts",
+    # Per-time E1/V doubles are the SAME IEEE expression trees as the Spark
+    # plan; their sums pass through DECIMAL(38,18) (exact, order-free) and
+    # chi2 derives from the ROUNDED sums — the float-parity recipe used by
+    # every metric query in this registry.
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g
+        FROM events GROUP BY user_id
+    ), grouped AS (
+        SELECT t, count(*) AS m, sum(e) AS d, sum(g) AS m1, sum(e * g) AS d1
+        FROM surv GROUP BY t
+    ), risk AS (
+        SELECT d, d1,
+               sum(m)  OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+               sum(m1) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+        FROM grouped
+    ), per AS (
+        SELECT d1,
+               CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+               CASE WHEN n > 1 THEN
+                   CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+               ELSE 0.0 END AS v
+        FROM risk WHERE d > 0
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_times,
+               CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+               round(CAST(coalesce(sum(CAST(e1 AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS e1,
+               round(CAST(coalesce(sum(CAST(v AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS v
+        FROM per
+    )
+    SELECT n_times, o1, e1, v,
+           CASE WHEN v > 0 THEN round(pow(CAST(o1 AS DOUBLE) - e1, 2) / v, 6) END AS chi2
+    FROM sums
+    """,
+)
+def logrank_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (metrics/logrank.py) comparing the lifetime
+    distributions of the even- vs odd-user_id cohorts — the inference
+    companion to km_user_lifetimes' estimator (the statistic pycox/lifelines
+    users run next to every KM plot; the reference ships only the estimator
+    side, reference src/elastic_surv/models/base.py:75).
+
+    Scale: subjects collapse to distinct times in one hash-aggregate; the
+    at-risk windows run over that O(|times|) curve table only."""
+    from elastic_surv_spark.metrics.logrank import logrank_test
+
+    e = _t(spark, sf_dir, "events")
+    surv = (
+        e.groupBy("user_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("e"),
+        )
+        .withColumn(
+            "g", F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)
+        )
+    )
+    return logrank_test(surv, "t", "e", "g")
+
+
 def _user_lifetimes(spark: SparkSession, sf_dir: str, as_seconds: bool = False) -> DataFrame:
     """Survival framing of events: T = observed lifetime, E = ever purchased."""
     e = _t(spark, sf_dir, "events")

@@ -285,3 +285,60 @@ def test_cumulative_incidence_matches_numpy(spark):
     # estimator invariants: monotone, and total incidence + survival == 1
     assert (np.diff(got["cif_1"]) >= -1e-12).all()
     assert float(got["cif_1"].iloc[-1] + got["cif_2"].iloc[-1]) <= 1.0 + 1e-9
+
+
+def test_logrank_matches_python_reference(spark):
+    import random
+
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.logrank import logrank_test
+
+    rng = random.Random(31)
+    rows = [
+        (float(rng.randrange(1, 40)), rng.random() < 0.7, i % 2)
+        for i in range(120)
+    ]
+    pdf = pd.DataFrame(rows, columns=["t", "e", "g"])
+    pdf["e"] = pdf["e"].astype(int)
+    df = spark.createDataFrame(pdf, schema="t double, e int, g int")
+    got = logrank_test(df, "t", "e", "g").collect()[0]
+
+    # transparent O(times x subjects) reference
+    times = sorted({t for t, e, _ in rows if e})
+    o1 = e1 = v = 0.0
+    for t in times:
+        at = [(tt, ee, gg) for tt, ee, gg in rows if tt >= t]
+        n = len(at)
+        n1 = sum(1 for _, _, gg in at if gg == 1)
+        d = sum(1 for tt, ee, _ in at if tt == t and ee)
+        d1 = sum(1 for tt, ee, gg in at if tt == t and ee and gg == 1)
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    chi2 = (o1 - e1) ** 2 / v
+    assert got["n_times"] == len(times)
+    assert got["o1"] == int(o1)
+    assert abs(got["e1"] - e1) < 1e-6
+    assert abs(got["v"] - v) < 1e-6
+    assert abs(got["chi2"] - chi2) < 1e-4
+
+
+def test_logrank_empty_and_degenerate(spark):
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.logrank import logrank_test
+
+    empty = spark.createDataFrame([], "t double, e int, g int")
+    row = logrank_test(empty, "t", "e", "g").collect()[0]
+    assert row["n_times"] == 0 and row["o1"] == 0 and row["chi2"] is None
+
+    # identical groups -> chi2 ~ 0 (every subject mirrored across arms)
+    pdf = pd.DataFrame(
+        {"t": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0], "e": [1, 1, 1, 1, 0, 0],
+         "g": [0, 1, 0, 1, 0, 1]}
+    )
+    df = spark.createDataFrame(pdf, schema="t double, e int, g int")
+    row = logrank_test(df, "t", "e", "g").collect()[0]
+    assert abs(row["chi2"]) < 1e-9
