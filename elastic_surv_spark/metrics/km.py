@@ -121,3 +121,86 @@ def km_survival_at(df: DataFrame, time_col: str, event_col: str, t) -> float:
         .first()
     )
     return 1.0 if row is None else float(row[0])
+
+
+def na_curve(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    round_to: int | None = 6,
+    max_curve_points: int | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate: H(t) = Σ_{t_i ≤ t} d_i/n_i.
+
+    Same O(|distinct times|) curve shape as :func:`km_curve` (one
+    hash-aggregate to distinct times, constant-partition windows over the
+    tiny aggregate). The per-time hazard increment d/n is a single IEEE
+    division; its running sum goes through DECIMAL(38,18) so the cumsum is
+    exact and engine-portable (a float cumsum would depend on evaluation
+    order)."""
+    if max_curve_points is not None:
+        df = quantize_times(df, time_col, max_curve_points)
+    grouped = df.groupBy(F.col(time_col).alias("t")).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_event"),
+    )
+    grouped = grouped.withColumn("_p", F.pmod(F.col("n_total"), F.lit(1)))
+    w_rev = (
+        Window.partitionBy("_p")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("_p")
+        .orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = grouped.withColumn(
+        "n_risk", F.sum("n_total").over(w_rev).cast("long")
+    ).withColumn(
+        "cum_hazard",
+        F.sum(
+            (
+                F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+            ).cast("decimal(38,18)")
+        )
+        .over(w_fwd)
+        .cast("double"),
+    )
+    if round_to is not None:
+        curve = curve.withColumn("cum_hazard", F.round("cum_hazard", round_to))
+    return curve.select(
+        "t", "n_risk", F.col("n_event").cast("long").alias("n_event"), "cum_hazard"
+    )
+
+
+def rmst(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Restricted mean survival time: ∫₀^τ S(t) dt with τ = the largest
+    observed time — the step-function integral of the KM curve,
+    Σ_i S(t_{i-1}) · (t_i − t_{i-1}) with S ≡ 1 before the first time.
+
+    One row (tau, rmst_value). Computed from the ROUNDED survival curve so
+    the SQL oracle reproduces it bit-for-bit; the segment products pass
+    through DECIMAL(38,18) for an order-free exact sum. Runs on the
+    O(|distinct times|) curve table only."""
+    curve = km_curve(df, time_col, event_col)
+    curve = curve.withColumn("_p", F.pmod(F.col("n_risk"), F.lit(1)))
+    w = Window.partitionBy("_p").orderBy(F.asc("t"))
+    seg = curve.select(
+        F.col("t"),
+        (
+            F.lag("survival", 1, 1.0).over(w)
+            * (F.col("t") - F.lag("t", 1, 0).over(w)).cast("double")
+        ).cast("decimal(38,18)").alias("_seg"),
+    )
+    return seg.agg(
+        F.max("t").cast("double").alias("tau"),
+        F.round(
+            F.coalesce(F.sum("_seg"), F.lit(0)).cast("double"), round_to
+        ).alias("rmst_value"),
+    )

@@ -694,6 +694,90 @@ def logrank_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(surv, "t", "e", "g")
 
 
+@query(
+    "cumhazard_user_lifetimes",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), grouped AS (
+        SELECT t, count(*) AS n_total, sum(e) AS n_event FROM surv GROUP BY t
+    ), curve AS (
+        SELECT t,
+               CAST(sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+               n_event
+        FROM grouped
+    )
+    SELECT t, n_risk, CAST(n_event AS BIGINT) AS n_event,
+           round(CAST(sum(CAST(CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) AS DECIMAL(38,18)))
+                 OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cum_hazard
+    FROM curve
+    """,
+)
+def cumhazard_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user lifetimes
+    (metrics/km.py:na_curve) — the hazard-scale companion to the KM
+    estimator (same one-hash-aggregate-to-distinct-times scale shape;
+    DECIMAL-exact running sum for engine parity)."""
+    from elastic_surv_spark.metrics.km import na_curve
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    return na_curve(surv, "t", "e")
+
+
+@query(
+    "rmst_user_lifetimes",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), grouped AS (
+        SELECT t, count(*) AS n_total, sum(e) AS n_event FROM surv GROUP BY t
+    ), curve AS (
+        SELECT t,
+               CAST(sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+               n_event
+        FROM grouped
+    ), km AS (
+        SELECT t,
+               round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(n_event AS DOUBLE) / n_risk)))
+                     OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        FROM curve
+    ), seg AS (
+        SELECT t,
+               CAST(lag(survival, 1, 1.0) OVER (ORDER BY t)
+                    * CAST(t - lag(t, 1, 0) OVER (ORDER BY t) AS DOUBLE)
+                    AS DECIMAL(38,18)) AS seg
+        FROM km
+    )
+    SELECT CAST(max(t) AS DOUBLE) AS tau,
+           round(CAST(coalesce(sum(seg), 0) AS DOUBLE), 6) AS rmst_value
+    FROM seg
+    """,
+)
+def rmst_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time of user lifetimes (metrics/km.py:rmst):
+    the step integral of the (rounded) KM curve to the largest observed
+    time — the single-number summary clinicians and product analysts both
+    quote; DECIMAL-exact segment sum for engine parity."""
+    from elastic_surv_spark.metrics.km import rmst
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    return rmst(surv, "t", "e")
+
+
 def _user_lifetimes(spark: SparkSession, sf_dir: str, as_seconds: bool = False) -> DataFrame:
     """Survival framing of events: T = observed lifetime, E = ever purchased."""
     e = _t(spark, sf_dir, "events")

@@ -342,3 +342,35 @@ def test_logrank_empty_and_degenerate(spark):
     df = spark.createDataFrame(pdf, schema="t double, e int, g int")
     row = logrank_test(df, "t", "e", "g").collect()[0]
     assert abs(row["chi2"]) < 1e-9
+
+
+def test_nelson_aalen_and_rmst_match_python_reference(spark):
+    import random
+
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.km import na_curve, rmst
+
+    rng = random.Random(41)
+    rows = [(float(rng.randrange(1, 30)), int(rng.random() < 0.6)) for _ in range(100)]
+    pdf = pd.DataFrame(rows, columns=["t", "e"])
+    df = spark.createDataFrame(pdf, schema="t double, e int")
+
+    na = {r["t"]: (r["n_risk"], r["cum_hazard"]) for r in na_curve(df, "t", "e").collect()}
+    times = sorted({t for t, _ in rows})
+    h = 0.0
+    surv = 1.0
+    prev_t, integral = 0.0, 0.0
+    for u in times:
+        n = sum(1 for t, _ in rows if t >= u)
+        d = sum(1 for t, e in rows if t == u and e)
+        h += d / n
+        nr, ch = na[u]
+        assert nr == n
+        assert abs(ch - h) < 1e-6, u
+        integral += round(surv, 6) * (u - prev_t)  # S is left-continuous step
+        surv *= 1 - d / n
+        prev_t = u
+    got = rmst(df, "t", "e").collect()[0]
+    assert got["tau"] == times[-1]
+    assert abs(got["rmst_value"] - integral) < 1e-4
