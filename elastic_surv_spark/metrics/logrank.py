@@ -34,6 +34,7 @@ def logrank_test(
     time_col: str,
     event_col: str,
     group_col: str,
+    strata_cols: list[str] | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """One-row (n_times, o1, e1, v, chi2) log-rank comparison.
@@ -42,10 +43,18 @@ def logrank_test(
     observed-vs-expected difference is reported; the statistic is
     symmetric). ``chi2`` is NULL when the variance is 0 (no comparable
     event times — e.g. a single subject at risk at every event).
+
+    ``strata_cols`` gives the STRATIFIED log-rank: the at-risk sets and
+    per-time terms are computed within each stratum and the O−E and V
+    sums pool across strata — the standard adjustment when a confounder
+    (site, language, source) shifts baseline hazards. Scale: the curve
+    table grows to O(Σ per-stratum distinct times) and the windows
+    partition on the strata, so stratification only ADDS parallelism.
     """
+    strata = list(strata_cols or [])
     g1 = F.when(F.col(group_col) == 1, 1).otherwise(0)
     grouped = (
-        df.groupBy(F.col(time_col).alias("t"))
+        df.groupBy(*strata, F.col(time_col).alias("t"))
         .agg(
             F.count("*").cast("long").alias("_m"),
             F.sum(F.col(event_col).cast("long")).alias("_d"),
@@ -54,11 +63,12 @@ def logrank_test(
         )
         # constant-valued partition COLUMN (see km.py): keeps the window
         # partitioned-by-constant instead of degrading to the warned
-        # unpartitioned form; the frame is the tiny aggregated curve.
+        # unpartitioned form; the frame is the tiny aggregated curve (or
+        # one stratum's slice of it).
         .withColumn("_p", F.pmod(F.col("_m"), F.lit(1)))
     )
     w_rev = (
-        Window.partitionBy("_p")
+        Window.partitionBy("_p", *strata)
         .orderBy(F.desc("t"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )

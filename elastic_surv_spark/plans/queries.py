@@ -695,6 +695,68 @@ def logrank_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "logrank_stratified_cohorts",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g,
+               min(event_type) AS s
+        FROM events GROUP BY user_id
+    ), grouped AS (
+        SELECT s, t, count(*) AS m, sum(e) AS d, sum(g) AS m1, sum(e * g) AS d1
+        FROM surv GROUP BY s, t
+    ), risk AS (
+        SELECT d, d1,
+               sum(m)  OVER (PARTITION BY s ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+               sum(m1) OVER (PARTITION BY s ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+        FROM grouped
+    ), per AS (
+        SELECT d1,
+               CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+               CASE WHEN n > 1 THEN
+                   CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+               ELSE 0.0 END AS v
+        FROM risk WHERE d > 0
+    ), sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_times,
+               CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+               round(CAST(coalesce(sum(CAST(e1 AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS e1,
+               round(CAST(coalesce(sum(CAST(v AS DECIMAL(38,18))), 0) AS DOUBLE), 6) AS v
+        FROM per
+    )
+    SELECT n_times, o1, e1, v,
+           CASE WHEN v > 0 THEN round(pow(CAST(o1 AS DOUBLE) - e1, 2) / v, 6) END AS chi2
+    FROM sums
+    """,
+)
+def logrank_stratified_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified log-rank: the even/odd-user_id comparison of
+    logrank_user_cohorts, with at-risk sets computed WITHIN each user's
+    alphabetically-first event type (the baseline-hazard confounder
+    adjustment) and O−E / V pooled across strata. Windows partition on
+    the stratum, so stratification adds parallelism rather than cost."""
+    from elastic_surv_spark.metrics.logrank import logrank_test
+
+    e = _t(spark, sf_dir, "events")
+    surv = (
+        e.groupBy("user_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("e"),
+            F.min("event_type").alias("s"),
+        )
+        .withColumn("g", F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+    )
+    return logrank_test(surv, "t", "e", "g", strata_cols=["s"])
+
+
+@query(
     "cumhazard_user_lifetimes",
     """
     WITH surv AS (

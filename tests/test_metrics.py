@@ -374,3 +374,42 @@ def test_nelson_aalen_and_rmst_match_python_reference(spark):
     got = rmst(df, "t", "e").collect()[0]
     assert got["tau"] == times[-1]
     assert abs(got["rmst_value"] - integral) < 1e-4
+
+
+def test_stratified_logrank_matches_python_reference(spark):
+    import random
+
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.logrank import logrank_test
+
+    rng = random.Random(53)
+    rows = [
+        (float(rng.randrange(1, 25)), int(rng.random() < 0.65), i % 2,
+         rng.choice(["a", "b", "c"]))
+        for i in range(150)
+    ]
+    pdf = pd.DataFrame(rows, columns=["t", "e", "g", "s"])
+    df = spark.createDataFrame(pdf, schema="t double, e int, g int, s string")
+    got = logrank_test(df, "t", "e", "g", strata_cols=["s"]).collect()[0]
+
+    o1 = e1 = v = 0.0
+    n_times = 0
+    for stratum in {"a", "b", "c"}:
+        sub = [(t, e, g) for t, e, g, s in rows if s == stratum]
+        for u in sorted({t for t, e, _ in sub if e}):
+            at = [(tt, ee, gg) for tt, ee, gg in sub if tt >= u]
+            n = len(at)
+            n1 = sum(1 for _, _, gg in at if gg == 1)
+            d = sum(1 for tt, ee, _ in at if tt == u and ee)
+            d1 = sum(1 for tt, ee, gg in at if tt == u and ee and gg == 1)
+            n_times += 1
+            o1 += d1
+            e1 += d * n1 / n
+            if n > 1:
+                v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    assert got["n_times"] == n_times
+    assert got["o1"] == int(o1)
+    assert abs(got["e1"] - e1) < 1e-6
+    assert abs(got["v"] - v) < 1e-6
+    assert abs(got["chi2"] - (o1 - e1) ** 2 / v) < 1e-4
