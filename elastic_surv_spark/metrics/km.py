@@ -204,3 +204,57 @@ def rmst(
             F.coalesce(F.sum("_seg"), F.lit(0)).cast("double"), round_to
         ).alias("rmst_value"),
     )
+
+
+def km_ci_curve(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    z: float = 1.96,
+    round_to: int = 6,
+    max_curve_points: int | None = None,
+) -> DataFrame:
+    """KM curve with Greenwood variance and linear confidence bands.
+
+    Greenwood's formula: Var[S(t)] = S(t)² · Σ_{t_i ≤ t} d_i/(n_i(n_i−d_i));
+    bands are the plain linear S ± z·se clamped to [0, 1] (documented
+    choice — log-log bands need transcendental parity both engines would
+    have to round identically at every step). Terms with n_i == d_i (the
+    curve has hit 0) contribute 0 — S is 0 there and stays 0.
+
+    Same scale/parity posture as the other curves: one hash-aggregate to
+    distinct times, windows over the tiny curve table, the Greenwood
+    increments DECIMAL(38,18)-summed, and variance/bands derived from the
+    ROUNDED survival so the SQL oracle is bit-identical.
+    """
+    if max_curve_points is not None:
+        df = quantize_times(df, time_col, max_curve_points)
+    curve = km_curve(df, time_col, event_col, round_to=round_to)
+    curve = curve.withColumn("_p", F.pmod(F.col("n_risk"), F.lit(1)))
+    w_fwd = (
+        Window.partitionBy("_p")
+        .orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = F.when(
+        F.col("n_risk") > F.col("n_event"),
+        F.col("n_event").cast("double")
+        / (F.col("n_risk") * (F.col("n_risk") - F.col("n_event"))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    with_var = curve.withColumn(
+        "_gsum",
+        F.sum(g.cast("decimal(38,18)")).over(w_fwd).cast("double"),
+    ).withColumn(
+        "greenwood_var",
+        F.round(F.col("survival") * F.col("survival") * F.col("_gsum"), round_to),
+    )
+    se = F.sqrt(F.col("greenwood_var"))
+    return with_var.select(
+        "t",
+        "n_risk",
+        "n_event",
+        "survival",
+        "greenwood_var",
+        F.round(F.greatest(F.col("survival") - F.lit(z) * se, F.lit(0.0)), round_to).alias("ci_lo"),
+        F.round(F.least(F.col("survival") + F.lit(z) * se, F.lit(1.0)), round_to).alias("ci_hi"),
+    )

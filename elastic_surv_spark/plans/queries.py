@@ -794,6 +794,56 @@ def cumhazard_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "km_ci_user_lifetimes",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), grouped AS (
+        SELECT t, count(*) AS n_total, sum(e) AS n_event FROM surv GROUP BY t
+    ), curve AS (
+        SELECT t,
+               CAST(sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+               CAST(n_event AS BIGINT) AS n_event
+        FROM grouped
+    ), km AS (
+        SELECT t, n_risk, n_event,
+               round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(n_event AS DOUBLE) / n_risk)))
+                     OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+        FROM curve
+    ), gw AS (
+        SELECT t, n_risk, n_event, survival,
+               CAST(sum(CAST(CASE WHEN n_risk > n_event
+                     THEN CAST(n_event AS DOUBLE) / CAST(n_risk * (n_risk - n_event) AS DOUBLE)
+                     ELSE 0.0 END AS DECIMAL(38,18)))
+                   OVER (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS gsum
+        FROM km
+    )
+    SELECT t, n_risk, n_event, survival,
+           round(survival * survival * gsum, 6) AS greenwood_var,
+           round(greatest(survival - 1.96 * sqrt(round(survival * survival * gsum, 6)), 0.0), 6) AS ci_lo,
+           round(least(survival + 1.96 * sqrt(round(survival * survival * gsum, 6)), 1.0), 6) AS ci_hi
+    FROM gw
+    """,
+)
+def km_ci_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM curve with Greenwood variance and linear 95% confidence bands
+    (metrics/km.py:km_ci_curve) — the error bars every KM plot ships with;
+    same distinct-times curve shape, DECIMAL-exact Greenwood running sum,
+    bands derived from the rounded survival for engine parity."""
+    from elastic_surv_spark.metrics.km import km_ci_curve
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    return km_ci_curve(surv, "t", "e")
+
+
+@query(
     "rmst_user_lifetimes",
     """
     WITH surv AS (

@@ -413,3 +413,35 @@ def test_stratified_logrank_matches_python_reference(spark):
     assert abs(got["e1"] - e1) < 1e-6
     assert abs(got["v"] - v) < 1e-6
     assert abs(got["chi2"] - (o1 - e1) ** 2 / v) < 1e-4
+
+
+def test_km_ci_greenwood_matches_python_reference(spark):
+    import random
+
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.km import km_ci_curve
+
+    rng = random.Random(67)
+    rows = [(float(rng.randrange(1, 20)), int(rng.random() < 0.7)) for _ in range(80)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["t", "e"]), schema="t double, e int"
+    )
+    got = {r["t"]: r for r in km_ci_curve(df, "t", "e").collect()}
+
+    s, gsum = 1.0, 0.0
+    for u in sorted({t for t, _ in rows}):
+        n = sum(1 for t, _ in rows if t >= u)
+        d = sum(1 for t, e in rows if t == u and e)
+        s *= 1 - d / n
+        if n > d:
+            gsum += d / (n * (n - d))
+        var = round(s, 6) ** 2 * gsum
+        r = got[u]
+        assert r["n_risk"] == n and r["n_event"] == d
+        assert abs(r["survival"] - s) < 1e-6
+        assert abs(r["greenwood_var"] - var) < 1e-6
+        se = round(var, 6) ** 0.5
+        assert abs(r["ci_lo"] - max(round(s, 6) - 1.96 * se, 0.0)) < 1e-6
+        assert abs(r["ci_hi"] - min(round(s, 6) + 1.96 * se, 1.0)) < 1e-6
+        assert 0.0 <= r["ci_lo"] <= r["survival"] <= r["ci_hi"] <= 1.0
