@@ -2377,6 +2377,130 @@ def min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_profit_by_nation_year",
+    """
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem l, orders o, part p, supplier s, nation n
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_partkey = p.p_partkey
+      AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+      AND p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 pattern: product-line profit by supplier nation and year.
+
+    Five-way star join where the selective part filter (LIKE on p_name)
+    prunes the fact side FIRST via a broadcast semi-shaped join — Catalyst
+    pushes the LIKE to the part scan and AQE keeps the dims broadcast, so
+    the only fact shuffle is the final (nation, year) aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "profit"
+            )
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 pattern: how many customers placed k (non-urgent) orders,
+    INCLUDING the zero-order customers — the filter must live in the join
+    condition, not a WHERE (which would turn the outer join inner and drop
+    the zeros). Left outer join + two stacked aggregations; both shuffles
+    key on high-cardinality columns (custkey, then the tiny count domain
+    after the first collapse)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l, part p
+    WHERE l.l_partkey = p.p_partkey
+      AND ((p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+        OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+        OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50))
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern: revenue under an OR-of-ANDs predicate spanning
+    both join sides. The part-only conjuncts (brand, size) can't be pushed
+    below the join as a whole, but Catalyst derives the common-filter
+    envelope; the join stays a broadcast hash join with the residual
+    disjunction evaluated post-join — never a nested-loop."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
     "nation_trade_volume",
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

@@ -189,3 +189,19 @@ def test_wide_simhash_certification_is_one_pass(spark):
     assert plan.count("HashAggregate(keys=[]") == 2, plan.count(
         "HashAggregate(keys=[]"
     )
+
+
+def test_new_tpch_patterns_broadcast_and_no_cartesian(spark):
+    for name in ("part_profit_by_nation_year", "disjunctive_part_revenue"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q13_left_outer_preserved(spark):
+    # the priority filter must ride the join condition; a WHERE would make
+    # the optimizer rewrite the outer join inner and drop zero-order
+    # customers from the histogram
+    plan = _plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
