@@ -3466,6 +3466,49 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_lm_perplexity",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), bi AS (
+        SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+        FROM toks WHERE len(w) >= 2
+    ), uni AS (
+        SELECT unnest(w) AS t FROM toks
+    ), bc AS (
+        SELECT g, count(*) AS c2 FROM bi GROUP BY g
+    ), uc AS (
+        SELECT t, count(*) AS c1 FROM uni GROUP BY t
+    ), v AS (
+        SELECT count(DISTINCT t) AS v FROM uni
+    ), scored AS (
+        SELECT b.doc_id,
+               ln((CAST(bc.c2 AS DOUBLE) + 1.0) / (CAST(uc.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) AS lp
+        FROM bi b, bc, uc, v
+        WHERE b.g = bc.g AND split_part(b.g, ' ', 1) = uc.t
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS avg_logp
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logp, round(exp(-avg_logp), 6) AS ppl
+    FROM agg
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring (operators/lm.py): every doc's
+    mean add-one-smoothed bigram log-probability and perplexity under a
+    bigram LM trained on the corpus itself — the standard perplexity
+    filter, expressed as count-table aggregates + a gram join so the whole
+    stage is declarative, linear in corpus tokens, and SQL-certifiable
+    (KenLM the binary could never be)."""
+    from elastic_surv_spark.operators.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "doc_id", "text")
+
+
+@query(
     "events_segment_stream_enrich",
     """
     SELECT c.c_mktsegment AS segment,

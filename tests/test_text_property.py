@@ -169,3 +169,54 @@ def test_postings_verification_matches_array_fold_on_random_corpora(spark):
         if j >= 0.3:
             want[(a, b)] = j
     assert got == want and len(want) > 0
+
+
+def test_bigram_lm_scores_match_python_reference(spark):
+    import math
+
+    from elastic_surv_spark.operators.lm import bigram_lm_scores
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the cat food",
+        "dogs bark",
+        "solo",                      # 1 token -> no bigrams, drops out
+        "the mat sat",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for t in texts:
+        w = t.split()
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    V = len(uni)
+    for i, t in enumerate(texts):
+        w = t.split()
+        grams = list(zip(w, w[1:]))
+        if not grams:
+            assert i not in got
+            continue
+        lps = [
+            math.log((bi[g] + 1.0) / (uni[g[0]] + float(V))) for g in grams
+        ]
+        avg = round(sum(lps) / len(lps), 6)
+        r = got[i]
+        assert r["n_bigrams"] == len(grams)
+        assert abs(r["avg_logp"] - avg) < 1e-9
+        assert abs(r["ppl"] - round(math.exp(-avg), 6)) < 1e-9
+
+    # cross-corpus: unseen grams smooth to zero counts, not silent drops
+    test_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": ["zebra quark zebra"]}),
+        schema="doc_id long, text string",
+    )
+    r = bigram_lm_scores(test_df, train=df).collect()[0]
+    assert r["n_bigrams"] == 2
+    want = round(math.log(1.0 / V), 6)  # (0+1)/(0+V) for both grams
+    assert abs(r["avg_logp"] - want) < 1e-9
