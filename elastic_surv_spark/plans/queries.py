@@ -3466,6 +3466,64 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_token_kl",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ), st AS (
+        SELECT source, t, count(*) AS c_st FROM toks GROUP BY source, t
+    ), s_tot AS (
+        SELECT source, count(*) AS n_s FROM toks GROUP BY source
+    ), g AS (
+        SELECT t, count(*) AS c_t FROM toks GROUP BY t
+    ), g_tot AS (
+        SELECT count(*) AS n FROM toks
+    ), terms AS (
+        SELECT st.source,
+               (CAST(st.c_st AS DOUBLE) / CAST(s_tot.n_s AS DOUBLE))
+               * ln((CAST(st.c_st AS DOUBLE) / CAST(s_tot.n_s AS DOUBLE))
+                    / (CAST(g.c_t AS DOUBLE) / CAST(g_tot.n AS DOUBLE))) AS term,
+               s_tot.n_s AS n_s
+        FROM st, s_tot, g, g_tot
+        WHERE st.source = s_tot.source AND st.t = g.t
+    )
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl
+    FROM terms GROUP BY source
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source ‖ P_corpus) over
+    unigram distributions — the data-mixing diagnostic that flags a source
+    as out-of-distribution before it skews the mixture (companion to
+    doc_mixture_weights). Two map-side-combinable count aggregates, a gram
+    join (source side broadcast-sized after collapse), DECIMAL-exact term
+    sum; the per-source support ⊆ global support so every term is finite."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
+    )
+    st = toks.groupBy("source", "_t").agg(F.count("*").alias("_c_st"))
+    s_tot = toks.groupBy("source").agg(F.count("*").alias("_n_s"))
+    g = toks.groupBy("_t").agg(F.count("*").alias("_c_t"))
+    g_tot = toks.agg(F.count("*").alias("_n"))
+    ps = F.col("_c_st").cast("double") / F.col("_n_s").cast("double")
+    pg = F.col("_c_t").cast("double") / F.col("_n").cast("double")
+    terms = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(g, "_t")
+        .crossJoin(F.broadcast(g_tot))
+        .select("source", (ps * F.log(ps / pg)).alias("_term"), F.col("_n_s"))
+    )
+    return terms.groupBy("source").agg(
+        F.max("_n_s").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("_term").cast("decimal(38,18)")).cast("double"), 6
+        ).alias("kl"),
+    )
+
+
+@query(
     "doc_lm_perplexity",
     """
     WITH toks AS (

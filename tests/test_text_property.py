@@ -220,3 +220,38 @@ def test_bigram_lm_scores_match_python_reference(spark):
     assert r["n_bigrams"] == 2
     want = round(math.log(1.0 / V), 6)  # (0+1)/(0+V) for both grams
     assert abs(r["avg_logp"] - want) < 1e-9
+
+
+def test_source_token_kl_reference_and_gibbs_inequality(spark):
+    import math
+
+    from elastic_surv_spark.plans.queries import REGISTRY
+
+    # reference on the real table at the smallest SF
+    got = {
+        r["source"]: r
+        for r in REGISTRY["source_token_kl"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT source, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    per_src: dict[str, Counter] = {}
+    glob: Counter = Counter()
+    for src, text in rows:
+        toks = text.strip().split()
+        per_src.setdefault(src, Counter()).update(toks)
+        glob.update(toks)
+    n = sum(glob.values())
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        kl = sum(
+            (c / n_s) * math.log((c / n_s) / (glob[t] / n)) for t, c in cnt.items()
+        )
+        r = got[src]
+        assert r["n_tokens"] == n_s
+        assert abs(r["kl"] - kl) < 1e-6, src
+        assert r["kl"] >= -1e-9  # Gibbs: KL(P_s || P) >= 0
