@@ -3656,6 +3656,378 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# Remaining TPC-H query shapes (SURVEY §2.3/§2.4), adapted to the reduced
+# schema (no partsupp/shipmode/commitdate columns in the testdata).
+# --------------------------------------------------------------------------- #
+@query(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_2'
+                                    THEN volume ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation cn, nation sn, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = cn.n_nationkey AND cn.n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND s_nationkey = sn.n_nationkey
+          AND p_type = 'ECONOMY'
+    ) AS all_nations
+    GROUP BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape national market share: one nation's fraction of the
+    revenue sold into a region for one part type, per order year.
+
+    Scale: part/supplier/customer/nation/region are all dims → broadcast;
+    lineitem⋈orders is the only shuffle, then a tiny per-year aggregate with
+    a conditional numerator (map-side combined). The share division happens
+    on |years| rows.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_nationkey"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    ).cast("double")
+    den = F.sum(F.col("volume").cast("decimal(18,6)")).cast("double")
+    return joined.groupBy("o_year").agg(F.round(num / den, 6).alias("mkt_share"))
+
+
+@query(
+    "returned_item_top_customers",
+    """
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           round(c_acctbal, 2) AS acctbal,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape returned-item reporting: customers who returned the
+    most revenue in a quarter, with their nation.
+
+    Scale: the returnflag + quarter predicates push into both fact scans;
+    lineitem⋈orders shuffles once, customer+nation broadcast onto the
+    grouped result. Top-20 is a TakeOrdered with a key tiebreak.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "important_part_revenue_share",
+    """
+    SELECT l_partkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 2
+           * (SELECT count(DISTINCT l_partkey) FROM lineitem)
+           > (SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 3
+              FROM lineitem)
+    """,
+)
+def important_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape important stock: parts whose lineitem revenue exceeds
+    1.5× the average per-part revenue (scalar-subquery HAVING; scale-relative
+    so the predicate stays selective-but-nonempty at every SF). The testdata
+    has no partsupp, so revenue stands in for stock value.
+
+    Scale: one grouped aggregate over lineitem; the global total and part
+    count come from a window over the POST-aggregate per-part table
+    (|parts| rows — no second corpus scan, no driver collect). The 1.5×
+    compare is written as 2·val·n > 3·total on exact decimals (no division),
+    keeping the HAVING boundary bit-identical to the oracle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias(
+            "_val"
+        )
+    )
+    w = Window.partitionBy()
+    with_total = per_part.withColumn("_total", F.sum("_val").over(w)).withColumn(
+        "_nparts", F.count("*").over(w)
+    )
+    return (
+        with_total.filter(F.col("_val") * 2 * F.col("_nparts") > F.col("_total") * 3)
+        .select("l_partkey", F.round("_val", 2).cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "late_shipment_priority_counts",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape conditional priority counts for late shipments
+    (shipped ≥60 days after ordering; l_linestatus stands in for the absent
+    shipmode column).
+
+    Scale: predicates push to the scans, one lineitem⋈orders shuffle, then a
+    2-group conditional aggregate (map-side combined CASE sums).
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_percent",
+    """
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                            THEN l_extendedprice * (1 - l_discount)
+                                            ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+                 6) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape promotion effect: percent of one month's revenue from
+    PROMO-type parts.
+
+    Scale: part broadcasts onto the month-pruned lineitem scan; a single
+    global conditional aggregate (no shuffle beyond the 1-row combine).
+    """
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", volume).otherwise(F.lit(0.0)).cast("decimal(18,6)")
+    ).cast("double")
+    total = F.sum(volume.cast("decimal(18,6)")).cast("double")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue"))
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape top supplier: supplier(s) whose quarterly revenue
+    equals the maximum (equals-max scalar subquery; ties all returned).
+
+    Scale: per-supplier aggregate (|suppliers| rows) + a window max over the
+    post-aggregate table — no second lineitem scan; supplier dim broadcasts
+    on at the end. Equality is tested on exact decimal sums, so ties are
+    engine-independent.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).alias(
+            "_rev"
+        )
+    )
+    best = revenue.withColumn("_max", F.max("_rev").over(Window.partitionBy())).filter(
+        F.col("_rev") == F.col("_max")
+    )
+    return (
+        best.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("_rev", 2).cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "brand_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 7, 14, 23, 36, 45, 49, 3)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape supplier diversity: distinct suppliers per
+    (brand, type, size), excluding an anti-joined supplier blocklist
+    (negative account balance stands in for the absent complaints column).
+
+    Scale: part (size/type pruned) broadcasts; the blocklist is a broadcast
+    NOT-IN anti-join; count distinct shuffles on the 3-key group with
+    partial distinct aggregation.
+    """
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 3)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    """
+    SELECT s_suppkey, s_name, n_name, n_parts_led
+    FROM supplier, nation,
+         (SELECT l_suppkey, count(*) AS n_parts_led FROM (
+              SELECT l_partkey,
+                     l_suppkey,
+                     row_number() OVER (
+                         PARTITION BY l_partkey
+                         ORDER BY sum(CAST(l_quantity AS DECIMAL(18,6))) DESC, l_suppkey
+                     ) AS rn
+              FROM lineitem
+              GROUP BY l_partkey, l_suppkey
+          ) WHERE rn = 1
+          GROUP BY l_suppkey
+          HAVING count(*) > 22) AS leaders
+    WHERE s_nationkey = n_nationkey AND s_suppkey = l_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape nested semi-join chain: suppliers that are the single
+    largest shipper (by quantity) for more than 22 distinct parts (the
+    testdata has no partsupp availqty, so lead-shipper-count stands in; the
+    parts/suppliers ratio is scale-constant ≈20, so the predicate stays
+    selective-but-nonempty at every SF).
+
+    Scale: one (partkey, suppkey) aggregate, a row_number window partitioned
+    on the high-cardinality partkey, a per-supplier count (|suppliers|
+    rows), then a broadcast join into the supplier dim. The argmax orders on
+    exact decimal sums with a suppkey tiebreak — no float-order drift.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    l = _t(spark, sf_dir, "lineitem")
+    per_ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_supp_qty")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.desc("_supp_qty"), F.asc("l_suppkey"))
+    leaders = (
+        per_ps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts_led"))
+        .filter(F.col("n_parts_led") > 22)
+    )
+    return (
+        s.join(F.broadcast(leaders), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "n_parts_led")
+        .orderBy("s_suppkey")
+    )
+
+
 def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     """(ever_green, latest_green, last_green_round) per query from the
     driver's past CORRECTNESS_r*.json files at the repo root.
