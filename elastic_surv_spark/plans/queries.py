@@ -4028,6 +4028,220 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# LLM-data-pipeline batch 5: heavy hitters, BM25, cross-doc duplicate spans,
+# cohort retention.
+# --------------------------------------------------------------------------- #
+@query(
+    "term_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), n AS (SELECT count(*) AS n FROM toks)
+    SELECT term, count(*) AS cnt,
+           round(count(*)::DOUBLE / any_value(n.n), 6) AS share
+    FROM toks CROSS JOIN n
+    GROUP BY term
+    HAVING count(*) * 1000 > 31 * any_value(n.n)
+    """,
+)
+def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitter terms (φ = 3.1%) over the exploded corpus vocabulary,
+    via the two-pass Misra-Gries + exact-recount operator.
+
+    Scale: pass 1 is a bounded-memory per-partition sketch (≤1024 counters
+    per executor no matter the vocabulary size) merged on 8-byte-bounded
+    term keys; pass 2 recounts only the ≈1/φ candidates behind a broadcast
+    semi-join. The threshold is the integer cross-multiply cnt·1000 > 31·n —
+    no float boundary. Output is EXACT (the sketch only prunes), which is
+    why the plain GROUP-BY/HAVING SQL is its oracle.
+    """
+    from elastic_surv_spark.operators.heavy_hitters import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    return heavy_hitters(terms, "term", num=31, den=1000, capacity=1024)
+
+
+@query(
+    "doc_bm25_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), g AS (
+        SELECT count(*) AS n_docs,
+               (SELECT count(*) FROM toks)::DOUBLE / count(*) AS avgdl
+        FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(ln(1.0 + (g.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                     / (tf.tf + CAST(1.2 AS DOUBLE)
+                        * (1.0 - CAST(0.75 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * dl.dl / g.avgdl)),
+                     6) AS bm25
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (term)
+        CROSS JOIN g
+    )
+    SELECT doc_id, term, bm25, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rnk
+        FROM scored
+    ) r WHERE rnk <= 3
+    """,
+)
+def doc_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-3 characteristic terms per document —
+    the retrieval-grade sibling of doc_tfidf_top_terms.
+
+    Scale: same linear shuffles as TF-IDF — one (doc,term) hash-agg, one
+    per-term df agg joined back on the term key, doc length via a (doc)
+    agg, global N/avgdl as a broadcast 1-row cross join; windowed top-3
+    partitions on the high-cardinality doc_id. Ranking orders on the
+    ROUNDED score with a term tiebreak so both engines rank identically;
+    the score's float ops are written in the same order as the oracle's.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    g = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(F.split("text", " "))).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", "term", F.round(idf * tfn, 6).alias("bm25"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= 3
+    )
+
+
+@query(
+    "doc_crossdoc_dup_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), occ AS (
+        SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+                               for i in range(1, len(w) - 3)]) AS gram
+        FROM toks WHERE len(w) >= 5
+    ), docs_per_gram AS (
+        SELECT gram, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gram
+    )
+    SELECT occ.doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS dup_spans,
+           round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+    FROM occ JOIN docs_per_gram USING (gram)
+    GROUP BY occ.doc_id
+    """,
+)
+def doc_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span fraction (RefinedWeb/Gopher-style): per
+    doc, the fraction of its 5-gram positions whose gram also occurs in at
+    least one OTHER document — the signal behind span-level dedup and
+    memorization screens.
+
+    Scale: grams explode once with positions kept (occurrence counts, not
+    sets); the per-gram distinct-doc aggregate and the join back both
+    shuffle on xxhash64(gram) — 8-byte keys instead of ~40-byte strings
+    (collisions ~n²/2⁶⁴, immaterial). Per-doc re-aggregation partitions on
+    the high-cardinality doc_id. Linear in corpus token count throughout.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+                )
+            ).alias("gram"),
+        )
+        .select("doc_id", F.xxhash64("gram").alias("gkey"))
+    )
+    docs_per_gram = grams.groupBy("gkey").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        grams.join(docs_per_gram, "gkey")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("dup_spans"),
+            F.round(dup.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH ud AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), firsts AS (
+        SELECT user_id, CAST(floor(min(d) / 7.0) AS BIGINT) AS cohort_week
+        FROM ud GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(floor(d / 7.0) AS BIGINT) - cohort_week AS week_offset,
+           count(DISTINCT ud.user_id) AS n_users
+    FROM ud JOIN firsts USING (user_id)
+    WHERE CAST(floor(d / 7.0) AS BIGINT) - cohort_week <= 4
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-activity
+    week, distinct-user counts at week offsets 0–4 — the standard product-
+    analytics rollup.
+
+    Scale: one per-user min aggregate (shuffles on the high-cardinality
+    user_id), rejoined on the same key (co-partitioned — AQE reuses the
+    exchange), then a small (cohort, offset) distinct-count. Weeks are
+    epoch-day integer floors, identical arithmetic in both engines — no
+    calendar/locale week semantics to drift.
+    """
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+    )
+    firsts = ud.groupBy("user_id").agg(
+        F.floor(F.min("d") / 7.0).cast("long").alias("cohort_week")
+    )
+    joined = ud.join(firsts, "user_id").withColumn(
+        "week_offset", F.floor(F.col("d") / 7.0).cast("long") - F.col("cohort_week")
+    )
+    return (
+        joined.filter(F.col("week_offset") <= 4)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     """(ever_green, latest_green, last_green_round) per query from the
     driver's past CORRECTNESS_r*.json files at the repo root.
