@@ -4242,6 +4242,200 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# Distributed statistics: hypothesis tests, correlation, grouped regression —
+# single-pass moment sums (exact decimals) + closed-form driver-free algebra.
+# --------------------------------------------------------------------------- #
+@query(
+    "event_value_ttest",
+    """
+    SELECT n1, n2,
+           round(m1, 6) AS mean_purchase,
+           round(m2, 6) AS mean_view,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat
+    FROM (
+        SELECT n1, n2, m1, m2,
+               (sq1 - m1 * m1 * n1) / (n1 - 1) AS v1,
+               (sq2 - m2 * m2 * n2) / (n2 - 1) AS v2
+        FROM (
+            SELECT count(*) FILTER (WHERE event_type = 'purchase') AS n1,
+                   count(*) FILTER (WHERE event_type = 'view') AS n2,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                       / count(*) FILTER (WHERE event_type = 'purchase') AS m1,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS DOUBLE)
+                       / count(*) FILTER (WHERE event_type = 'view') AS m2,
+                   CAST(sum(CAST(value * value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS sq1,
+                   CAST(sum(CAST(value * value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS sq2
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+        )
+    )
+    """,
+)
+def event_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (purchase vs view event values) from a
+    single conditional-aggregation pass.
+
+    Scale: one map-side-combined scan collecting (n, Σx, Σx²) per group as
+    exact decimals — no shuffle beyond the 1-row combine, no driver math.
+    The float algebra (means, variances, t) runs on the combined row in the
+    same operation order as the oracle, so the doubles match bitwise.
+    """
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin("purchase", "view"))
+    is_p = F.col("event_type") == "purchase"
+    is_v = F.col("event_type") == "view"
+
+    def _m(cond, expr, dec):
+        return F.sum(F.when(cond, expr).cast(dec))
+
+    base = e.agg(
+        F.count(F.when(is_p, 1)).alias("n1"),
+        F.count(F.when(is_v, 1)).alias("n2"),
+        _m(is_p, F.col("value"), "decimal(18,6)").alias("s1"),
+        _m(is_v, F.col("value"), "decimal(18,6)").alias("s2"),
+        _m(is_p, F.col("value") * F.col("value"), "decimal(28,6)").alias("sq1"),
+        _m(is_v, F.col("value") * F.col("value"), "decimal(28,6)").alias("sq2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    with_m = base.select(
+        "n1", "n2", m1.alias("m1"), m2.alias("m2"),
+        F.col("sq1").cast("double").alias("sq1"),
+        F.col("sq2").cast("double").alias("sq2"),
+    )
+    v1 = (F.col("sq1") - F.col("m1") * F.col("m1") * F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("sq2") - F.col("m2") * F.col("m2") * F.col("n2")) / (F.col("n2") - 1)
+    with_v = with_m.select("n1", "n2", "m1", "m2", v1.alias("v1"), v2.alias("v2"))
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return with_v.select(
+        "n1", "n2",
+        F.round("m1", 6).alias("mean_purchase"),
+        F.round("m2", 6).alias("mean_view"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+@query(
+    "price_quantity_corr",
+    """
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson_r
+    FROM (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    """,
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation between extended price and
+    quantity, from one pass of exact-decimal moment sums (the textbook
+    n·Σxy − Σx·Σy closed form — NOT the engine's own ``corr``, whose float
+    accumulation is summation-order-dependent and non-reproducible).
+
+    Scale: a single grouped aggregate with map-side partial moments; the
+    correlation algebra runs on |groups| rows.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(28,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return m.select("l_returnflag", "n", F.round(r, 6).alias("pearson_r"))
+
+
+@query(
+    "nation_revenue_trend",
+    """
+    WITH monthly AS (
+        SELECT n_name,
+               (EXTRACT(year FROM o_orderdate) - 1995) * 12
+                   + (EXTRACT(month FROM o_orderdate) - 1) AS x,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS y
+        FROM lineitem, orders, customer, nation
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, n_months,
+           round((n_months * sxy - sx * sy)
+                 / (n_months * sxx - sx * sx), 6) AS slope_per_month,
+           round((sy - (n_months * sxy - sx * sy)
+                       / (n_months * sxx - sx * sx) * sx) / n_months, 2) AS intercept
+    FROM (
+        SELECT n_name, count(*) AS n_months,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM monthly
+        GROUP BY n_name
+    )
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS revenue trend (slope per month + intercept) — the
+    grouped-regression "many models" pattern, fully closed-form.
+
+    Scale: level 1 is a (nation, month) revenue aggregate with exact decimal
+    sums (shuffles once on the grouping key); level 2 reduces each nation's
+    ~|months| points to OLS moment sums where x is an integer month index
+    and y stays decimal, so BOTH aggregation levels are order-independent.
+    The slope/intercept division happens on |nations| rows. No collect, no
+    per-group Python — adding 10⁶ groups changes nothing.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    monthly = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            ((F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 1)).alias("x"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).alias("y")
+        )
+    )
+    mom = monthly.groupBy("n_name").agg(
+        F.count("*").alias("n_months"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nm, sx, sy = F.col("n_months"), F.col("sx"), F.col("sy")
+    slope = (nm * F.col("sxy") - sx * sy) / (nm * F.col("sxx") - sx * sx)
+    return mom.select(
+        "n_name",
+        "n_months",
+        F.round(slope, 6).alias("slope_per_month"),
+        F.round((sy - slope * sx) / nm, 2).alias("intercept"),
+    )
+
+
 def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     """(ever_green, latest_green, last_green_round) per query from the
     driver's past CORRECTNESS_r*.json files at the repo root.
