@@ -4242,6 +4242,53 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_merge_pairs",
+    """
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), pairs AS (
+        SELECT unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, cnt, rnk FROM (
+        SELECT pair, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+        FROM pairs GROUP BY pair
+    ) WHERE rnk <= 10
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training merge round at corpus scale: the 10 most frequent
+    adjacent character pairs across all words (the pair a byte-pair-encoding
+    tokenizer would merge first), with deterministic pair tiebreaks.
+
+    Scale: pairs explode in one map pass; the pair-count aggregate is
+    map-side combined onto at most |alphabet|² ≈ thousands of keys, so the
+    final top-10 sorts a tiny table (the global window runs on the
+    post-aggregate pair vocabulary, not the corpus). Iterating this query
+    with a merge-table broadcast is exactly distributed BPE training.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.

@@ -168,6 +168,106 @@ def filters_to_es_query(*filters) -> dict:
     return {"query": _clause(And(*filters))}
 
 
+# --- aggregation → ES aggs body ---------------------------------------------
+# Server-side aggregation pushdown, the eland machinery behind the
+# reference's dataset statistics: ``len(df)`` → match-all value count
+# (reference src/elastic_surv/dataset.py:64-65,158), ``df[col].nunique()`` →
+# cardinality (dataset.py:83), duration ``min()/max()`` for the time grid →
+# min/max aggs (models/base.py:77), and one-hot category discovery →
+# terms buckets (dataset.py:85-96). Emitting the DSL (and parsing the
+# response shape) is pure and unit-testable without a cluster; a live
+# deployment feeds the body to ``es_client.search``.
+
+#: metric kind → ES aggregation name
+_METRIC_AGGS = {
+    "count": "value_count",
+    "nunique": "cardinality",
+    "mean": "avg",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+    "percentiles": "percentiles",
+}
+
+
+def metrics_to_es_aggs(metrics: dict[str, tuple[str, str]], **kind_opts) -> dict:
+    """``{alias: (kind, field)}`` → the ``aggs`` section.
+
+    kinds: count, nunique, mean, sum, min, max, percentiles. Extra options
+    for a kind go in ``kind_opts`` keyed by kind (e.g.
+    ``percentiles={"percents": [50, 95]}``,
+    ``nunique={"precision_threshold": 40000}``).
+    """
+    aggs: dict = {}
+    for alias, (kind, field) in metrics.items():
+        if kind not in _METRIC_AGGS:
+            raise ValueError(
+                f"unsupported metric kind {kind!r}; choose from {sorted(_METRIC_AGGS)}"
+            )
+        body = {"field": field}
+        body.update(kind_opts.get(kind, {}))
+        aggs[alias] = {_METRIC_AGGS[kind]: body}
+    return aggs
+
+
+def agg_request(
+    metrics: dict[str, tuple[str, str]],
+    group_by: list[str] | None = None,
+    query: dict | None = None,
+    after: dict | None = None,
+    page_size: int = 1000,
+    **kind_opts,
+) -> dict:
+    """Full ``_search`` body for a (grouped) aggregation, ``size: 0``.
+
+    Ungrouped → top-level metric aggs (one response row). Grouped → a
+    ``composite`` aggregation over the keys with the metrics as sub-aggs;
+    composite paginates deterministically via ``after`` (sorted key order),
+    which is the scan-safe way to pull an unbounded number of groups out of
+    ES — the terms agg's top-N would silently truncate.
+    """
+    body: dict = {"size": 0}
+    if query is not None:
+        body["query"] = query.get("query", query)
+    aggs = metrics_to_es_aggs(metrics, **kind_opts)
+    if not group_by:
+        body["aggs"] = aggs
+        return body
+    composite: dict = {
+        "size": page_size,
+        "sources": [{k: {"terms": {"field": k}}} for k in group_by],
+    }
+    if after is not None:
+        composite["after"] = after
+    body["aggs"] = {"groups": {"composite": composite, "aggs": aggs}}
+    return body
+
+
+def parse_agg_response(
+    resp: dict, metrics: dict[str, tuple[str, str]], group_by: list[str] | None = None
+) -> tuple[list[dict], dict | None]:
+    """ES response → (rows, after_key). ``after_key`` is None when the
+    composite pagination is exhausted (or for ungrouped requests)."""
+
+    def _value(agg: dict, kind: str):
+        if kind == "percentiles":
+            return agg["values"]
+        return agg["value"]
+
+    aggs = resp.get("aggregations", {})
+    if not group_by:
+        row = {a: _value(aggs[a], k) for a, (k, _) in metrics.items()}
+        return [row], None
+    groups = aggs["groups"]
+    rows = []
+    for bucket in groups.get("buckets", []):
+        row = dict(bucket["key"])
+        for a, (k, _) in metrics.items():
+            row[a] = _value(bucket[a], k)
+        rows.append(row)
+    return rows, groups.get("after_key")
+
+
 def es_reader(
     spark: SparkSession,
     index_pattern: str,

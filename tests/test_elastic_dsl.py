@@ -139,3 +139,100 @@ def test_nested_bool_composition_golden():
             }
         }
     }
+
+
+# --- aggregation pushdown (eland parity: dataset.py:64/83, base.py:77) -------
+
+
+def test_ungrouped_metric_aggs_golden():
+    from elastic_surv_spark.sources.elastic import agg_request, parse_agg_response
+
+    metrics = {
+        "n": ("count", "doc_id"),
+        "users": ("nunique", "user_id"),
+        "t_min": ("min", "duration"),
+        "t_max": ("max", "duration"),
+    }
+    body = agg_request(metrics, nunique={"precision_threshold": 40000})
+    assert body == {
+        "size": 0,
+        "aggs": {
+            "n": {"value_count": {"field": "doc_id"}},
+            "users": {"cardinality": {"field": "user_id", "precision_threshold": 40000}},
+            "t_min": {"min": {"field": "duration"}},
+            "t_max": {"max": {"field": "duration"}},
+        },
+    }
+    rows, after = parse_agg_response(
+        {"aggregations": {
+            "n": {"value": 60175},
+            "users": {"value": 993},
+            "t_min": {"value": 0.5},
+            "t_max": {"value": 88.2},
+        }},
+        metrics,
+    )
+    assert after is None
+    assert rows == [{"n": 60175, "users": 993, "t_min": 0.5, "t_max": 88.2}]
+
+
+def test_grouped_composite_aggs_golden_and_pagination():
+    from elastic_surv_spark.sources.elastic import (
+        agg_request,
+        filters_to_es_query,
+        parse_agg_response,
+        Range,
+    )
+
+    metrics = {"total": ("sum", "value")}
+    body = agg_request(
+        metrics,
+        group_by=["event_type"],
+        query=filters_to_es_query(Range("value", gte=10)),
+        page_size=2,
+    )
+    assert body == {
+        "size": 0,
+        "query": {"range": {"value": {"gte": 10}}},
+        "aggs": {
+            "groups": {
+                "composite": {
+                    "size": 2,
+                    "sources": [{"event_type": {"terms": {"field": "event_type"}}}],
+                },
+                "aggs": {"total": {"sum": {"field": "value"}}},
+            }
+        },
+    }
+    resp = {"aggregations": {"groups": {
+        "after_key": {"event_type": "purchase"},
+        "buckets": [
+            {"key": {"event_type": "click"}, "total": {"value": 12.5}},
+            {"key": {"event_type": "purchase"}, "total": {"value": 99.0}},
+        ],
+    }}}
+    rows, after = parse_agg_response(resp, metrics, group_by=["event_type"])
+    assert rows == [
+        {"event_type": "click", "total": 12.5},
+        {"event_type": "purchase", "total": 99.0},
+    ]
+    assert after == {"event_type": "purchase"}
+    # next page resumes deterministically from after_key
+    page2 = agg_request(metrics, group_by=["event_type"], after=after, page_size=2)
+    assert page2["aggs"]["groups"]["composite"]["after"] == {"event_type": "purchase"}
+
+
+def test_percentiles_and_unknown_kind():
+    import pytest
+
+    from elastic_surv_spark.sources.elastic import agg_request, parse_agg_response
+
+    metrics = {"p": ("percentiles", "value")}
+    body = agg_request(metrics, percentiles={"percents": [50, 95]})
+    assert body["aggs"]["p"] == {"percentiles": {"field": "value", "percents": [50, 95]}}
+    rows, _ = parse_agg_response(
+        {"aggregations": {"p": {"values": {"50.0": 1.0, "95.0": 9.0}}}}, metrics
+    )
+    assert rows == [{"p": {"50.0": 1.0, "95.0": 9.0}}]
+    with pytest.raises(ValueError):
+        agg_request({"x": ("median", "value")})
