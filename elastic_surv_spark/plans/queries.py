@@ -4289,6 +4289,30 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_bpe_learned_merges", None)  # iterative — not SQL-expressible;
+# correctness is pinned instead by tests/test_bpe.py (exact match against a
+# single-machine Sennrich merge loop, incl. tiebreaks and min_freq stop).
+def doc_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the first 10
+    learned merges over the documents corpus, in merge order.
+
+    Scale: ONE corpus pass builds the distinct-word frequency table; each
+    merge round then runs on that vocabulary-sized table (pair-count
+    hash-agg + bounded 1-row argmax + Arrow-batched merge map), lineage
+    truncated per round with localCheckpoint. The training loop is eager by
+    nature (each merge depends on the previous); the returned DataFrame is
+    the merge list itself.
+    """
+    from elastic_surv_spark.operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=10)
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, weighted_count long"
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
