@@ -4313,6 +4313,136 @@ def doc_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_trailing_week_value",
+    """
+    SELECT event_id, user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ), 4) AS DOUBLE) AS trailing_7d_value
+    FROM events
+    """,
+)
+def events_trailing_week_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day per-user value sum — a RANGE frame over event time
+    (every other window on the board uses ROWS frames; RANGE is the one
+    users reach for in rolling-metric dashboards).
+
+    Scale: partitions on the high-cardinality user_id; the frame is
+    event-time micros (integer RANGE bounds — identical frame semantics in
+    both engines, no calendar arithmetic), state bounded by a user's events
+    inside one week. DECIMAL frame sums keep the float order-independent.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("trailing_7d_value"),
+    )
+
+
+@query(
+    "customer_spend_distribution",
+    """
+    SELECT c_custkey,
+           CAST(round(spend, 2) AS DOUBLE) AS spend,
+           round(percent_rank() OVER (ORDER BY spend, c_custkey), 6) AS pct_rank,
+           round(cume_dist() OVER (ORDER BY spend, c_custkey), 6) AS cume,
+           ntile(4) OVER (ORDER BY spend, c_custkey) AS quartile
+    FROM (
+        SELECT c_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    """,
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution position of every customer's total spend: percent_rank,
+    cume_dist, and spend quartile (the window-rank surface beyond plain
+    rank/row_number).
+
+    Scale: per-customer spend aggregates on the customer key first (exact
+    decimals; ties broken by key so the global ranking is deterministic);
+    the global-order window then runs over |customers| pre-aggregated rows
+    — the corpus-sized table never sees a single-partition sort. At larger
+    scale swap the exact global window for percentile-bucket joins; the
+    semantics here are the exact ones that variant must reproduce.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"))
+    )
+    w = Window.orderBy("spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        F.round("spend", 2).cast("double").alias("spend"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    """
+    WITH norms AS (
+        SELECT label,
+               round(sqrt(CAST(sq AS DOUBLE)), 6) AS norm
+        FROM (
+            SELECT vec_id, any_value(label) AS label,
+                   sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS sq
+            FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+            GROUP BY vec_id
+        )
+    )
+    SELECT label, count(*) AS n,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm,
+           round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics of the embedding column via a
+    higher-order array fold — no explode, no shuffle for the norm itself.
+
+    Scale: the squared-norm accumulates per row inside ``F.aggregate``
+    (JVM-side lambda over the array) with a DECIMAL accumulator, so the
+    fold is order-independent and bit-identical to the oracle's unnest+
+    exact-decimal-sum — while the physical plan stays a map over rows
+    (the oracle's explode shape is the certification twin, not the plan).
+    Only the tiny per-label reduction shuffles.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(28,12)")
+        ).cast("decimal(28,12)"),
+    )
+    norms = e.select("label", F.round(F.sqrt(sq.cast("double")), 6).alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.col("norm").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_norm"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
