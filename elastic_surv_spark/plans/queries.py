@@ -4366,30 +4366,60 @@ def events_trailing_week_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution position of every customer's total spend: percent_rank,
-    cume_dist, and spend quartile (the window-rank surface beyond plain
-    rank/row_number).
+    cume_dist, and spend quartile — WITHOUT the global single-partition
+    sort `Window.orderBy(...)` plans. The global row number comes from the
+    two-level sharded prefix sum (operators/prefix.py) over value-range
+    shards, and percent_rank/cume_dist/ntile are then closed-form functions
+    of (row_number, N) because the ordering key (spend, custkey) is unique:
+    pct = (rn−1)/(N−1), cume = rn/N, and ntile's first-(N mod k)-buckets-
+    get-one-extra fill. The oracle states the same result with the plain
+    window functions.
 
-    Scale: per-customer spend aggregates on the customer key first (exact
-    decimals; ties broken by key so the global ranking is deterministic);
-    the global-order window then runs over |customers| pre-aggregated rows
-    — the corpus-sized table never sees a single-partition sort. At larger
-    scale swap the exact global window for percentile-bucket joins; the
-    semantics here are the exact ones that variant must reproduce.
+    Scale: per-customer spend aggregates shuffle once on the customer key;
+    ranking adds only per-shard local windows + a |shards|-row offset
+    table. No corpus-sized data ever sits in one task.
     """
+    from elastic_surv_spark.operators.prefix import sharded_cumsum
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     spend = (
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"))
+        .select(
+            "c_custkey",
+            "spend",
+            F.struct("spend", "c_custkey").alias("_ord"),
+            F.lit(1).alias("_one"),
+        )
     )
-    w = Window.orderBy("spend", "c_custkey")
-    return spend.select(
-        "c_custkey",
-        F.round("spend", 2).cast("double").alias("spend"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(4).over(w).alias("quartile"),
+    ranked = sharded_cumsum(
+        spend,
+        part_cols=[],
+        order_col="_ord",
+        value_col="_one",
+        # monotone in the primary order dimension: equal-spend ties land in
+        # the same shard and are ordered by the in-shard window's tiebreak
+        shard=F.floor(F.col("spend") / 50_000),
+        out_col="_rn",
+    )
+    n_tot = spend.agg(F.count("*").alias("_n"))
+    rn, n = F.col("_rn"), F.col("_n")
+    size, rem = F.floor(n / 4), n % 4
+    in_big = rn <= rem * (size + 1)
+    quartile = F.when(in_big, F.floor((rn - 1) / (size + 1)) + 1).otherwise(
+        rem + F.floor((rn - rem * (size + 1) - 1) / size) + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_custkey",
+            F.round("spend", 2).cast("double").alias("spend"),
+            F.round((rn - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
+            F.round(rn.cast("double") / n, 6).alias("cume"),
+            quartile.cast("int").alias("quartile"),
+        )
     )
 
 
