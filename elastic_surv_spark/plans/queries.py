@@ -4473,6 +4473,116 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "top_orders_per_customer_twophase",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) AS totalprice,
+           rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's 3 most expensive orders via the two-phase grouped
+    top-k operator (operators/topk.py): per-partition candidate pruning
+    bounds the shuffle to ≤ partitions·k rows per key before the exact
+    window runs — the scale-safe form of the plain window the oracle
+    states. Bit-identical because (price desc, orderkey) is a total order.
+    """
+    from elastic_surv_spark.operators.topk import grouped_topk
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    top = grouped_topk(
+        o,
+        keys=["o_custkey"],
+        order_cols=["o_totalprice", "o_orderkey"],
+        k=3,
+        ascending=[False, True],
+    )
+    return top.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("totalprice"),
+        "rnk",
+    )
+
+
+@query(
+    "nation_monthly_gapfill",
+    """
+    WITH months AS (
+        SELECT unnest(range(0, 48)) AS month_idx
+    ), spine AS (
+        SELECT n_name, month_idx FROM nation CROSS JOIN months
+    ), actual AS (
+        SELECT n_name,
+               (EXTRACT(year FROM o_orderdate) - 1995) * 12
+                   + (EXTRACT(month FROM o_orderdate) - 1) AS month_idx,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        FROM orders, customer, nation
+        WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT spine.n_name, spine.month_idx,
+           CAST(round(coalesce(rev, 0), 2) AS DOUBLE) AS revenue,
+           CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine LEFT JOIN actual
+      ON spine.n_name = actual.n_name AND spine.month_idx = actual.month_idx
+    """,
+)
+def nation_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (nation × month) revenue series with explicit zero-filled gaps
+    — the calendar-spine pattern every time-series rollup needs before
+    charting or windowed diffs (missing groups simply don't exist in a
+    groupBy result).
+
+    Scale: the spine is |nations|×48 rows built from a broadcast
+    ``sequence``/explode — never a shuffle; the actual revenue aggregate
+    shuffles once on its grouping key and the spine LEFT-broadcast-joins
+    onto it. Gap flags fall out of the join's null side.
+    """
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    spine = n.select(
+        "n_name", F.explode(F.sequence(F.lit(0), F.lit(47))).alias("month_idx")
+    )
+    actual = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("a_name"),
+            ((F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 1)).alias(
+                "a_idx"
+            ),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    return (
+        spine.join(
+            actual,
+            (F.col("n_name") == F.col("a_name")) & (F.col("month_idx") == F.col("a_idx")),
+            "left",
+        )
+        .select(
+            "n_name",
+            F.col("month_idx").cast("long").alias("month_idx"),
+            F.round(F.coalesce(F.col("rev"), F.lit(0)), 2).cast("double").alias("revenue"),
+            F.when(F.col("rev").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
