@@ -205,3 +205,19 @@ def test_q13_left_outer_preserved(spark):
     # customers from the histogram
     plan = _plan(spark, "customer_order_distribution")
     assert "LeftOuter" in plan
+
+
+# every batch query in the registry, one sweep: nothing may plan a true
+# cartesian product (all-pairs work). Stream queries are excluded (their fn
+# drives a streaming harness, not a single batch plan) and the eager BPE
+# trainer too (its result is a literal merge list, not a plan).
+def test_registry_sweep_no_cartesian_product(spark):
+    skipped, checked = [], 0
+    for name, spec in REGISTRY.items():
+        if "_stream" in name or name == "doc_bpe_learned_merges":
+            skipped.append(name)
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        checked += 1
+    assert checked >= 90  # the sweep really covers the registry
