@@ -4583,6 +4583,116 @@ def nation_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "near_dedup_representatives",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    ), edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    ), bidir AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ), verts AS (SELECT DISTINCT a AS v FROM bidir),
+    reach(v, r) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT reach.v, bidir.b FROM reach JOIN bidir ON reach.r = bidir.a
+    ), comps AS (
+        SELECT v AS doc_id, min(r) AS comp_id FROM reach GROUP BY v
+    )
+    SELECT comps.doc_id, comp_id,
+           first_value(comps.doc_id) OVER (
+               PARTITION BY comp_id ORDER BY n_chars DESC, comps.doc_id
+           ) AS rep_id,
+           CASE WHEN comps.doc_id = first_value(comps.doc_id) OVER (
+               PARTITION BY comp_id ORDER BY n_chars DESC, comps.doc_id
+           ) THEN 1 ELSE 0 END AS keep
+    FROM comps JOIN documents USING (doc_id)
+    """,
+)
+def near_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the stage after near-dup clustering in
+    a dedup pipeline: every clustered doc mapped to its component's
+    representative (longest doc wins, id tiebreak) plus the keep/drop flag.
+
+    Scale: MinHash-LSH pairs (linear shuffle) → O(log² n) connected
+    components → one doc_id join to fetch lengths → a window partitioned on
+    comp_id (components are near-dup clusters, typically tiny; a pathological
+    giant cluster is exactly the case the components operator already
+    bounds). Nothing here is quadratic in the corpus.
+    """
+    from elastic_surv_spark.operators.cluster import connected_components
+    from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5)
+    comps = connected_components(pairs.select("id_a", "id_b")).select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("comp_id")
+    )
+    sized = comps.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("comp_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    rep = F.first("doc_id").over(w)
+    return sized.select(
+        "doc_id",
+        "comp_id",
+        rep.alias("rep_id"),
+        F.when(F.col("doc_id") == rep, 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
+@query(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM cnt
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event sequence
+    (behavioral analytics: what follows what, with row-normalized
+    probabilities).
+
+    Scale: the lag window partitions on the high-cardinality user_id (one
+    shuffle); the transition count collapses to ≤ |types|² rows, so the
+    row-normalizing window runs on a tiny table. Ordering is (ts, event_id)
+    — total, so lag is deterministic.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
