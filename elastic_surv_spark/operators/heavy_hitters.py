@@ -80,7 +80,12 @@ def heavy_hitters(
             {"term": list(counters.keys()), "lb": list(counters.values())}
         )
 
-    values = df.select(F.col(col).cast("string").alias(col))
+    # NULLs can never be reported (value_counts drops NaN), so exclude them
+    # from the denominator too — share is "of non-null rows", stated, not an
+    # accident of which pass sees the null.
+    values = df.select(F.col(col).cast("string").alias(col)).filter(
+        F.col(col).isNotNull()
+    )
     summaries = values.mapInPandas(mg_partition, "term string, lb long")
     totals = values.agg(F.count("*").alias("n"))
     # Candidate superset: lower bound within (threshold − 2·slack). Doubles
