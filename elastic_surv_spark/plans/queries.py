@@ -4693,6 +4693,59 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transitions_stream",
+    # same oracle as the batch event_type_transitions — the streaming
+    # emissions, aggregated, must reproduce the lag-window matrix exactly
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM cnt
+    """,
+)
+def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed sequence analytics: per-user transition pairs emitted
+    by the O(1)-state ``applyInPandasWithState`` operator
+    (streaming/windows.py:stateful_transitions), then aggregated into the
+    same row-normalized matrix as the batch lag-window query — which is its
+    oracle under the bounded one-batch replay.
+    """
+    import uuid
+
+    from elastic_surv_spark.streaming.windows import (
+        CERT_ONE_BATCH,
+        read_events_stream,
+        run_to_memory,
+        stateful_transitions,
+    )
+
+    tune(spark)
+    stream = read_events_stream(
+        spark, table_path(sf_dir, "events"), max_files_per_trigger=CERT_ONE_BATCH
+    )
+    sink = f"_transitions_stream_{uuid.uuid4().hex[:8]}"
+    pairs = run_to_memory(stateful_transitions(stream), sink, output_mode="append")
+    cnt = pairs.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.

@@ -283,6 +283,56 @@ def stateful_running_max(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def stateful_transitions(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user event-sequence transitions via ``applyInPandasWithState``:
+    state carries the user's latest (event-time-ordered) event so each
+    micro-batch emits the (prev_type, event_type) pairs it completes —
+    keyed sequence analytics, the stateful pattern session/funnel/journey
+    trackers are built from.
+
+    Rows inside a batch are sorted by (ts, event_id) per user before
+    pairing; the carried state stitches the boundary between batches.
+    Exactly equal to the batch lag-window when batches arrive in event-time
+    order (trivially true for the bounded one-batch certification replay);
+    an out-of-order producer needs a watermark-deep buffer in state, which
+    this operator deliberately trades away for O(1) state per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "prev_type string, event_type string"
+    state_schema = "last_us long, last_id long, last_type string"
+
+    def update(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch["_us"] = batch["ts"].astype("int64")
+        batch = batch.sort_values(["_us", "event_id"], kind="mergesort")
+        types = batch["event_type"].tolist()
+        prevs = types[:-1]
+        curs = types[1:]
+        if state.exists:
+            prevs = [state.get[2]] + types[:-1]
+            curs = types
+        last = batch.iloc[-1]
+        state.update((int(last["_us"]), int(last["event_id"]), str(last["event_type"])))
+        if prevs:
+            yield pd.DataFrame({"prev_type": prevs, "event_type": curs})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming plan to completion against the bounded source and
     return the materialized sink table (test harness)."""

@@ -119,3 +119,47 @@ def test_checkpointed_parquet_sink_exactly_once(spark, stream_dir, tmp_path_fact
     assert n1 == expected
     n2 = run_once()  # restart with same checkpoint: nothing new committed
     assert n2 == n1
+
+
+def test_stateful_transitions_stitch_across_batches(spark, stream_dir):
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from elastic_surv_spark.streaming.windows import stateful_transitions
+
+    # The writer stamps every part file with the same mtime, and the file
+    # source orders ties arbitrarily. stateful_transitions' contract is
+    # event-time-ordered batch arrival, so make the modification times
+    # strictly increasing in range-partition (= time) order.
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stream_dir, "part-*")))):
+        os.utime(f, (now + i, now + i))
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    pairs = run_to_memory(
+        stateful_transitions(stream), "_transitions_multi", output_mode="append"
+    )
+    got = {
+        (r["prev_type"], r["event_type"]): r["n"]
+        for r in pairs.groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    batch = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["prev_type"], r["event_type"]): r["n"]
+        for r in batch.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # 4 time-ordered micro-batches: cross-batch state stitching must make
+    # the streaming pair counts EXACTLY the batch lag-window counts
+    assert got == want
