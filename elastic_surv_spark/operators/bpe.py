@@ -127,6 +127,9 @@ def apply_bpe(df: DataFrame, col: str, merges: list[tuple[str, str, int]]) -> Da
             toks = []
             for text in pdf[col]:
                 out: list[str] = []
+                if pd.isna(text):
+                    toks.append(out)  # null text → empty token list, not "None"
+                    continue
                 for w in str(text).split(" "):
                     if not w:
                         continue

@@ -19,9 +19,10 @@ the corpus to candidate terms (at most ~capacity·partitions of them, and in
 practice ≈1/φ), one grouped count, and the precise integer threshold
 ``cnt·den > num·n`` (φ = num/den as integers — no float boundary).
 
-The total row count n comes from a column-pruned ``count(*)`` aggregate
-(parquet metadata-only when the source is a bare scan), broadcast as a
-1-row cross join — no driver-side collect anywhere.
+The total row count n rides out of pass 1 as a per-partition sentinel row
+in the sketch summaries (persisted — they are at most capacity·partitions
+rows), broadcast as a 1-row cross join — no driver-side collect and no
+extra corpus scan anywhere.
 
 Reference parity: the reference engine exposes only exact term counts
 (value_counts semantics); this operator keeps that exact output contract
@@ -74,10 +75,19 @@ def heavy_hitters(
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        total = 0
         for pdf in batches:
-            misra_gries(counters, pdf[col].value_counts(), capacity)
+            vc = pdf[col].value_counts()
+            total += int(vc.sum())
+            misra_gries(counters, vc, capacity)
+        # NULL-term sentinel carries the partition's row count (input nulls
+        # are filtered below, so the key can't collide): n comes out of THIS
+        # pass instead of a separate corpus scan.
         yield pd.DataFrame(
-            {"term": list(counters.keys()), "lb": list(counters.values())}
+            {
+                "term": list(counters.keys()) + [None],
+                "lb": list(counters.values()) + [total],
+            }
         )
 
     # NULLs can never be reported (value_counts drops NaN), so exclude them
@@ -86,12 +96,18 @@ def heavy_hitters(
     values = df.select(F.col(col).cast("string").alias(col)).filter(
         F.col(col).isNotNull()
     )
-    summaries = values.mapInPandas(mg_partition, "term string, lb long")
-    totals = values.agg(F.count("*").alias("n"))
+    # Tiny (≤ capacity·partitions + partitions rows) and consumed by both
+    # the candidate filter and the totals row — persisted so each consumer
+    # doesn't re-run the corpus sketch pass.
+    summaries = values.mapInPandas(mg_partition, "term string, lb long").persist()
+    totals = summaries.filter(F.col("term").isNull()).agg(
+        F.coalesce(F.sum("lb"), F.lit(0)).alias("n")
+    )
     # Candidate superset: lower bound within (threshold − 2·slack). Doubles
     # are fine here — only the exact pass-2 filter decides membership.
     cand = (
-        summaries.groupBy("term")
+        summaries.filter(F.col("term").isNotNull())
+        .groupBy("term")
         .agg(F.sum("lb").alias("lb"))
         .crossJoin(F.broadcast(totals))
         .filter(

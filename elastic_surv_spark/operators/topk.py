@@ -41,16 +41,26 @@ def grouped_topk(
     asc = ascending if isinstance(ascending, list) else [ascending] * len(order_cols)
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Null/NaN ORDER keys sort differently in pandas (always last) than
+        # in the phase-2 Spark window (nulls first ascending, NaN greatest),
+        # so rows with a null/NaN order key are never pruned here — phase 2
+        # ranks them exactly. Pruning stays tight when order keys are clean.
         best: pd.DataFrame | None = None
+        dirty: list[pd.DataFrame] = []
         for pdf in batches:
+            mask = pdf[order_cols].isna().any(axis=1)
+            if mask.any():
+                dirty.append(pdf[mask])
+                pdf = pdf[~mask]
             pool = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
             best = (
                 pool.sort_values(order_cols, ascending=asc, kind="mergesort")
                 .groupby(keys, sort=False, dropna=False)
                 .head(k)
             )
-        if best is not None:
-            yield best
+        out = [b for b in [best, *dirty] if b is not None and len(b)]
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     survivors = df.mapInPandas(local_topk, schema)

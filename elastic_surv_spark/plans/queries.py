@@ -4416,7 +4416,10 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             F.round("spend", 2).cast("double").alias("spend"),
-            F.round((rn - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
+            # N=1: percent_rank is defined as 0 (not 0/0 → NULL)
+            F.round(
+                F.when(n > 1, (rn - 1).cast("double") / (n - 1)).otherwise(0.0), 6
+            ).alias("pct_rank"),
             F.round(rn.cast("double") / n, 6).alias("cume"),
             quartile.cast("int").alias("quartile"),
         )

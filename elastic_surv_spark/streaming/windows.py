@@ -293,9 +293,10 @@ def stateful_transitions(events: DataFrame, watermark: str = "1 hour") -> DataFr
     Rows inside a batch are sorted by (ts, event_id) per user before
     pairing; the carried state stitches the boundary between batches.
     Exactly equal to the batch lag-window when batches arrive in event-time
-    order (trivially true for the bounded one-batch certification replay);
-    an out-of-order producer needs a watermark-deep buffer in state, which
-    this operator deliberately trades away for O(1) state per key.
+    order (trivially true for the bounded one-batch certification replay).
+    Rows at or before a key's stored boundary are DROPPED, not mispaired —
+    the O(1)-state analog of a watermark discard; an out-of-order producer
+    that must not lose rows needs a watermark-deep buffer in state instead.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -309,6 +310,17 @@ def stateful_transitions(events: DataFrame, watermark: str = "1 hour") -> DataFr
             return
         batch["_us"] = batch["ts"].astype("int64")
         batch = batch.sort_values(["_us", "event_id"], kind="mergesort")
+        if state.exists:
+            last_us, last_id, _ = state.get
+            # Late-data guard: rows at or before the stored boundary would
+            # be paired out of order — drop them (the O(1)-state analog of
+            # a watermark discard) instead of emitting a wrong transition.
+            keep = (batch["_us"] > last_us) | (
+                (batch["_us"] == last_us) & (batch["event_id"] > last_id)
+            )
+            batch = batch[keep]
+            if not len(batch):
+                return
         types = batch["event_type"].tolist()
         prevs = types[:-1]
         curs = types[1:]

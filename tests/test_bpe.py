@@ -69,3 +69,13 @@ def test_apply_bpe_roundtrip(spark):
         assert "".join(row["bpe_tokens"]) == row["text"].replace(" ", "")
         # and the learned merges actually compress: fewer tokens than chars
         assert len(row["bpe_tokens"]) < len(row["text"].replace(" ", ""))
+
+
+def test_apply_bpe_null_text_yields_empty_tokens(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["low low", None]})
+    )
+    merges = train_bpe(df.filter("text is not null"), "text", n_merges=4)
+    rows = {r["text"]: r["bpe_tokens"] for r in apply_bpe(df, "text", merges).collect()}
+    assert rows[None] == []
+    assert "".join(rows["low low"]) == "lowlow"

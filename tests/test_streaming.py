@@ -121,9 +121,10 @@ def test_checkpointed_parquet_sink_exactly_once(spark, stream_dir, tmp_path_fact
     assert n2 == n1
 
 
-def test_stateful_transitions_stitch_across_batches(spark, stream_dir):
+def test_stateful_transitions_stitch_across_batches(spark, stream_dir, tmp_path_factory):
     import glob
     import os
+    import shutil
     import time
 
     from pyspark.sql import Window
@@ -132,13 +133,17 @@ def test_stateful_transitions_stitch_across_batches(spark, stream_dir):
 
     # The writer stamps every part file with the same mtime, and the file
     # source orders ties arbitrarily. stateful_transitions' contract is
-    # event-time-ordered batch arrival, so make the modification times
+    # event-time-ordered batch arrival, so work on a PRIVATE copy (the
+    # module-scoped fixture is shared) and make the modification times
     # strictly increasing in range-partition (= time) order.
+    ordered_dir = str(tmp_path_factory.mktemp("events_stream_ordered"))
     now = time.time()
     for i, f in enumerate(sorted(glob.glob(os.path.join(stream_dir, "part-*")))):
-        os.utime(f, (now + i, now + i))
+        dst = os.path.join(ordered_dir, os.path.basename(f))
+        shutil.copyfile(f, dst)
+        os.utime(dst, (now + i, now + i))
 
-    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    stream = read_events_stream(spark, ordered_dir, max_files_per_trigger=1)
     pairs = run_to_memory(
         stateful_transitions(stream), "_transitions_multi", output_mode="append"
     )

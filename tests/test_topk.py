@@ -50,3 +50,22 @@ def test_grouped_topk_handles_null_keys_and_small_groups(spark):
     assert by_g[None]["v"] == 9  # null group kept, like the window form
     with pytest.raises(ValueError):
         grouped_topk(df, ["g"], ["v"], 0)
+
+
+def test_grouped_topk_null_and_nan_order_keys_match_window(spark):
+    import math
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [None, 5.0, 1.0, math.nan, 2.0],
+            "id": range(5),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(2)
+    for asc in ([True, True], [False, True]):
+        got = grouped_topk(df, ["g"], ["v", "id"], 1, ascending=asc)
+        want = _window_topk(df, ["g"], ["v", "id"], asc, 1)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"ascending={asc}"
