@@ -4749,6 +4749,97 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_vs_nation_spend",
+    """
+    WITH spend AS (
+        SELECT c_custkey, c_nationkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey,
+           CAST(round(spend, 2) AS DOUBLE) AS spend,
+           round(CAST(sum(spend) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY c_nationkey), 2) AS nation_avg,
+           CASE WHEN CAST(spend AS DOUBLE) * count(*) OVER (PARTITION BY c_nationkey)
+                     > CAST(sum(spend) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                THEN 1 ELSE 0 END AS above_avg
+    FROM spend
+    """,
+)
+def customer_vs_nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's total spend against their nation's average — the
+    correlated-scalar-subquery pattern (``spend > (SELECT avg ... WHERE same
+    nation)``) decorrelated into an UNORDERED window aggregate (whole-
+    partition frame, no sort — every other window on the board is ordered).
+
+    Scale: one per-customer aggregate, then a hash-window partitioned on
+    nation (no orderBy → no sort, just a partition-wide aggregate); the
+    above-average test cross-multiplies instead of dividing so the boundary
+    is decimal-exact in both engines.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    tot, cnt = F.sum("spend").over(w), F.count("*").over(w)
+    return spend.select(
+        "c_custkey",
+        F.round("spend", 2).cast("double").alias("spend"),
+        F.round(tot.cast("double") / cnt, 2).alias("nation_avg"),
+        F.when(F.col("spend").cast("double") * cnt > tot.cast("double"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("above_avg"),
+    )
+
+
+@query(
+    "similar_part_names",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: near-identical (edit distance 1–2, not exact)
+    part names within a brand block — the blocked-levenshtein shape behind
+    catalog/entity deduplication.
+
+    Scale: the self-join is BLOCKED on brand (the universal fuzzy-match
+    mitigation — candidate pairs are quadratic only within a block, linear
+    across the corpus); both sides shuffle once on the block key. Edit
+    distance runs as the JVM codegen levenshtein, no UDF.
+    """
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter((dist >= 1) & (dist <= 2))
+        .select("key_a", "key_b", "name_a", "name_b", dist.cast("long").alias("edit_distance"))
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
