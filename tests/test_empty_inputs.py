@@ -68,3 +68,21 @@ def test_empty_blocked_cosine(spark):
 
     e = _empty(spark, "vec_id long, embedding array<double>, label int")
     assert blocked_cosine_pairs(e).count() == 0
+
+
+def test_empty_grouped_topk_and_heavy_hitters(spark):
+    from elastic_surv_spark.operators.heavy_hitters import heavy_hitters
+    from elastic_surv_spark.operators.topk import grouped_topk
+
+    e = _empty(spark, "g string, v double, id long")
+    assert grouped_topk(e, ["g"], ["v", "id"], 3).count() == 0
+    terms = _empty(spark, "term string")
+    assert heavy_hitters(terms, "term", 1, 10, capacity=64).count() == 0
+
+
+def test_empty_bpe_training(spark):
+    from elastic_surv_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = _empty(spark, "text string")
+    assert train_bpe(docs, "text", n_merges=3) == []
+    assert apply_bpe(docs, "text", []).count() == 0
