@@ -4817,8 +4817,11 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the self-join is BLOCKED on brand (the universal fuzzy-match
     mitigation — candidate pairs are quadratic only within a block, linear
-    across the corpus); both sides shuffle once on the block key. Edit
-    distance runs as the JVM codegen levenshtein, no UDF.
+    across the corpus); both sides shuffle once on the block key. Distance
+    ≤ 2 implies length difference ≤ 2, so a cheap length prefilter rides
+    the join condition before the expensive kernel, and the kernel itself
+    is the THRESHOLDED codegen levenshtein (banded O(n·k) DP with early
+    exit, returns -1 above the threshold) — no UDF anywhere.
     """
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     a = p.select(
@@ -4831,12 +4834,16 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         F.col("p_brand").alias("brand"),
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
     return (
         a.join(b, "brand")
         .filter(F.col("key_a") < F.col("key_b"))
-        .filter((dist >= 1) & (dist <= 2))
-        .select("key_a", "key_b", "name_a", "name_b", dist.cast("long").alias("edit_distance"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        )
+        .withColumn("edit_distance", dist.cast("long"))
+        .filter((F.col("edit_distance") >= 1) & (F.col("edit_distance") <= 2))
+        .select("key_a", "key_b", "name_a", "name_b", "edit_distance")
     )
 
 
