@@ -4847,6 +4847,147 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_pit_segment_join",
+    """
+    WITH hist AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               0.0 AS valid_from, 9999999999.0 AS valid_to
+        FROM customer WHERE c_acctbal >= 0.0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, 0.0, 9862.0
+        FROM customer WHERE c_acctbal < 0.0
+        UNION ALL
+        SELECT c_custkey, 'DELINQUENT', 9862.0, 9999999999.0
+        FROM customer WHERE c_acctbal < 0.0
+    )
+    SELECT segment, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM orders JOIN hist
+      ON o_custkey = c_custkey
+     AND date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) >= valid_from
+     AND date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) < valid_to
+    GROUP BY segment
+    """,
+)
+def orders_pit_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store-correct) join: every order resolved
+    against the customer-segment version VALID AT ORDER TIME — negative-
+    balance customers flip to DELINQUENT on epoch day 9862 (1997-01-01), so
+    their earlier orders keep the old segment and later ones the new. The
+    PIT discipline (no future leakage) is exactly what training-data
+    feature joins require.
+
+    Scale: the version history comes from the SCD2 operator; each key's
+    versions partition the timeline, so the equi-join on custkey plus the
+    half-open range predicate matches exactly one version per fact row. The
+    dim broadcasts; facts never shuffle. At dim sizes beyond broadcast,
+    swap in the time-bucketed range join (operators/range_join.py) — same
+    semantics.
+    """
+    from elastic_surv_spark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0.0).alias("valid_from"),
+        F.lit(None).cast("double").alias("valid_to"),
+    )
+    updates = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0.0, F.lit("DELINQUENT"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit(9862.0).alias("effective_ts"),
+    )
+    hist = scd2_apply(dim, updates, "c_custkey", ["segment"]).select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(9999999999.0)).alias("valid_to"),
+    )
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "double"
+    )
+    return (
+        o.join(
+            F.broadcast(hist),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (day >= F.col("valid_from"))
+            & (day < F.col("valid_to")),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "doc_mixture_downsample",
+    """
+    WITH shares AS (
+        SELECT lang, count(*) AS n_before,
+               count(*)::DOUBLE / (SELECT count(*) FROM documents) AS share
+        FROM documents GROUP BY lang
+    ), rated AS (
+        SELECT lang, n_before,
+               least(1.0, 0.2 / share) AS rate,
+               CAST(floor(least(1.0, 0.2 / share) * 4294967296) AS BIGINT) AS cutoff
+        FROM shares
+    )
+    SELECT d.lang, any_value(n_before) AS n_before,
+           sum(CASE WHEN (d.doc_id * 2654435761) % 4294967296 < cutoff
+                    THEN 1 ELSE 0 END) AS n_kept,
+           round(any_value(rate), 6) AS rate
+    FROM documents d JOIN rated ON d.lang = rated.lang
+    GROUP BY d.lang
+    """,
+)
+def doc_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted downsampling to a uniform target mix (the
+    sampling stage that doc_mixture_weights plans): each language keeps a
+    hash-Bernoulli subset at rate min(1, target/actual-share), decided by
+    pure integer arithmetic on doc_id (Knuth multiplicative hash mod 2³²) —
+    rerunnable, engine-portable, no RNG state.
+
+    Scale: one tiny per-lang share aggregate broadcasts back onto the
+    corpus; the keep decision is a map-side integer compare, so the sample
+    materializes in the same pass that reads the rows. Output is the
+    per-lang before/kept audit (the kept rows themselves stay distributed).
+    """
+    d = _t(spark, sf_dir, "documents")
+    total = d.agg(F.count("*").alias("_tot"))
+    shares = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_before"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_before",
+            F.least(
+                F.lit(1.0), F.lit(0.2) / (F.col("n_before").cast("double") / F.col("_tot"))
+            ).alias("rate"),
+        )
+        .withColumn(
+            "cutoff", F.floor(F.col("rate") * F.lit(4294967296)).cast("long")
+        )
+    )
+    keep = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) < F.col("cutoff")
+    return (
+        d.join(F.broadcast(shares), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_before").alias("n_before"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.round(F.first("rate"), 6).alias("rate"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
