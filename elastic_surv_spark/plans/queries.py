@@ -4988,6 +4988,81 @@ def doc_mixture_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_status_unpivot",
+    """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM wide
+    UNPIVOT (n FOR status IN (n_f AS 'F', n_o AS 'O', n_p AS 'P'))
+    """,
+)
+def order_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide status-count table stacked back to long form
+    — the inverse surface of order_status_pivot, via Spark's ``stack``
+    table-generating expression.
+
+    Scale: the wide input is one hash-agg (|priorities| rows); stack is a
+    zero-shuffle projection that emits 3 rows per input row.
+    """
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'F', n_f, 'O', n_o, 'P', n_p) AS (status, n)"),
+    )
+
+
+@query(
+    "customer_order_history_strings",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           string_agg(o_orderkey::VARCHAR, ','
+                      ORDER BY epoch_us(o_orderdate), o_orderkey) AS order_history
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def customer_order_history_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect-per-group: each customer's order keys as one
+    chronologically-ordered string — the sorted ``collect_list``/array-agg
+    surface (sequence features, session exports), serialized so the result
+    is engine-comparable.
+
+    Scale: one grouped aggregate on the customer key; ordering happens
+    per group via ``array_sort`` on (time, key) structs AFTER the collect,
+    so no global sort exists and group state is bounded by a customer's
+    order count. Exactly duckdb's ``string_agg(... ORDER BY)`` semantics.
+    """
+    o = _t(spark, sf_dir, "orders")
+    item = F.struct(
+        F.unix_micros(F.col("o_orderdate")).alias("us"),
+        F.col("o_orderkey").alias("k"),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.collect_list(item).alias("_items"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort("_items"), lambda x: x["k"].cast("string")),
+            ).alias("order_history"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
