@@ -5314,22 +5314,29 @@ def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
 def _export_order() -> list[str]:
     ever_green, latest_green, last_green_round = _certification_state()
     names = list(REGISTRY)
+    max_round = max(last_green_round.values(), default=0)
 
-    def prio(n: str) -> int:
-        if n not in ever_green:
-            return 0  # never certified: highest priority for the window
-        if n not in latest_green:
-            return 1  # regressed in the latest driver round (e.g. the r3
-            #           testdata schema drift): refresh their evidence
-        return 2
-
-    # Within the all-green tier, least-recently-certified first so the
-    # driver's bounded certification window cycles over the whole registry
-    # instead of re-checking the same definition-order prefix forever.
-    return sorted(
-        names,
-        key=lambda n: (prio(n), last_green_round.get(n, 0), names.index(n)),
+    regressed = [n for n in names if n in ever_green and n not in latest_green]
+    never = [n for n in names if n not in ever_green]
+    stale = sorted(
+        (n for n in names if n in latest_green and last_green_round[n] < max_round),
+        key=lambda n: (last_green_round[n], names.index(n)),
     )
+    fresh = [n for n in names if n in latest_green and last_green_round[n] == max_round]
+
+    # Regressed rows refresh first. Then STALE (certified in an older round
+    # — the testdata regenerates every round, so old green rows rot) and
+    # NEVER-certified (new operators) are round-robin interleaved: a burst
+    # of new queries must not push the re-certification backlog out of the
+    # driver's bounded window, and a large backlog must not starve new
+    # queries of their first certification. Freshest-round rows cycle last.
+    interleaved: list[str] = []
+    for i in range(max(len(stale), len(never))):
+        if i < len(stale):
+            interleaved.append(stale[i])
+        if i < len(never):
+            interleaved.append(never[i])
+    return regressed + interleaved + fresh
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
