@@ -5063,6 +5063,66 @@ def customer_order_history_strings(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "doc_budget_selection",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+                   + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+                   + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
+                 6) AS quality,
+               len(w) AS n_tokens
+        FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
+    ), c AS (
+        SELECT *, sum(n_tokens) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens * 10 <= 3 * (SELECT sum(n_tokens) FROM q)
+    """,
+)
+def doc_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus curation: take documents best-quality-first until
+    30% of the corpus token budget is filled (the greedy selection step of
+    quality-weighted data curation).
+
+    Scale: quality and token counts are map-only; the global quality-ordered
+    cumulative token sum runs through the two-level sharded prefix sum
+    (operators/prefix.py) over quality-range shards — no single-partition
+    corpus sort (which is what the oracle's one-window SQL would plan). The
+    budget test is an integer cross-multiply against a broadcast 1-row
+    total.
+    """
+    from elastic_surv_spark.functions.text import quality_score, token_count
+    from elastic_surv_spark.operators.prefix import sharded_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn("_ord", F.struct((-F.col("quality")).alias("nq"), F.col("doc_id")))
+    ranked = sharded_cumsum(
+        q,
+        part_cols=[],
+        order_col="_ord",
+        value_col="n_tokens",
+        # monotone in the primary (descending-quality) order dimension
+        shard=F.floor(-F.col("quality") * 16),
+        out_col="cum_tokens",
+    )
+    total = q.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(F.col("cum_tokens") * 10 <= 3 * F.col("_tot"))
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
