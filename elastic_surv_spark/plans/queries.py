@@ -5123,6 +5123,50 @@ def doc_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rolling_active_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ), days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day, count(DISTINCT ud.user_id) AS active_7d
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the DAU/WAU metric.
+    Windowed COUNT DISTINCT doesn't exist in Spark (or any engine's window
+    frames), so the scale-correct form is offset explosion: each (user,
+    day) presence row votes for the 7 window-end days it belongs to, then
+    one distinct-count per day.
+
+    Scale: presence dedups to (user, day) first (shuffle on the pair), the
+    ×7 explode is map-side, the day spine broadcasts for the semi-join, and
+    the final per-day distinct aggregate partial-aggregates. Work is
+    7·|presence| — linear, vs the quadratic day×history self-join the
+    oracle states.
+    """
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    votes = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day"),
+    )
+    return (
+        votes.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(F.col("day").cast("long").alias("day"), "active_7d")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Distributed statistics: hypothesis tests, correlation, grouped regression —
 # single-pass moment sums (exact decimals) + closed-form driver-free algebra.
