@@ -119,7 +119,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, spec in REGISTRY.items():
+    # SPARK_GRAFT_BENCH_FIRST=<query> times that query before the rest —
+    # the attribution knob for in-bench-vs-solo gaps (a query that is slow
+    # late in the board but fast when first is suffering shared-JVM
+    # pressure from its predecessors, not a plan regression).
+    order = list(REGISTRY.items())
+    first = os.environ.get("SPARK_GRAFT_BENCH_FIRST")
+    if first and first in REGISTRY:
+        order.sort(key=lambda kv: kv[0] != first)
+    for name, spec in order:
         # Local mode runs driver+executor in ONE JVM: without a nudge the
         # 48g heap GCs rarely, ContextCleaner lags, and stale shuffle/
         # broadcast blocks from earlier queries degrade later ones by 2-5×.

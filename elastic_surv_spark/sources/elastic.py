@@ -268,6 +268,56 @@ def parse_agg_response(
     return rows, groups.get("after_key")
 
 
+def _es_post(url: str, body: dict, timeout: float = 30.0) -> dict:
+    """POST a JSON body to an ES REST endpoint via stdlib urllib — the
+    driver-side transport for the aggregation-pushdown path (no client
+    library, no connector jar). Driver-only and tiny: one request per
+    composite page, never per row."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
+        return json.loads(r.read().decode())
+
+
+def es_count(base_url: str, index: str, query: dict | None = None) -> int:
+    """Server-side row count ≡ the reference's ``es_client.count``
+    (reference src/elastic_surv/dataset.py:241-246), optionally filtered."""
+    body = {} if query is None else {"query": query.get("query", query)}
+    return int(_es_post(f"{base_url}/{index}/_count", body)["count"])
+
+
+def es_aggregate(
+    base_url: str,
+    index: str,
+    metrics: dict[str, tuple[str, str]],
+    group_by: list[str] | None = None,
+    query: dict | None = None,
+    page_size: int = 1000,
+    **kind_opts,
+) -> list[dict]:
+    """Run a (grouped) metric aggregation against a live ES ``_search``
+    endpoint, paginating the composite aggregation via ``after_key`` until
+    exhausted — the transport loop behind eland-style server-side aggs
+    (reference src/elastic_surv/dataset.py:228-271). Returns plain row
+    dicts; group count is unbounded (composite paginates, unlike terms'
+    silent top-N truncation)."""
+    rows: list[dict] = []
+    after: dict | None = None
+    while True:
+        body = agg_request(metrics, group_by, query, after, page_size, **kind_opts)
+        resp = _es_post(f"{base_url}/{index}/_search", body)
+        page, after = parse_agg_response(resp, metrics, group_by)
+        rows.extend(page)
+        if not group_by or after is None:
+            return rows
+
+
 def es_reader(
     spark: SparkSession,
     index_pattern: str,

@@ -40,6 +40,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     a, b = canonical(spark_pdf), canonical(duck_pdf)
+    # dtype-drift gate: the driver hashes raw values, so an int64 column on one
+    # side vs float64 on the other (DuckDB sum(INTEGER)->HUGEINT->float64)
+    # hash-fails even when values are equal. Catch it here, pre-driver.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ("f" in (ka, kb)) and ({ka, kb} & set("iu")):
+            problems.append(
+                f"col {c}: dtype drift — spark kind={ka!r} ({a[c].dtype}) vs "
+                f"duck kind={kb!r} ({b[c].dtype}); driver hash would fail even "
+                f"on equal values (CAST the oracle output)"
+            )
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
