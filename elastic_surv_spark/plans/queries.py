@@ -5506,6 +5506,365 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# Corpus governance: source-mixture audits, cross-source leakage, split
+# audits, vocabulary stats — the reporting layer of an LLM data pipeline.
+# --------------------------------------------------------------------------- #
+@query(
+    "source_mixture_report",
+    f"""
+    WITH q AS (
+        SELECT source, lang, text,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+                   + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+                   + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
+                 6) AS quality
+        FROM (SELECT source, lang, text, string_split(trim(text), ' ') AS w FROM documents)
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           count(DISTINCT text) AS n_distinct_texts,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+    FROM q GROUP BY source, lang
+    """,
+)
+def source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus governance table: doc count, token mass,
+    distinct-text count (exact-dup pressure), mean quality — the audit a
+    mixture owner reads before setting sampling weights.
+
+    Scale: ONE grouped aggregate over a map-only projection; the distinct-
+    text count shuffles 8-byte xxhash64 fingerprints (never the text — a
+    64-bit collision inside one (source, lang) group would be needed to
+    change the count; same caveat the dedup operators document), and the
+    quality mean uses the exact-decimal sum so it's order-independent.
+    """
+    from elastic_surv_spark.functions.text import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            "lang",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.xxhash64("text").alias("_fp"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count_distinct("_fp").alias("n_distinct_texts"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "crosssource_dup_leakage",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    ), edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
+                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+    FROM edges
+    JOIN documents da ON edges.id_a = da.doc_id
+    JOIN documents db ON edges.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def crosssource_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: exact-Jaccard near-dup
+    pairs bucketed by the (unordered) source pair — the train/eval
+    contamination signal when sources map to splits (a benchmark document
+    near-duplicated in a crawl source is exactly how test data leaks into
+    training corpora).
+
+    Scale: edges come from the exact inverted-index Jaccard plan (postings
+    join on 8-byte shingle hashes — O(postings + co-pairs), never n²);
+    the two doc_id→source resolutions are equi-joins on the pair ids
+    (output-size-bound), and the final matrix is |sources|² rows.
+    """
+    from elastic_surv_spark.operators.dedup_fuzzy import shingle_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return (
+        pairs.select("id_a", "id_b")
+        .join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")), "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross"),
+        )
+    )
+
+
+@query(
+    "token_length_histogram",
+    """
+    WITH t AS (
+        SELECT len(string_split(trim(text), ' ')) AS n FROM documents
+    )
+    SELECT length(bin(n)) - 1 AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS token_mass,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram (bucket = floor(log2 n)) —
+    the length-distribution profile behind truncation/packing decisions.
+
+    The bucket is computed as the BINARY-STRING length minus one (Spark
+    ``conv(n, 10, 2)``, DuckDB ``bin(n)``) — pure integer arithmetic on
+    both engines, immune to the float-log pitfall where log2(2^k) lands on
+    k−ε and floors wrong.
+
+    Scale: map-only projection + one tiny grouped aggregate (≤ 64 buckets).
+    """
+    from elastic_surv_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text")).cast("long")
+    return (
+        d.select(n.alias("n"))
+        .select((F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1).cast("long").alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("token_mass"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "stratified_split_audit",
+    """
+    WITH h AS (
+        SELECT lang,
+               (((((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296)
+                * 65536
+                + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS hash32
+        FROM documents
+    ), s AS (
+        SELECT lang,
+               CASE WHEN hash32 < 3435973836 THEN 'train'
+                    WHEN hash32 < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY lang), 6) AS share
+    FROM s GROUP BY lang, split
+    """,
+)
+def stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment audited per
+    language: each doc's split comes from pure integer hashing of doc_id
+    (the overflow-safe Knuth multiplicative hash — rerunnable on any
+    engine, no RNG state, stable under corpus growth), and the output is
+    the per-(lang, split) count + share table a pipeline owner checks for
+    stratification drift.
+
+    Scale: the split decision is map-side integer arithmetic; one grouped
+    aggregate plus a window over ≤ 3 rows per language.
+    """
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("doc_id") % F.lit(4294967296)
+    hash32 = (
+        ((x / 65536).cast("long") * F.lit(2654435761)) % F.lit(4294967296) * F.lit(65536)
+        + (x % 65536) * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    split = (
+        F.when(hash32 < 3435973836, "train")
+        .when(hash32 < 3865470566, "val")
+        .otherwise("test")
+    )
+    counts = d.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "source_vocab_stats",
+    """
+    WITH toks AS (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS w FROM documents
+    )
+    SELECT source,
+           count(DISTINCT w) AS vocab_size,
+           count(*) AS n_tokens,
+           round(count(DISTINCT w)::DOUBLE / count(*), 6) AS type_token_ratio
+    FROM toks GROUP BY source
+    """,
+)
+def source_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size and type-token ratio — the lexical-
+    diversity fingerprint that separates template/boilerplate sources from
+    natural text in a corpus audit.
+
+    Scale: explode words once; the exact distinct count shuffles (source,
+    word) — linear in token volume with map-side pre-aggregation, no
+    all-pairs anything. Words travel as strings (they're short); the
+    distinct is per-source exact, matching the oracle bit-for-bit.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    return toks.groupBy("source").agg(
+        F.count_distinct("w").alias("vocab_size"),
+        F.count("*").alias("n_tokens"),
+        F.round(F.count_distinct("w").cast("double") / F.count("*"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@query(
+    "embedding_label_centroid_stats",
+    """
+    WITH e AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
+    ), ex AS (
+        SELECT vec_id, label,
+               unnest(range(1, len(embedding) + 1)) AS idx,
+               unnest([CAST(v AS DOUBLE) for v in embedding]) AS x
+        FROM e
+    ), nlab AS (
+        SELECT label, count(*) AS nl FROM e GROUP BY label
+    ), cent AS (
+        SELECT ex.label, idx,
+               CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / any_value(nl) AS c
+        FROM ex JOIN nlab ON ex.label = nlab.label
+        GROUP BY ex.label, idx
+    ), cn AS (
+        SELECT label,
+               CAST(sum(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE) AS cn2
+        FROM cent GROUP BY label
+    ), mem AS (
+        SELECT vec_id, any_value(ex.label) AS label,
+               CAST(sum(CAST(x * c AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+               CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS x2
+        FROM ex JOIN cent ON ex.label = cent.label AND ex.idx = cent.idx
+        GROUP BY vec_id
+    ), cosv AS (
+        SELECT mem.label, round(dot / (sqrt(x2) * sqrt(cn2)), 6) AS cos
+        FROM mem JOIN cn ON mem.label = cn.label
+        WHERE x2 > 0 AND cn2 > 0
+    )
+    SELECT cosv.label, count(*) AS n,
+           round(sqrt(any_value(cn2)), 6) AS centroid_norm,
+           round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_cos,
+           round(min(cos), 6) AS min_cos,
+           round(max(cos), 6) AS max_cos
+    FROM cosv JOIN cn ON cosv.label = cn.label
+    GROUP BY cosv.label
+    """,
+)
+def embedding_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label diagnostics: per-label centroid norm plus the
+    min/avg/max cosine of members to their own centroid — the cluster-
+    tightness report that flags mislabeled or collapsed embedding groups
+    before they poison curation decisions built on them.
+
+    Scale: posexplode is linear in corpus×dims; centroids reduce to
+    |labels|×dims rows which BROADCAST back onto the exploded members (no
+    second corpus shuffle for the dot products); every floating
+    accumulation (centroid components, dot, norms, cosine mean) runs
+    through exact DECIMAL sums so both engines agree bit-for-bit
+    independent of partition/visit order.
+    """
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("idx0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("idx0") + 1).alias("idx"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    dec = lambda col: F.sum(col.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    nlab = e.groupBy("label").agg(F.count("*").alias("nl"))
+    cent = (
+        ex.groupBy("label", "idx")
+        .agg(dec(F.col("x")).alias("_sx"))
+        .join(F.broadcast(nlab), "label")
+        .select("label", "idx", (F.col("_sx") / F.col("nl")).alias("c"))
+    )
+    cn = cent.groupBy("label").agg(dec(F.col("c") * F.col("c")).alias("cn2"))
+    mem = (
+        ex.join(F.broadcast(cent), ["label", "idx"])
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            dec(F.col("x") * F.col("c")).alias("dot"),
+            dec(F.col("x") * F.col("x")).alias("x2"),
+        )
+    )
+    cosv = (
+        mem.join(F.broadcast(cn), "label")
+        .filter((F.col("x2") > 0) & (F.col("cn2") > 0))
+        .select(
+            "label",
+            "cn2",
+            F.round(
+                F.col("dot") / (F.sqrt("x2") * F.sqrt("cn2")), 6
+            ).alias("cos"),
+        )
+    )
+    return cosv.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sqrt(F.first("cn2")), 6).alias("centroid_norm"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
+
+
 def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     """(ever_green, latest_green, last_green_round) per query from the
     driver's past CORRECTNESS_r*.json files at the repo root.
