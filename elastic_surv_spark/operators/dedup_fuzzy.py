@@ -294,14 +294,16 @@ def simhash64(
             F.lit(0).cast("long")
         )
     sigs = agg.select(F.col(id_col), sig.alias("simhash"))
-    return (
-        base.select(F.col(id_col))
-        .join(sigs, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"),
-        )
+    # Zero-token docs (NULL/empty text) never survive the explode; re-attach
+    # them with signature 0 via a cheap filtered scan + union rather than a
+    # left join (the join shuffled every id a second time just to coalesce
+    # a handful of nulls).
+    empty = base.filter(
+        F.col("_w").isNull() | (F.size("_w") <= 0)  # size(NULL) is NULL, not -1
+    ).select(
+        F.col(id_col), F.lit(0).cast("long").alias("simhash")
     )
+    return sigs.unionByName(empty)
 
 
 def simhash_near_pairs(

@@ -5932,19 +5932,15 @@ def _export_order() -> list[str]:
     )
     fresh = [n for n in names if n in latest_green and last_green_round[n] == max_round]
 
-    # Regressed rows refresh first. Then STALE (certified in an older round
-    # — the testdata regenerates every round, so old green rows rot) and
-    # NEVER-certified (new operators) are round-robin interleaved: a burst
-    # of new queries must not push the re-certification backlog out of the
-    # driver's bounded window, and a large backlog must not starve new
-    # queries of their first certification. Freshest-round rows cycle last.
-    interleaved: list[str] = []
-    for i in range(max(len(stale), len(never))):
-        if i < len(stale):
-            interleaved.append(stale[i])
-        if i < len(never):
-            interleaved.append(never[i])
-    return regressed + interleaved + fresh
+    # Regressed rows refresh first, then NEVER-certified (a new operator has
+    # ZERO certification evidence, while a stale green row still has last
+    # round's — so first-time certification outranks re-certification), then
+    # STALE rows least-recently-certified first (the testdata regenerates
+    # every round, so old green rows rot). Freshest-round rows cycle last.
+    # Registry growth stays bounded by the review process (never-certified +
+    # regressed must fit the driver's certification window), so a burst of
+    # new queries starving the stale backlog is prevented upstream.
+    return regressed + never + stale + fresh
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
