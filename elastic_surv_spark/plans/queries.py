@@ -5865,6 +5865,146 @@ def embedding_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "part_affinity_pairs",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pc AS (
+        SELECT l_partkey, count(*) AS n_part FROM li GROUP BY l_partkey
+    ), tot AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_both,
+           round(CAST(n_both AS DOUBLE) * n_orders / (pa.n_part * pb.n_part), 6) AS lift
+    FROM pairs
+    JOIN pc pa ON part_a = pa.l_partkey
+    JOIN pc pb ON part_b = pb.l_partkey, tot
+    WHERE n_both >= 2
+    """,
+)
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in at least two
+    orders, with lift = P(a,b) / (P(a)·P(b)) — the co-occurrence/
+    recommendation shape missing from the TPC-H patterns.
+
+    Scale: the self-join is keyed on l_orderkey, so candidate pairs are
+    Σ C(basket, 2) per order — LINEAR in orders for bounded basket sizes
+    (the universal market-basket bound; a pathological giant basket is a
+    data bug, not a plan choice). Per-part counts and the 1-row order
+    total broadcast onto the pair aggregate; the n_both ≥ 2 support filter
+    keeps the output to genuinely associated pairs.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    li = l.select("l_orderkey", "l_partkey").distinct()
+    pc = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    tot = li.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("_na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("_nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n_orders")
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS r_day,
+               count(*) AS freq,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+        FROM orders GROUP BY o_custkey
+    ), th AS (
+        SELECT quantile_cont(r_day, 0.5) AS r_med,
+               quantile_cont(freq, 0.5) AS f_med,
+               quantile_cont(CAST(mon AS DOUBLE), 0.5) AS m_med
+        FROM cust
+    )
+    SELECT concat('R', CASE WHEN r_day >= r_med THEN '1' ELSE '0' END,
+                  'F', CASE WHEN freq >= f_med THEN '1' ELSE '0' END,
+                  'M', CASE WHEN CAST(mon AS DOUBLE) >= m_med THEN '1' ELSE '0' END) AS segment,
+           count(*) AS n_customers,
+           CAST(round(sum(mon), 2) AS DOUBLE) AS revenue
+    FROM cust, th
+    GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order day) / frequency /
+    monetary, each split at its exact corpus median, customers bucketed
+    into the 8 R·F·M segments with count and revenue — the classic
+    marketing-analytics cube.
+
+    Scale: one grouped aggregate to per-customer RFM rows; the three
+    medians reduce to ONE 1-row aggregate (exact ``percentile`` ≡ duckdb
+    ``quantile_cont``, same parity contract as order_value_percentiles)
+    that BROADCASTS back; the segment label is then map-side and the final
+    aggregate has ≤ 8 groups. Recency is integer epoch-day arithmetic —
+    engine-portable, no timezone trap.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        ).alias("r_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("mon"),
+    )
+    th = cust.agg(
+        F.expr("percentile(r_day, 0.5)").alias("r_med"),
+        F.expr("percentile(freq, 0.5)").alias("f_med"),
+        F.expr("percentile(CAST(mon AS DOUBLE), 0.5)").alias("m_med"),
+    )
+    seg = F.concat(
+        F.lit("R"), F.when(F.col("r_day") >= F.col("r_med"), "1").otherwise("0"),
+        F.lit("F"), F.when(F.col("freq") >= F.col("f_med"), "1").otherwise("0"),
+        F.lit("M"),
+        F.when(F.col("mon").cast("double") >= F.col("m_med"), "1").otherwise("0"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(th))
+        .select(seg.alias("segment"), "mon")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("mon"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
 def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     """(ever_green, latest_green, last_green_round) per query from the
     driver's past CORRECTNESS_r*.json files at the repo root.
