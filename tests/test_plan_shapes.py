@@ -263,3 +263,27 @@ def test_similar_part_names_candidate_volume_sub_quadratic(spark):
     # pair count is bounded by the dictionary's true near-dup pairs — far
     # below the all-pairs square
     assert name_pairs <= n_names * (n_names - 1) / 4
+
+
+def test_affinity_pairs_basket_join_and_broadcast_dims(spark):
+    # candidate pairs come from an equi-join keyed on l_orderkey — work is
+    # Σ C(basket, 2), linear in orders for bounded baskets — and the
+    # per-part counts + 1-row order total ride in as broadcasts, so the
+    # only sized shuffles are the distinct and the pair aggregate
+    plan = _plan(spark, "part_affinity_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
+    # scan pruned to the two referenced lineitem columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_rfm_thresholds_broadcast_once(spark):
+    # the three medians collapse to ONE keyless percentile aggregate that
+    # broadcasts back onto the per-customer rows; segment labeling is then
+    # map-side and the final aggregate has ≤ 8 groups — customer rows never
+    # shuffle on anything but o_custkey
+    plan = _plan(spark, "customer_rfm_segments")
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "IdentityBroadcastMode" in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 2  # cust + its threshold twin
+    assert "CartesianProduct" not in plan
