@@ -124,7 +124,12 @@ def main() -> None:
     # late in the board but fast when first is suffering shared-JVM
     # pressure from its predecessors, not a plan regression).
     order = list(REGISTRY.items())
-    first = os.environ.get("SPARK_GRAFT_BENCH_FIRST")
+    # Default: the flagship e2e pipeline runs FIRST. Measured r6: it prints
+    # 10.8-12.1 s when late in a 119-query board vs 5.2 s first in the SAME
+    # JVM on a byte-identical plan — pure predecessor GC debt/stragglers.
+    # First-position gives the one headline query an uninflated number (and
+    # the board ~10% total, 129.2 -> 116.6 s; SOLO_BENCH_r06.md).
+    first = os.environ.get("SPARK_GRAFT_BENCH_FIRST", "llm_data_pipeline_e2e")
     if first and first in REGISTRY:
         order.sort(key=lambda kv: kv[0] != first)
     for name, spec in order:
