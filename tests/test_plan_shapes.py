@@ -220,7 +220,10 @@ def test_registry_sweep_no_cartesian_product(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         checked += 1
-    assert checked >= 90  # the sweep really covers the registry
+    # the sweep really covers the registry: only streaming rows and the
+    # eager BPE trainer may be skipped
+    assert checked + len(skipped) == len(REGISTRY)
+    assert len(skipped) <= 10, skipped
 
 
 def test_similar_part_names_candidates_blocked_on_segments(spark):
