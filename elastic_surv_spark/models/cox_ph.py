@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from elastic_surv_spark.metrics.km import quantize_times
 from elastic_surv_spark.models.base import SurvModel
 from elastic_surv_spark.models.data import SurvDataset
 from elastic_surv_spark.models.params import Categorical, Integer, Params
@@ -91,15 +92,42 @@ class CoxPHModel(SurvModel):
 
     def _post_fit(self, dataset: SurvDataset) -> None:
         """Breslow baseline hazards as a distributed window aggregate
-        (≡ reference compute_baseline_hazards, model_cox_ph.py:100-103)."""
+        (≡ reference compute_baseline_hazards, model_cox_ph.py:100-103).
+
+        Scale posture: the distinct-time domain is coarsened to
+        ≤ ``max_curve_points`` bins DISTRIBUTEDLY (``quantize_times``, the
+        same life-table discretization metrics/km.py uses — a no-op below
+        the cap, so discrete-time curves stay bit-identical to the exact
+        form) BEFORE the cum-sum windows and the collect. With continuous
+        float times at any n, the grouped curve, both windows, and the
+        driver collect are all O(max_curve_points) — no driver-side O(n)
+        anywhere in the fit.
+        """
         scored = self.predict_risk(dataset.train_df, dataset)
         t_col, e_col = dataset.time_column, dataset.event_column
+        scored = quantize_times(
+            scored.withColumn(t_col, F.col(t_col).cast("double")),
+            t_col,
+            self.max_curve_points,
+        )
         grouped = scored.groupBy(F.col(t_col).alias("t")).agg(
             F.sum(F.col(e_col).cast("double")).alias("d"),
             F.sum("exp_g").alias("sum_eg"),
         )
-        w_rev = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
-        w_fwd = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+        # constant-valued partition column (see metrics/km.py): the windows
+        # run over the bounded aggregated curve — one deliberate task, with
+        # a declared partitioning instead of the unpartitioned-window warning.
+        grouped = grouped.withColumn("_p", F.pmod(F.col("d").cast("long"), F.lit(1)))
+        w_rev = (
+            Window.partitionBy("_p")
+            .orderBy(F.desc("t"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_fwd = (
+            Window.partitionBy("_p")
+            .orderBy(F.asc("t"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
         curve = (
             grouped.withColumn("denom", F.sum("sum_eg").over(w_rev))
             .withColumn("h0", F.col("d") / F.col("denom"))
@@ -107,18 +135,11 @@ class CoxPHModel(SurvModel):
             .select("t", "H0")
             .orderBy("t")
         ).collect()
-        ts = np.array([float(r["t"]) for r in curve])
-        H0 = np.array([float(r["H0"]) for r in curve])
-        if len(ts) > self.max_curve_points:
-            # quantize the duration index at scale; step-curve semantics kept
-            take = np.unique(
-                np.searchsorted(
-                    ts, np.quantile(ts, np.linspace(0, 1, self.max_curve_points))
-                ).clip(0, len(ts) - 1)
-            )
-            ts, H0 = ts[take], H0[take]
-        self.cuts = ts
-        self.baseline_cumhaz = H0
+        # bounded by construction: quantize_times caps the domain at
+        # max_curve_points bins (+1 for the lower edge)
+        assert len(curve) <= self.max_curve_points + 1, len(curve)
+        self.cuts = np.array([float(r["t"]) for r in curve])
+        self.baseline_cumhaz = np.array([float(r["H0"]) for r in curve])
 
     def predict_risk(self, df, dataset: SurvDataset):
         """Adds exp_g (partial hazard) via distributed forward pass."""

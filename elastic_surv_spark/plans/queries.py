@@ -1359,13 +1359,22 @@ def _simhash_shared(spark: SparkSession, sf_dir: str):
         sigs, "doc_id", max_hamming=7, n_chunks=8
     ).select("id_a", "id_b")
     exact = _verified_jaccard_pairs(cand8, toks, "doc_id", 0.5, 6).persist()
-    while len(_SIMHASH_SHARED) >= _SIMHASH_SHARED_MAX:
-        _, old = _SIMHASH_SHARED.popitem()
-        for frame in old[1:]:
+
+    def _release(entry):
+        for frame in entry[1:]:
             try:
                 frame.unpersist()
             except Exception:  # stale session — nothing to release
                 pass
+
+    # same key cached under an older session: release before overwriting
+    stale = _SIMHASH_SHARED.pop(sf_dir, None)
+    if stale is not None:
+        _release(stale)
+    # evict OLDEST-first (dict preserves insertion order; popitem() would be
+    # LIFO and thrash the newest slot while old frames stay pinned — ADVICE r6)
+    while len(_SIMHASH_SHARED) >= _SIMHASH_SHARED_MAX:
+        _release(_SIMHASH_SHARED.pop(next(iter(_SIMHASH_SHARED))))
     _SIMHASH_SHARED[sf_dir] = (spark, sigs, toks, exact)
     return sigs, toks, exact
 
@@ -4328,9 +4337,69 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_bpe_learned_merges", None)  # iterative — not SQL-expressible;
-# correctness is pinned instead by tests/test_bpe.py (exact match against a
-# single-machine Sennrich merge loop, incl. tiebreaks and min_freq stop).
+def _bpe_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
+    """Unrolled-loop DuckDB oracle for iterative BPE training.
+
+    The training loop is data-dependent but BOUNDED (n_merges rounds), so
+    it is SQL-expressible as a generated CTE chain — one (pair-count →
+    argmax → apply-merge) triple per round. Each word is a space-joined
+    symbol string with sentinel spaces; applying merge (a, b) is
+    ``replace(s, ' a b ', ' ab ')``, whose left-to-right non-overlapping
+    scan is exactly the Sennrich merge order (operators/bpe.py
+    ``_merge_symbols``). Early stop (best count < min_freq) falls out of a
+    LEFT JOIN against the possibly-empty per-round argmax: the merge is a
+    no-op and every later round reproduces the same empty argmax, emitting
+    no further ranks — identical to the training loop's ``break``.
+    """
+    parts = [
+        """w0 AS (
+        SELECT ' ' || array_to_string(
+                   [substring(w, i, 1) for i in range(1, length(w) + 1)], ' '
+               ) || ' ' AS s,
+               count(*) AS wc
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY 1
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+        SELECT pr.a AS a, pr.b AS b, sum(wc) AS cnt
+        FROM (
+            SELECT unnest([{{'a': t[i], 'b': t[i+1]}} for i in range(1, len(t))]) AS pr,
+                   wc
+            FROM (SELECT string_split(trim(s), ' ') AS t, wc FROM w{r - 1})
+            WHERE len(t) >= 2
+        )
+        GROUP BY pr.a, pr.b
+    ), b{r} AS (
+        SELECT a, b, cnt FROM p{r}
+        WHERE cnt >= {min_freq}
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ), w{r} AS (
+        SELECT CASE WHEN b.a IS NULL THEN w.s
+               ELSE replace(w.s, ' ' || b.a || ' ' || b.b || ' ',
+                            ' ' || b.a || b.b || ' ') END AS s,
+               w.wc
+        FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE
+    )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS r, a, b, cnt FROM b{r}" for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(r AS INTEGER) AS rank, a AS "left", b AS "right",
+           CAST(cnt AS BIGINT) AS weighted_count
+    FROM ({union})
+    """
+    )
+
+
+@query("doc_bpe_learned_merges", _bpe_oracle_sql(10, 2))
 def doc_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): the first 10
     learned merges over the documents corpus, in merge order.
@@ -4341,6 +4410,12 @@ def doc_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated per round with localCheckpoint. The training loop is eager by
     nature (each merge depends on the previous); the returned DataFrame is
     the merge list itself.
+
+    Oracle: the bounded loop unrolled into a generated DuckDB CTE chain
+    (``_bpe_oracle_sql`` — one pair-count/argmax/replace triple per round),
+    so the previously rows-only row is now exact-value certified; the
+    independent single-machine Sennrich cross-check stays in
+    tests/test_bpe.py.
     """
     from elastic_surv_spark.operators.bpe import train_bpe
 
@@ -5549,7 +5624,10 @@ def source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             token_count(F.col("text")).cast("long").alias("n_tokens"),
-            F.xxhash64("text").alias("_fp"),
+            # NULL guard: xxhash64(NULL) is the (non-NULL) seed hash, so an
+            # unguarded count_distinct would count NULL-text rows while the
+            # oracle's count(DISTINCT text) excludes them (ADVICE r6)
+            F.when(F.col("text").isNotNull(), F.xxhash64("text")).alias("_fp"),
             quality_score(F.col("text")).alias("quality"),
         )
         .groupBy("source", "lang")
@@ -6059,6 +6137,19 @@ def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     return ever_green, latest_green, last_green_round
 
 
+#: Queries whose PLAN changed after their most recent green certification —
+#: forced into the next driver window so a refactor never ships without
+#: fresh certification evidence (ADVICE r6 #3: the r6 simhash shared-cache
+#: refactor landed in no window). Maintained per round; an entry becomes a
+#: harmless no-op once the row re-greens (it would rotate forward anyway).
+_RECERT_FIRST = [
+    "simhash_near_dupes",  # r6 shared-subplan refactor, last green r5
+    "simhash_near_dupes_wide",  # r6 shared-subplan refactor, last green r5
+    "source_mixture_report",  # r7 NULL-text hash guard
+    "doc_bpe_learned_merges",  # r7 unrolled-loop oracle replaces rows-only
+]
+
+
 def _export_order() -> list[str]:
     ever_green, latest_green, last_green_round = _certification_state()
     names = list(REGISTRY)
@@ -6066,21 +6157,40 @@ def _export_order() -> list[str]:
 
     regressed = [n for n in names if n in ever_green and n not in latest_green]
     never = [n for n in names if n not in ever_green]
+    recert = [
+        n
+        for n in _RECERT_FIRST
+        if n in names and n not in regressed and n not in never
+    ]
     stale = sorted(
-        (n for n in names if n in latest_green and last_green_round[n] < max_round),
+        (
+            n
+            for n in names
+            if n in latest_green
+            and last_green_round[n] < max_round
+            and n not in recert
+        ),
         key=lambda n: (last_green_round[n], names.index(n)),
     )
-    fresh = [n for n in names if n in latest_green and last_green_round[n] == max_round]
+    fresh = [
+        n
+        for n in names
+        if n in latest_green
+        and last_green_round[n] == max_round
+        and n not in recert
+    ]
 
     # Regressed rows refresh first, then NEVER-certified (a new operator has
     # ZERO certification evidence, while a stale green row still has last
     # round's — so first-time certification outranks re-certification), then
-    # STALE rows least-recently-certified first (the testdata regenerates
-    # every round, so old green rows rot). Freshest-round rows cycle last.
-    # Registry growth stays bounded by the review process (never-certified +
-    # regressed must fit the driver's certification window), so a burst of
-    # new queries starving the stale backlog is prevented upstream.
-    return regressed + never + stale + fresh
+    # plan-changed RECERT rows (green evidence exists but predates a
+    # refactor), then STALE rows least-recently-certified first (the
+    # testdata regenerates every round, so old green rows rot).
+    # Freshest-round rows cycle last. Registry growth stays bounded by the
+    # review process (never-certified + regressed must fit the driver's
+    # certification window), so a burst of new queries starving the stale
+    # backlog is prevented upstream.
+    return regressed + never + recert + stale + fresh
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -150,11 +150,22 @@ def test_export_order_rotation():
     finally:
         del os.environ["ELASTIC_SURV_SPARK_NO_CERT_ROTATION"]
 
-    # Among all-green queries, less-recently-certified must sort earlier.
+    # Among all-green queries, less-recently-certified must sort earlier —
+    # except the plan-changed _RECERT_FIRST rows, which jump the stale queue
+    # so refactors never ship without fresh certification (ADVICE r6 #3).
     _, latest_green, rounds = q._certification_state()
-    greens = [n for n in order if n in latest_green and rounds.get(n)]
+    greens = [
+        n
+        for n in order
+        if n in latest_green and rounds.get(n) and n not in q._RECERT_FIRST
+    ]
     certified_rounds = [rounds[n] for n in greens]
     assert certified_rounds == sorted(certified_rounds)
+
+    # Recert rows precede every stale green row they outrank.
+    recert_pos = [order.index(n) for n in q._RECERT_FIRST if n in latest_green]
+    if recert_pos and greens:
+        assert max(recert_pos) < order.index(greens[0])
 
 
 def test_blocked_cosine_kernel_is_single_exchange_no_join(spark):
