@@ -87,6 +87,72 @@ def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def solo_main(sf_dir: str, names: list[str]) -> None:
+    """`bench.py --solo <sf_dir> <query...>`: cold/warm pairs in a FRESH
+    process — the attribution ground truth for in-bench numbers, which
+    swing ±3× on identical plans from shared-JVM pressure
+    (SOLO_BENCH_r05/r06). Prints one JSON line {name: {solo_cold,
+    solo_warm}}; cold = first execution after the table-touch warmup,
+    warm = best of 2 repeats."""
+    from elastic_surv_spark.sources.parquet import TABLES, load_table
+
+    spark = get_spark("elastic-surv-spark-solo")
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+    res: dict[str, dict[str, float]] = {}
+    for name in names:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        runs: list[float] = []
+        try:
+            for _ in range(3):
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+                df = spec.fn(spark, sf_dir)
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - start)
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"SOLO ERROR {name}: {exc}", file=sys.stderr)
+            continue
+        res[name] = {
+            "solo_cold": round(runs[0], 3),
+            "solo_warm": round(min(runs[1:]), 3) if len(runs) > 1 else None,
+        }
+    print(json.dumps(res, separators=(",", ":")))
+    sys.stdout.flush()
+    spark.stop()
+
+
+def _solo_attribution(sf_dir: str, names: list[str]) -> dict[str, dict]:
+    """Run the solo mode in a fresh subprocess (fresh JVM) and parse its
+    JSON line. Failures degrade to {} — attribution must never sink the
+    bench."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--solo", sf_dir, *names]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+                if isinstance(parsed, dict):
+                    return parsed
+            except ValueError:
+                continue
+    except Exception as exc:  # pragma: no cover - defensive
+        print(f"SOLO SUBPROCESS ERROR: {exc}", file=sys.stderr)
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -159,13 +225,36 @@ def main() -> None:
     e2e_stages = None
     if os.environ.get("SPARK_GRAFT_E2E_STAGES"):
         e2e_stages = time_e2e_stages(spark, sf_dir)
+    # Mechanical attribution (r6 brief #4): re-run the top-N slowest board
+    # lines solo in a fresh process and publish {in_bench, solo_cold,
+    # solo_warm} side by side — ends the recurring "regression or shared-JVM
+    # noise?" question without a manual measurement round.
+    # SPARK_GRAFT_SOLO_TOP=0 disables.
+    solo: dict[str, dict] = {}
+    solo_top = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "3") or 0)
+    if solo_top > 0 and timings:
+        top = [
+            k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:solo_top]
+        ]
+        measured = _solo_attribution(sf_dir, top)
+        solo = {
+            k: {"in_bench": timings[k], **measured[k]}
+            for k in top
+            if k in measured
+        }
     payload = {
         "metric": "registry_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # effective measurement order (ADVICE r6 #4): per-query numbers are
+        # position-sensitive, so cross-round comparisons need the order on
+        # record. "<name>-first" or "registry" (definition order).
+        "order": f"{first}-first" if first and first in REGISTRY else "registry",
     }
+    if solo:
+        payload["solo"] = solo
     if errors:
         payload["errors"] = errors
     if e2e_stages:
@@ -200,4 +289,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--solo":
+        solo_main(sys.argv[2], sys.argv[3:])
+    else:
+        main()

@@ -218,23 +218,68 @@ def test_q13_left_outer_preserved(spark):
     assert "LeftOuter" in plan
 
 
+# Global (unpartitioned) windows move ALL input to one task — fatal on raw
+# rows at scale, deliberate on tiny aggregated inputs. These queries run a
+# global window over a bounded post-aggregate domain, each documented at its
+# site; anything NOT listed here that plans one is a regression.
+_GLOBAL_WINDOW_OK = {
+    "orders_monthly_trend",  # lag over ~84 month-aggregate rows
+    "doc_mixture_weights",  # broadcast scalar corpus total
+    "important_part_revenue_share",  # broadcast scalar revenue total
+    "top_revenue_supplier",  # global max over supplier aggregates
+    "bpe_merge_pairs",  # top-10 over the pair-vocabulary aggregate
+    "customer_spend_distribution",  # prefix sum over 32 shard totals
+    "doc_budget_selection",  # prefix sum over shard totals
+}
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes whose partition spec is empty (the WindowExec
+    single-partition warning). Physical print shapes: trailing bracket
+    groups after the expr list are [partition], [order] — both present when
+    partitioned+ordered, only a no-ASC/DESC group when partitioned-
+    unordered, only an ASC/DESC group when UNpartitioned-ordered, and no
+    group at all when fully global."""
+    import re
+
+    bad = []
+    for line in plan.splitlines():
+        if not re.search(r"\bWindow \[", line):
+            continue
+        tail = line[line.rfind(")") + 1 :]
+        groups = re.findall(r"\[([^\]]*)\]", tail)
+        if not groups or (
+            len(groups) == 1 and ("ASC" in groups[0] or "DESC" in groups[0])
+        ):
+            bad.append(line.strip()[:160])
+    return bad
+
+
 # every batch query in the registry, one sweep: nothing may plan a true
-# cartesian product (all-pairs work). Stream queries are excluded (their fn
-# drives a streaming harness, not a single batch plan) and the eager BPE
-# trainer too (its result is a literal merge list, not a plan).
-def test_registry_sweep_no_cartesian_product(spark):
+# cartesian product (all-pairs work), and nothing outside the documented
+# whitelist may plan a global window (single-task sort of its whole input).
+# Stream queries are excluded (their fn drives a streaming harness, not a
+# single batch plan) and the eager BPE trainer too (its result is a literal
+# merge list, not a plan).
+def test_registry_sweep_no_cartesian_or_rogue_global_window(spark):
     skipped, checked = [], 0
+    global_window = set()
     for name, spec in REGISTRY.items():
         if "_stream" in name or name == "doc_bpe_learned_merges":
             skipped.append(name)
             continue
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if _unpartitioned_windows(plan):
+            global_window.add(name)
         checked += 1
     # the sweep really covers the registry: only streaming rows and the
     # eager BPE trainer may be skipped
     assert checked + len(skipped) == len(REGISTRY)
     assert len(skipped) <= 10, skipped
+    assert global_window <= _GLOBAL_WINDOW_OK, (
+        f"undocumented global window in {sorted(global_window - _GLOBAL_WINDOW_OK)}"
+    )
 
 
 def test_similar_part_names_candidates_blocked_on_segments(spark):

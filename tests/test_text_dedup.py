@@ -453,3 +453,51 @@ def test_ann_recall_floors_hold_across_scale(spark, sf_dir):
               "embedding_pq_topk", "embedding_ann_ivfpq"):
         row = REGISTRY[q].fn(spark, sf_dir).collect()[0]
         assert row["recall_ok"], (q, sf_dir)
+
+
+def test_minhash_lsh_planted_pairs_at_threshold(spark):
+    # VERDICT r6 #6: the registry row's oracle equality holds because the
+    # natural corpus has no true pairs in the band-miss zone (j >= 0.89 →
+    # P(miss) <= 4e-6). This fixture PLANTS pairs right at the threshold
+    # (j ≈ 0.52–0.58, where banding theory gives P(hit) ≈ 0.92–0.96 for
+    # k=16, b=8, r=2) and certifies the documented behavior empirically:
+    # verification makes the output a SUBSET of exact (no false positives,
+    # exact jaccard values), and banding recall stays above the theoretical
+    # floor. Deterministic: xxhash64 signatures make recall a fixed number
+    # for this construction — no flake, re-rolled every run.
+    rows = []
+    n_pairs = 150
+    for p in range(n_pairs):
+        a = [f"p{p}w{i}" for i in range(40)]
+        # shared prefix L ∈ {28, 29, 30} → shared 3-shingles s = L - 2,
+        # jaccard = s / (76 - s) ∈ {0.520, 0.551, 0.583}
+        L = 28 + (p % 3)
+        b = a[:L] + [f"p{p}x{i}" for i in range(40 - L)]
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+    # sub-threshold decoys: j = 18/58 ≈ 0.31 — banding may candidate them,
+    # verification must drop them
+    for p in range(n_pairs, n_pairs + 30):
+        a = [f"p{p}w{i}" for i in range(40)]
+        b = a[:20] + [f"p{p}x{i}" for i in range(20)]
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = shingle_jaccard_pairs(df, threshold=0.5).toPandas()
+    lsh = minhash_lsh_pairs(df, threshold=0.5).toPandas()
+
+    planted = {(2 * p, 2 * p + 1) for p in range(n_pairs)}
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    assert exact_pairs == planted  # decoys are sub-threshold, pairs are planted
+
+    lsh_pairs = set(zip(lsh.id_a, lsh.id_b))
+    assert lsh_pairs <= exact_pairs  # verification: never a false positive
+    recall = len(lsh_pairs) / len(exact_pairs)
+    # theory: P(hit) = 1-(1-j²)^8 ≥ 0.920 at j=0.52; assert with slack
+    assert recall >= 0.85, recall
+
+    # recovered pairs carry the EXACT jaccard, not an estimate
+    ex = {(r.id_a, r.id_b): r.jaccard for r in exact.itertuples()}
+    for r in lsh.itertuples():
+        assert abs(ex[(r.id_a, r.id_b)] - r.jaccard) < 1e-9
