@@ -4337,8 +4337,8 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
-    """Unrolled-loop DuckDB oracle for iterative BPE training.
+def _bpe_cte_chain(n_merges: int = 10, min_freq: int = 2) -> str:
+    """Unrolled-loop DuckDB CTE chain for iterative BPE training.
 
     The training loop is data-dependent but BOUNDED (n_merges rounds), so
     it is SQL-expressible as a generated CTE chain — one (pair-count →
@@ -4385,18 +4385,48 @@ def _bpe_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
         FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE
     )"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
+    """Merge list (rank, left, right, weighted_count) from the unrolled
+    chain — the doc_bpe_learned_merges oracle."""
     union = "\n        UNION ALL ".join(
         f"SELECT {r} AS r, a, b, cnt FROM b{r}" for r in range(1, n_merges + 1)
     )
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        _bpe_cte_chain(n_merges, min_freq)
         + f"""
     SELECT CAST(r AS INTEGER) AS rank, a AS "left", b AS "right",
            CAST(cnt AS BIGINT) AS weighted_count
     FROM ({union})
     """
     )
+
+
+#: sf_dir → (session, merge list). BOTH BPE rows (learned_merges /
+#: tokenize_stats) need the same 10-merge training run; training is the
+#: expensive eager loop, the merge list is ~10 tuples. Like _SIMHASH_SHARED
+#: this changes WHEN training runs, never what it returns (train_bpe is
+#: deterministic); each row stays independently oracle-checked. No
+#: persisted frames, so eviction is just dict bounding.
+_BPE_MERGES: dict[str, tuple] = {}
+_BPE_MERGES_MAX = 4
+
+
+def _bpe_merges_shared(spark: SparkSession, sf_dir: str):
+    hit = _BPE_MERGES.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from elastic_surv_spark.operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=10)
+    _BPE_MERGES.pop(sf_dir, None)
+    while len(_BPE_MERGES) >= _BPE_MERGES_MAX:  # oldest-first
+        del _BPE_MERGES[next(iter(_BPE_MERGES))]
+    _BPE_MERGES[sf_dir] = (spark, merges)
+    return merges
 
 
 @query("doc_bpe_learned_merges", _bpe_oracle_sql(10, 2))
@@ -4415,15 +4445,147 @@ def doc_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_bpe_oracle_sql`` — one pair-count/argmax/replace triple per round),
     so the previously rows-only row is now exact-value certified; the
     independent single-machine Sennrich cross-check stays in
-    tests/test_bpe.py.
+    tests/test_bpe.py. Training shared per session via _bpe_merges_shared.
     """
-    from elastic_surv_spark.operators.bpe import train_bpe
-
-    d = _t(spark, sf_dir, "documents")
-    merges = train_bpe(d, "text", n_merges=10)
+    merges = _bpe_merges_shared(spark, sf_dir)
     rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, weighted_count long"
+    )
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
+    """Per-language tokenization stats from the unrolled chain's FINAL word
+    table: w{n}'s space-joined symbol string is each distinct word's fully
+    merged form, so token counts per word come from one split, and the
+    corpus rollup is a words→w{n} equi-join (key: the word itself,
+    reconstructed by stripping the symbol separators)."""
+    n = n_merges
+    return (
+        _bpe_cte_chain(n_merges, min_freq)
+        + f""", wtok AS (
+        SELECT replace(trim(s), ' ', '') AS word,
+               len(string_split(trim(s), ' ')) AS n_tok
+        FROM w{n}
+    ), tok_by_lang AS (
+        SELECT lang, sum(length(d.w)) AS n_chars, sum(t.n_tok) AS n_bpe_tokens
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) d
+        JOIN wtok t ON d.w = t.word
+        WHERE length(d.w) > 0
+        GROUP BY lang
+    ), docs_by_lang AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    )
+    SELECT l.lang, l.n_docs,
+           CAST(coalesce(t.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(t.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(round(CAST(t.n_chars AS DECIMAL(18,6)) / t.n_bpe_tokens, 6)
+                AS DOUBLE) AS chars_per_token
+    FROM docs_by_lang l LEFT JOIN tok_by_lang t USING (lang)
+    """
+    )
+
+
+@query("doc_bpe_tokenize_stats", _bpe_tokenize_oracle_sql(10, 2))
+def doc_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ROUND-TRIP at corpus scale: train 10 BPE merges
+    (operators/bpe.py train_bpe — distributed, vocabulary-sized rounds),
+    then APPLY them to every document (apply_bpe — merge list broadcast
+    with the closure, Arrow-batched per-word merge scan) and roll up
+    per-language compression stats. This certifies the apply path, which
+    is what actually runs over 100 TB once training is done.
+
+    Scale: training is the certified vocabulary-sized loop; application is
+    one map-only mapInPandas pass (no shuffle — the tokenizer model rides
+    the closure, the way a broadcast dictionary should); the rollup is a
+    tiny per-language aggregate. Oracle: the same unrolled CTE chain that
+    certifies the merge list, read at its FINAL word table (every corpus
+    word's fully merged form), joined back to the corpus — an independent
+    derivation of the identical tokenization. Training shared per session
+    via _bpe_merges_shared.
+    """
+    from elastic_surv_spark.operators.bpe import apply_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = _bpe_merges_shared(spark, sf_dir)
+    tok = apply_bpe(d.select("lang", "text"), "text", merges)
+    return (
+        tok.select(
+            "lang",
+            F.coalesce(
+                F.length(F.regexp_replace(F.col("text"), " ", "")), F.lit(0)
+            ).alias("n_chars"),
+            F.size("bpe_tokens").alias("n_toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("decimal(18,6)") / F.sum("n_toks"), 6
+            )
+            .cast("double")
+            .alias("chars_per_token"),
+        )
+        .select(
+            "lang", "n_docs", "n_chars", "n_bpe_tokens", "chars_per_token"
+        )
+    )
+
+
+@query(
+    "doc_vocab_coverage",
+    """
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+        SELECT w, count(*) AS cnt FROM words WHERE length(w) > 0 GROUP BY w
+    ), top AS (
+        SELECT cnt FROM vocab ORDER BY cnt DESC, w LIMIT 1000
+    )
+    SELECT (SELECT count(*) FROM vocab) AS vocab_size,
+           CAST((SELECT sum(cnt) FROM top) AS BIGINT) AS covered_tokens,
+           CAST((SELECT sum(cnt) FROM vocab) AS BIGINT) AS total_tokens,
+           CAST(round(CAST((SELECT sum(cnt) FROM top) AS DECIMAL(18,6))
+                      / (SELECT sum(cnt) FROM vocab), 6) AS DOUBLE) AS coverage
+    """,
+)
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: what share of corpus token occurrences the
+    top-1000 most frequent words cover — the head/tail shape a tokenizer
+    or embedding-vocab budget decision needs.
+
+    Scale: one map-side-combinable word count (the only corpus-sized
+    shuffle), then a TakeOrdered top-k and scalar sums over the VOCABULARY
+    table, which is orders of magnitude smaller than the corpus. Count
+    ties at the k-boundary make the chosen words ambiguous but the SUM of
+    their counts invariant, so the coverage number is deterministic
+    without a tiebreak on the word column (the oracle adds one anyway).
+    """
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(1000).agg(
+        F.sum("cnt").alias("covered")
+    )
+    totals = vocab.agg(
+        F.count("*").alias("vocab_size"), F.sum("cnt").alias("total")
+    )
+    return (
+        totals.crossJoin(F.broadcast(top))  # two 1-row aggregates
+        .select(
+            F.col("vocab_size"),
+            F.col("covered").cast("long").alias("covered_tokens"),
+            F.col("total").cast("long").alias("total_tokens"),
+            F.round(F.col("covered").cast("decimal(18,6)") / F.col("total"), 6)
+            .cast("double")
+            .alias("coverage"),
+        )
     )
 
 
