@@ -225,6 +225,10 @@ def main() -> None:
     e2e_stages = None
     if os.environ.get("SPARK_GRAFT_E2E_STAGES"):
         e2e_stages = time_e2e_stages(spark, sf_dir)
+    # The board JVM (48g heap, 32 threads) must be GONE before the solo
+    # subprocess measures: with it merely idle-resident, solo colds read
+    # 3× high (16.1 s vs 4.8 s for the e2e pipeline on this box).
+    spark.stop()
     # Mechanical attribution (r6 brief #4): re-run the top-N slowest board
     # lines solo in a fresh process and publish {in_bench, solo_cold,
     # solo_warm} side by side — ends the recurring "regression or shared-JVM
@@ -285,7 +289,6 @@ def main() -> None:
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
     sys.stdout.flush()
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -1468,6 +1468,14 @@ def simhash_near_dupes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an O(pairs) all-pairs shingle join. If any true pair sat beyond
     # Hamming 7, n_exact_pairs would diverge from the oracle's all-pairs
     # SQL count and the row goes red, so the shortcut is itself certified.
+    # EXPECTED-RED SIGNATURE for that (dataset-dependent, never yet seen on
+    # generated testdata; measured min Jaccard-pair distance ≤ 5): the
+    # driver reports rows_match=True (always 1 row) with hash_match=False,
+    # and n_exact_pairs is LOWER than the oracle's count while both law
+    # booleans stay true. That exact pattern means a true pair beyond
+    # Hamming 7 exists in this round's corpus — not a plan bug; re-derive
+    # `exact` from the all-pairs shingle join to confirm, then widen the
+    # radius or restore the O(pairs) join for that corpus.
     sigs, toks, exact8 = _simhash_shared(spark, sf_dir)
     cand = simhash_near_pairs_from_sigs(
         sigs, "doc_id", max_hamming=3, n_chunks=4
