@@ -123,6 +123,27 @@ def apply_bpe(df: DataFrame, col: str, merges: list[tuple[str, str, int]]) -> Da
     merge_seq = [(a, b) for a, b, _ in merges]
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Word → tokens memo, kept across batches within the partition:
+        # corpus word frequencies are Zipfian, so the merge loop runs once
+        # per DISTINCT word, not once per occurrence. Bounded so a
+        # pathological all-unique partition can't grow it without limit.
+        memo: dict[str, list[str]] = {}
+        MEMO_MAX = 1_000_000
+
+        def word_tokens(w: str) -> list[str]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for a, b in merge_seq:
+                if len(syms) < 2:
+                    break
+                syms = _merge_symbols(syms, a, b)
+            if len(memo) >= MEMO_MAX:
+                memo.clear()
+            memo[w] = syms
+            return syms
+
         for pdf in batches:
             toks = []
             for text in pdf[col]:
@@ -131,14 +152,8 @@ def apply_bpe(df: DataFrame, col: str, merges: list[tuple[str, str, int]]) -> Da
                     toks.append(out)  # null text → empty token list, not "None"
                     continue
                 for w in str(text).split(" "):
-                    if not w:
-                        continue
-                    syms = list(w)
-                    for a, b in merge_seq:
-                        if len(syms) < 2:
-                            break
-                        syms = _merge_symbols(syms, a, b)
-                    out.extend(syms)
+                    if w:
+                        out.extend(word_tokens(w))
                 toks.append(out)
             pdf = pdf.copy()
             pdf["bpe_tokens"] = toks

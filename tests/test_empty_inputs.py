@@ -86,3 +86,34 @@ def test_empty_bpe_training(spark):
     docs = _empty(spark, "text string")
     assert train_bpe(docs, "text", n_merges=3) == []
     assert apply_bpe(docs, "text", []).count() == 0
+
+
+def test_bpe_apply_with_no_merges_splits_to_chars(spark):
+    # zero learned merges (empty/min_freq-starved corpus) must degrade to
+    # character tokenization, not crash the apply pass
+    from elastic_surv_spark.operators.bpe import apply_bpe
+
+    df = spark.createDataFrame([("ab c",), (None,)], "text string")
+    rows = {r["text"]: r["bpe_tokens"] for r in apply_bpe(df, "text", []).collect()}
+    assert rows["ab c"] == ["a", "b", "c"]
+    assert rows[None] == []
+
+
+def test_empty_vocab_coverage_shape(spark):
+    # doc_vocab_coverage's aggregate plan on an empty corpus: one row,
+    # zero vocab, NULL sums/coverage (not a crash, not a 0-row frame)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    vocab = (
+        _empty(spark, "text string")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = vocab.orderBy(F.desc("cnt")).limit(1000).agg(F.sum("cnt").alias("covered"))
+    totals = vocab.agg(F.count("*").alias("vocab_size"), F.sum("cnt").alias("total"))
+    row = totals.crossJoin(F.broadcast(top)).first()
+    assert row["vocab_size"] == 0
+    assert row["total"] is None and row["covered"] is None
