@@ -4350,20 +4350,28 @@ def _bpe_cte_chain(n_merges: int = 10, min_freq: int = 2) -> str:
 
     The training loop is data-dependent but BOUNDED (n_merges rounds), so
     it is SQL-expressible as a generated CTE chain — one (pair-count →
-    argmax → apply-merge) triple per round. Each word is a space-joined
-    symbol string with sentinel spaces; applying merge (a, b) is
-    ``replace(s, ' a b ', ' ab ')``, whose left-to-right non-overlapping
-    scan is exactly the Sennrich merge order (operators/bpe.py
-    ``_merge_symbols``). Early stop (best count < min_freq) falls out of a
-    LEFT JOIN against the possibly-empty per-round argmax: the merge is a
-    no-op and every later round reproduces the same empty argmax, emitting
-    no further ranks — identical to the training loop's ``break``.
+    argmax → apply-merge) triple per round. Each word is a symbol string
+    with DOUBLE-space separators and double-space sentinels; applying
+    merge (a, b) is ``replace(s, ' a  b ', ' ab ')``: the match consumes
+    ONE space of each two-space boundary and the replacement restores it,
+    so directly adjacent occurrences ("a  b  a  b", or "a  a  a  a" for a
+    self-pair) all merge in one left-to-right pass — exactly the Sennrich
+    scan (operators/bpe.py ``_merge_symbols``; a single-space encoding
+    gets this wrong because the shared separator is consumed, caught by
+    tests/test_bpe.py's adversarial fuzz). Early stop (best count <
+    min_freq) falls out of a LEFT JOIN against the possibly-empty
+    per-round argmax: the merge is a no-op and every later round
+    reproduces the same empty argmax, emitting no further ranks —
+    identical to the training loop's ``break``. Every CTE is MATERIALIZED:
+    each round reads the previous word table twice (pair counts + merge
+    apply), so inlining doubles the plan per round — exponential compile
+    time by round 10 (33 s on a 2-doc corpus; 0.08 s materialized).
     """
     parts = [
-        """w0 AS (
-        SELECT ' ' || array_to_string(
-                   [substring(w, i, 1) for i in range(1, length(w) + 1)], ' '
-               ) || ' ' AS s,
+        """w0 AS MATERIALIZED (
+        SELECT '  ' || array_to_string(
+                   [substring(w, i, 1) for i in range(1, length(w) + 1)], '  '
+               ) || '  ' AS s,
                count(*) AS wc
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE length(w) > 0
@@ -4372,22 +4380,22 @@ def _bpe_cte_chain(n_merges: int = 10, min_freq: int = 2) -> str:
     ]
     for r in range(1, n_merges + 1):
         parts.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
         SELECT pr.a AS a, pr.b AS b, sum(wc) AS cnt
         FROM (
             SELECT unnest([{{'a': t[i], 'b': t[i+1]}} for i in range(1, len(t))]) AS pr,
                    wc
-            FROM (SELECT string_split(trim(s), ' ') AS t, wc FROM w{r - 1})
+            FROM (SELECT string_split(trim(s), '  ') AS t, wc FROM w{r - 1})
             WHERE len(t) >= 2
         )
         GROUP BY pr.a, pr.b
-    ), b{r} AS (
+    ), b{r} AS MATERIALIZED (
         SELECT a, b, cnt FROM p{r}
         WHERE cnt >= {min_freq}
         ORDER BY cnt DESC, a, b LIMIT 1
-    ), w{r} AS (
+    ), w{r} AS MATERIALIZED (
         SELECT CASE WHEN b.a IS NULL THEN w.s
-               ELSE replace(w.s, ' ' || b.a || ' ' || b.b || ' ',
+               ELSE replace(w.s, ' ' || b.a || '  ' || b.b || ' ',
                             ' ' || b.a || b.b || ' ') END AS s,
                w.wc
         FROM w{r - 1} w LEFT JOIN b{r} b ON TRUE
@@ -4473,7 +4481,7 @@ def _bpe_tokenize_oracle_sql(n_merges: int = 10, min_freq: int = 2) -> str:
         _bpe_cte_chain(n_merges, min_freq)
         + f""", wtok AS (
         SELECT replace(trim(s), ' ', '') AS word,
-               len(string_split(trim(s), ' ')) AS n_tok
+               len(string_split(trim(s), '  ')) AS n_tok
         FROM w{n}
     ), tok_by_lang AS (
         SELECT lang, sum(length(d.w)) AS n_chars, sum(t.n_tok) AS n_bpe_tokens
@@ -6307,17 +6315,19 @@ def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     return ever_green, latest_green, last_green_round
 
 
-#: Queries whose PLAN changed after their most recent green certification —
-#: forced into the next driver window so a refactor never ships without
-#: fresh certification evidence (ADVICE r6 #3: the r6 simhash shared-cache
-#: refactor landed in no window). Maintained per round; an entry becomes a
-#: harmless no-op once the row re-greens (it would rotate forward anyway).
-_RECERT_FIRST = [
-    "simhash_near_dupes",  # r6 shared-subplan refactor, last green r5
-    "simhash_near_dupes_wide",  # r6 shared-subplan refactor, last green r5
-    "source_mixture_report",  # r7 NULL-text hash guard
-    "doc_bpe_learned_merges",  # r7 unrolled-loop oracle replaces rows-only
-]
+#: name → round the plan changed. Queries whose PLAN changed after their
+#: most recent green certification are forced into the next driver window
+#: so a refactor never ships without fresh certification evidence (ADVICE
+#: r6 #3: the r6 simhash shared-cache refactor landed in no window). An
+#: entry AUTO-EXPIRES once the row is green in a round ≥ its change round
+#: (it then rejoins the normal stale/fresh rotation instead of hogging a
+#: front slot every round). Maintained per round of plan changes.
+_RECERT_FIRST = {
+    "simhash_near_dupes": 7,  # r6 shared-subplan refactor, last green r5
+    "simhash_near_dupes_wide": 7,  # r6 shared-subplan refactor, last green r5
+    "source_mixture_report": 7,  # r7 NULL-text hash guard
+    "doc_bpe_learned_merges": 7,  # r7 unrolled-loop oracle replaces rows-only
+}
 
 
 def _export_order() -> list[str]:
@@ -6329,8 +6339,11 @@ def _export_order() -> list[str]:
     never = [n for n in names if n not in ever_green]
     recert = [
         n
-        for n in _RECERT_FIRST
-        if n in names and n not in regressed and n not in never
+        for n, changed_round in _RECERT_FIRST.items()
+        if n in names
+        and n not in regressed
+        and n not in never
+        and last_green_round.get(n, 0) < changed_round
     ]
     stale = sorted(
         (
