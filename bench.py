@@ -108,8 +108,8 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
         if spec is None:
             continue
         runs: list[float] = []
-        try:
-            for _ in range(3):
+        for _ in range(3):
+            try:
                 try:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
@@ -118,10 +118,14 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
                 start = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - start)
-        except Exception as exc:  # pragma: no cover - defensive
-            print(f"SOLO ERROR {name}: {exc}", file=sys.stderr)
+            except Exception as exc:  # pragma: no cover - defensive
+                print(f"SOLO ERROR {name}: {exc}", file=sys.stderr)
+                break  # keep whatever repeats already succeeded
+        if not runs:
             continue
         res[name] = {
+            # the cold number is the attribution ground truth — report it
+            # even when a later warm repeat died
             "solo_cold": round(runs[0], 3),
             "solo_warm": round(min(runs[1:]), 3) if len(runs) > 1 else None,
         }
@@ -235,7 +239,13 @@ def main() -> None:
     # noise?" question without a manual measurement round.
     # SPARK_GRAFT_SOLO_TOP=0 disables.
     solo: dict[str, dict] = {}
-    solo_top = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "3") or 0)
+    try:
+        solo_top = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "3").strip() or 0)
+    except ValueError:
+        # a typo'd knob must not sink the already-measured board; treat any
+        # non-numeric value as "disabled" and say so
+        print("SOLO disabled: non-numeric SPARK_GRAFT_SOLO_TOP", file=sys.stderr)
+        solo_top = 0
     if solo_top > 0 and timings:
         top = [
             k for k, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:solo_top]

@@ -26,25 +26,36 @@ from pyspark.sql import functions as F
 
 
 def quantize_times(
-    df: DataFrame, time_col: str, max_curve_points: int
+    df: DataFrame, time_col: str, max_curve_points: int,
+    stats_from: DataFrame | None = None,
 ) -> DataFrame:
     """Equidistant time coarsening to ≤ max_curve_points+1 distinct values
     (each time maps to its bin's upper edge — the standard life-table
     discretization). No-op when the distinct-time count is already within
     the cap, so small-scale results are bit-identical to the exact form.
     Portable semantics: plain min/max + ceil arithmetic, reproducible in SQL.
+
+    ``stats_from``: optional cheaper frame with the SAME time column to run
+    the two eager stats jobs (distinct count, min/max) against — pass it
+    when ``df`` is expensive to execute (e.g. carries a model-inference
+    mapInPandas stage) but the raw input shares the time column.
     """
-    nd = df.select(F.countDistinct(time_col).alias("nd")).first()["nd"]
+    stats = stats_from if stats_from is not None else df
+    nd = stats.select(F.countDistinct(time_col).alias("nd")).first()["nd"]
     if nd <= max_curve_points:
         return df
-    row = df.agg(
+    row = stats.agg(
         F.min(time_col).cast("double").alias("lo"),
         F.max(time_col).cast("double").alias("hi"),
     ).first()
     lo, hi = float(row["lo"]), float(row["hi"])
     width = (hi - lo) / max_curve_points
     t = F.col(time_col).cast("double")
-    quant = F.least(F.lit(hi), F.lit(lo) + F.ceil((t - F.lit(lo)) / F.lit(width)) * F.lit(width))
+    # bin index clamped to max_curve_points: IEEE division can put
+    # ceil((hi-lo)/width) at max_curve_points+1 for ~1% of (lo, hi) ranges,
+    # which would leak an extra distinct value past the cap
+    k = F.least(F.lit(float(max_curve_points)), F.ceil((t - F.lit(lo)) / F.lit(width)))
+    quant = F.least(F.lit(hi), F.lit(lo) + k * F.lit(width))
     return df.withColumn(time_col, quant)
 
 

@@ -105,10 +105,15 @@ class CoxPHModel(SurvModel):
         """
         scored = self.predict_risk(dataset.train_df, dataset)
         t_col, e_col = dataset.time_column, dataset.event_column
+        # stats_from: the two eager quantization stats jobs (distinct count,
+        # min/max of the time column) run on the RAW train frame — running
+        # them on `scored` would execute the mapInPandas forward pass two
+        # extra times per fit (column pruning can't reach through Python).
         scored = quantize_times(
             scored.withColumn(t_col, F.col(t_col).cast("double")),
             t_col,
             self.max_curve_points,
+            stats_from=dataset.train_df.select(F.col(t_col).cast("double").alias(t_col)),
         )
         grouped = scored.groupBy(F.col(t_col).alias("t")).agg(
             F.sum(F.col(e_col).cast("double")).alias("d"),

@@ -3186,10 +3186,11 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), surv AS (
         -- equidistant quantization to <=64 bin edges, mirroring Spark's
         -- quantize_times exactly (same double arithmetic, same no-op
-        -- condition) so the bounded-curve scale path is itself certified
+        -- condition, same bin-index clamp: IEEE division can push
+        -- ceil((hi-lo)/width) to 65, so the index saturates at 64)
         SELECT cause,
                CASE WHEN b.nd > 64
-                    THEN least(b.hi, b.lo + ceil((t - b.lo) / ((b.hi - b.lo) / 64.0))
+                    THEN least(b.hi, b.lo + least(64.0, ceil((t - b.lo) / ((b.hi - b.lo) / 64.0)))
                                            * ((b.hi - b.lo) / 64.0))
                     ELSE t END AS t
         FROM surv0, bounds b

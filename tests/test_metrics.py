@@ -445,3 +445,26 @@ def test_km_ci_greenwood_matches_python_reference(spark):
         assert abs(r["ci_lo"] - max(round(s, 6) - 1.96 * se, 0.0)) < 1e-6
         assert abs(r["ci_hi"] - min(round(s, 6) + 1.96 * se, 1.0)) < 1e-6
         assert 0.0 <= r["ci_lo"] <= r["survival"] <= r["ci_hi"] <= 1.0
+
+
+def test_quantize_times_bin_index_clamped_on_fp_edge(spark):
+    # IEEE edge: for ~1% of (lo, hi) ranges, (hi-lo)/((hi-lo)/mcp) rounds
+    # UP past mcp, so the unclamped ceil put t=hi in bin mcp+1 and the
+    # quantized domain leaked to mcp+2 distinct values (crashing CoxPH's
+    # bounded-curve assertion). lo/hi below is a found triggering range.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.metrics.km import quantize_times
+
+    lo, hi, mcp = 5.581815883930464, 12.494998889258943, 100
+    width = (hi - lo) / mcp
+    assert np.ceil((hi - lo) / width) > mcp  # ceil edge triggers
+    assert lo + mcp * width < hi  # AND the top edge stays distinct:
+    # unclamped, this range provably yields mcp+2 distinct values
+    ts = np.linspace(lo, hi, 150)  # > mcp distinct, includes lo and hi
+    df = spark.createDataFrame(pd.DataFrame({"t": ts}))
+    out = quantize_times(df, "t", mcp)
+    nd = out.select(F.countDistinct("t")).first()[0]
+    assert nd <= mcp + 1, nd

@@ -151,19 +151,27 @@ def test_export_order_rotation():
         del os.environ["ELASTIC_SURV_SPARK_NO_CERT_ROTATION"]
 
     # Among all-green queries, less-recently-certified must sort earlier —
-    # except the plan-changed _RECERT_FIRST rows, which jump the stale queue
-    # so refactors never ship without fresh certification (ADVICE r6 #3).
+    # except ACTIVE plan-changed _RECERT_FIRST rows (not yet re-green since
+    # their change round), which jump the stale queue so refactors never
+    # ship without fresh certification (ADVICE r6 #3). Expired entries
+    # (re-greened in a round >= their change round) rejoin the rotation, so
+    # the active set is computed with the same expiry rule the export uses.
     _, latest_green, rounds = q._certification_state()
+    active_recert = {
+        n
+        for n, changed in q._RECERT_FIRST.items()
+        if n in latest_green and rounds.get(n, 0) < changed
+    }
     greens = [
         n
         for n in order
-        if n in latest_green and rounds.get(n) and n not in q._RECERT_FIRST
+        if n in latest_green and rounds.get(n) and n not in active_recert
     ]
     certified_rounds = [rounds[n] for n in greens]
     assert certified_rounds == sorted(certified_rounds)
 
-    # Recert rows precede every stale green row they outrank.
-    recert_pos = [order.index(n) for n in q._RECERT_FIRST if n in latest_green]
+    # Active recert rows precede every stale green row they outrank.
+    recert_pos = [order.index(n) for n in active_recert]
     if recert_pos and greens:
         assert max(recert_pos) < order.index(greens[0])
 
@@ -233,6 +241,35 @@ _GLOBAL_WINDOW_OK = {
 }
 
 
+def _trailing_bracket_groups(line: str) -> list[str]:
+    """Peel `[...]` groups off the END of a plan line by backward bracket
+    balance, stopping at the window-expression list (the group containing
+    `windowspecdefinition`). Robust to parentheses/brackets INSIDE a group
+    (e.g. `[coalesce(t#2, 0) ASC NULLS FIRST]`), which anchor-on-last-paren
+    parsing misclassifies."""
+    s = line.rstrip()
+    groups: list[str] = []
+    while s.endswith("]"):
+        depth, i = 0, len(s) - 1
+        while i >= 0:
+            if s[i] == "]":
+                depth += 1
+            elif s[i] == "[":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            break
+        group = s[i + 1 : -1]
+        if "windowspecdefinition" in group:
+            break  # reached the expr list — everything after it was a spec
+        groups.append(group)
+        s = s[:i].rstrip().rstrip(",").rstrip()
+    groups.reverse()
+    return groups
+
+
 def _unpartitioned_windows(plan: str) -> list[str]:
     """Window nodes whose partition spec is empty (the WindowExec
     single-partition warning). Physical print shapes: trailing bracket
@@ -246,8 +283,7 @@ def _unpartitioned_windows(plan: str) -> list[str]:
     for line in plan.splitlines():
         if not re.search(r"\bWindow \[", line):
             continue
-        tail = line[line.rfind(")") + 1 :]
-        groups = re.findall(r"\[([^\]]*)\]", tail)
+        groups = _trailing_bracket_groups(line)
         if not groups or (
             len(groups) == 1 and ("ASC" in groups[0] or "DESC" in groups[0])
         ):
