@@ -4551,6 +4551,46 @@ def doc_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sf_dir -> (spark, vocab_counts), the persisted (w, cnt) word-frequency
+#: aggregate over documents. Same lifecycle discipline as _SIMHASH_SHARED:
+#: one entry per sf_dir, stale-session entries released before overwrite,
+#: oldest-first eviction with unpersist — so multi-consumer plans share one
+#: corpus pass without leaking a persisted frame per call. Entries are
+#: vocabulary-sized ((string, int64) rows), orders of magnitude below the
+#: corpus.
+_VOCAB_COUNTS: dict[str, tuple] = {}
+_VOCAB_COUNTS_MAX = 4
+
+
+def _vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (w, cnt) word counts for the documents table at sf_dir —
+    computed once per session and shared by every consumer."""
+    hit = _VOCAB_COUNTS.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    ).persist()
+
+    def _release(entry):
+        try:
+            entry[1].unpersist()
+        except Exception:  # stale session — nothing to release
+            pass
+
+    stale = _VOCAB_COUNTS.pop(sf_dir, None)
+    if stale is not None:
+        _release(stale)
+    while len(_VOCAB_COUNTS) >= _VOCAB_COUNTS_MAX:
+        _release(_VOCAB_COUNTS.pop(next(iter(_VOCAB_COUNTS))))
+    _VOCAB_COUNTS[sf_dir] = (spark, vocab)
+    return vocab
+
+
 @query(
     "doc_vocab_coverage",
     """
@@ -4578,20 +4618,16 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one map-side-combinable word count (the only corpus-sized
     shuffle), then a TakeOrdered top-k and scalar sums over the VOCABULARY
     table, which is orders of magnitude smaller than the corpus. The vocab
-    aggregate is persisted: its two consumers (top-k, totals) would
-    otherwise each re-run the corpus scan + count — Catalyst's exchange
-    reuse does not deduplicate them, verified by plan (2 FileScans → 1).
+    aggregate is persisted via the managed `_vocab_counts` cache: its two
+    consumers (top-k, totals) would otherwise each re-run the corpus
+    scan + count — Catalyst's exchange reuse does not deduplicate them —
+    and the cache bounds lifetime (unpersist on eviction) instead of
+    leaking one persisted frame per call.
     Count ties at the k-boundary make the chosen words ambiguous but the
     SUM of their counts invariant, so the coverage number is deterministic
     without a tiebreak on the word column (the oracle adds one anyway).
     """
-    d = _t(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    ).persist()
+    vocab = _vocab_counts(spark, sf_dir)
     top = vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(10).agg(
         F.sum("cnt").alias("covered")
     )
