@@ -34,6 +34,7 @@ def shingle_jaccard_pairs(
     threshold: float = 0.5,
     block_cols: list[str] | None = None,
     round_to: int = 6,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs: (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -45,15 +46,22 @@ def shingle_jaccard_pairs(
     shingle, so the candidate set is exact for every positive threshold.
     Shuffle is O(postings + co-occurring pairs), never O(n²); a naive
     all-pairs comparison runs as a single-task nested-loop join.
+
+    ``tokenized`` optionally supplies a prebuilt (id, _sh) frame (the
+    :func:`_tokenized` shape, e.g. a session-shared persisted one) so the
+    whole dedup family tokenizes the corpus once; only valid without
+    ``block_cols`` (the blocked base carries the block columns through).
     """
     blocks = list(block_cols or [])
+    if tokenized is not None and blocks:
+        raise ValueError("tokenized= cannot be combined with block_cols=")
     par = df.sparkSession.sparkContext.defaultParallelism
     # Trailing repartition = exchange barrier: the tokenizing projection runs
     # once and all four consumers below (sizes ×2, postings ×2) read the same
     # shuffle output via ReusedExchange instead of re-tokenizing — higher-
     # order expressions run interpreted (no codegen CSE), so re-evaluation
     # is the dominant cost otherwise.
-    base = (
+    base = tokenized if tokenized is not None else (
         _spread(df)
         .select(F.col(id_col), *blocks, shingles(F.col(text_col), n).alias("_sh"))
         .filter(F.size("_sh") > 0)
@@ -217,6 +225,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     round_to: int = 6,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs via banded MinHash candidates.
 
@@ -224,9 +233,13 @@ def minhash_lsh_pairs(
     → self-join on (band, key) → distinct candidate pairs → exact-Jaccard
     verification join → filter ≥ threshold. Shuffle volume is O(corpus ×
     bands) band keys + O(candidates) verification rows — never O(n²).
+
+    ``tokenized`` optionally supplies a prebuilt (id, _sh) frame (the
+    :func:`_tokenized` shape) shared with the rest of the dedup family.
     """
     rows_per_band = k // bands
-    tokenized = _tokenized(df, id_col, text_col, n)
+    if tokenized is None:
+        tokenized = _tokenized(df, id_col, text_col, n)
     flat = _minhash_flat(tokenized, id_col, k)
     band_cols = [
         F.xxhash64(

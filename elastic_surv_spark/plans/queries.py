@@ -1263,12 +1263,17 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5).
 
     O(n²) ground truth for the LSH variants; at 100 TB use
-    minhash_lsh_dupes (same output, linear shuffle).
+    minhash_lsh_dupes (same output, linear shuffle). Reads the corpus
+    shingles from the session-shared persisted frame (_DOC_SHINGLES) the
+    whole dedup family tokenizes once.
     """
     from elastic_surv_spark.operators.dedup_fuzzy import shingle_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return shingle_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5,
+        tokenized=_doc_shingles(spark, sf_dir),
+    )
 
 
 @query(
@@ -1295,11 +1300,16 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 hashes, 8 bands × 2) with exact
-    verification — the linear-shuffle 100 TB dedup plan."""
+    verification — the linear-shuffle 100 TB dedup plan. Signatures and
+    the verification join both read the session-shared persisted shingle
+    frame (_DOC_SHINGLES)."""
     from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5)
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5,
+        tokenized=_doc_shingles(spark, sf_dir),
+    )
 
 
 @query(
@@ -1326,39 +1336,22 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
 
 
-#: Session-scoped share of the SimHash family's common subplans, keyed by
-#: sf_dir: (spark, sigs, toks, exact_pairs), each DataFrame persisted. The
-#: two registry rows (simhash_near_dupes / simhash_near_dupes_wide) certify
-#: the SAME signature+verification derivation against two bandings, so
-#: recomputing signatures, shingle sets, and the 8×8 verified pairs per row
-#: doubled the family's board time. This cache changes WHEN the subplans
-#: run, never what they return — both rows stay independently oracle-
-#: checked. Bounded: entries are tiny ((id, int64) sigs, shingle arrays,
-#: verified pairs) and at most _SIMHASH_SHARED_MAX sf_dirs stay persisted.
-_SIMHASH_SHARED: dict[str, tuple] = {}
-_SIMHASH_SHARED_MAX = 4
-
-
-def _simhash_shared(spark: SparkSession, sf_dir: str):
-    """(sigs, toks, exact_pairs) for the documents table at sf_dir —
-    computed once per session, persisted, reused by both SimHash rows."""
-    from elastic_surv_spark.operators.dedup_fuzzy import (
-        _tokenized,
-        _verified_jaccard_pairs,
-        simhash64,
-        simhash_near_pairs_from_sigs,
-    )
-
-    hit = _SIMHASH_SHARED.get(sf_dir)
+def _shared_frames(cache: dict, max_entries: int, spark, key, build):
+    """Session-scoped persisted-frame cache with a single lifecycle rule
+    shared by every module-level cache here (_DOC_SHINGLES, _VOCAB_COUNTS,
+    _SIMHASH_SHARED): same-(session, key) calls return the identical cached
+    frames; a stale-session entry under the same key is unpersisted before
+    overwrite; eviction is oldest-first (dict preserves insertion order —
+    popitem() would be LIFO and pin the oldest frames, the ADVICE-r6 bug)
+    and unpersists every frame in the evicted entry. ``build`` returns a
+    tuple of already-persisted DataFrames. Caching changes only WHEN
+    subplans run, never what they return — unpersist is always safe
+    (lineage recomputes), so an evicted frame costs time, not correctness.
+    """
+    hit = cache.get(key)
     if hit is not None and hit[0] is spark:
-        return hit[1], hit[2], hit[3]
-    d = _t(spark, sf_dir, "documents")
-    sigs = simhash64(d, "doc_id", "text").persist()
-    toks = _tokenized(d, "doc_id", "text", 3).persist()
-    cand8 = simhash_near_pairs_from_sigs(
-        sigs, "doc_id", max_hamming=7, n_chunks=8
-    ).select("id_a", "id_b")
-    exact = _verified_jaccard_pairs(cand8, toks, "doc_id", 0.5, 6).persist()
+        return hit[1:]
+    frames = tuple(build())
 
     def _release(entry):
         for frame in entry[1:]:
@@ -1367,15 +1360,74 @@ def _simhash_shared(spark: SparkSession, sf_dir: str):
             except Exception:  # stale session — nothing to release
                 pass
 
-    # same key cached under an older session: release before overwriting
-    stale = _SIMHASH_SHARED.pop(sf_dir, None)
+    stale = cache.pop(key, None)
     if stale is not None:
         _release(stale)
-    # evict OLDEST-first (dict preserves insertion order; popitem() would be
-    # LIFO and thrash the newest slot while old frames stay pinned — ADVICE r6)
-    while len(_SIMHASH_SHARED) >= _SIMHASH_SHARED_MAX:
-        _release(_SIMHASH_SHARED.pop(next(iter(_SIMHASH_SHARED))))
-    _SIMHASH_SHARED[sf_dir] = (spark, sigs, toks, exact)
+    while len(cache) >= max_entries:
+        _release(cache.pop(next(iter(cache))))
+    cache[key] = (spark, *frames)
+    return frames
+
+
+#: sf_dir -> (spark, toks): the persisted (doc_id, _sh) 3-gram shingle
+#: frame over documents — the dedup family's common first pass. Shared by
+#: ngram_jaccard_dupes, minhash_lsh_dupes, and the SimHash verification
+#: joins, so one board session tokenizes the corpus once instead of three
+#: times; at 100 TB this is the difference between one corpus-sized
+#: tokenize+shuffle and one per operator.
+_DOC_SHINGLES: dict[str, tuple] = {}
+_DOC_SHINGLES_MAX = 4
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, _sh) 3-shingle frame for documents at sf_dir."""
+    from elastic_surv_spark.operators.dedup_fuzzy import _tokenized
+
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        return (_tokenized(d, "doc_id", "text", 3).persist(),)
+
+    (toks,) = _shared_frames(_DOC_SHINGLES, _DOC_SHINGLES_MAX, spark, sf_dir, build)
+    return toks
+
+
+#: Session-scoped share of the SimHash family's common subplans, keyed by
+#: sf_dir: (spark, sigs, exact_pairs), each DataFrame persisted (the shingle
+#: frame both rows verify against lives in _DOC_SHINGLES). The two registry
+#: rows (simhash_near_dupes / simhash_near_dupes_wide) certify the SAME
+#: signature+verification derivation against two bandings, so recomputing
+#: signatures and the 8×8 verified pairs per row doubled the family's board
+#: time. This cache changes WHEN the subplans run, never what they return —
+#: both rows stay independently oracle-checked. Bounded: entries are tiny
+#: ((id, int64) sigs, verified pairs) and at most _SIMHASH_SHARED_MAX
+#: sf_dirs stay persisted.
+_SIMHASH_SHARED: dict[str, tuple] = {}
+_SIMHASH_SHARED_MAX = 4
+
+
+def _simhash_shared(spark: SparkSession, sf_dir: str):
+    """(sigs, toks, exact_pairs) for the documents table at sf_dir —
+    computed once per session, persisted, reused by both SimHash rows."""
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        _verified_jaccard_pairs,
+        simhash64,
+        simhash_near_pairs_from_sigs,
+    )
+
+    toks = _doc_shingles(spark, sf_dir)
+
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        sigs = simhash64(d, "doc_id", "text").persist()
+        cand8 = simhash_near_pairs_from_sigs(
+            sigs, "doc_id", max_hamming=7, n_chunks=8
+        ).select("id_a", "id_b")
+        exact = _verified_jaccard_pairs(cand8, toks, "doc_id", 0.5, 6).persist()
+        return sigs, exact
+
+    sigs, exact = _shared_frames(
+        _SIMHASH_SHARED, _SIMHASH_SHARED_MAX, spark, sf_dir, build
+    )
     return sigs, toks, exact
 
 
@@ -4565,29 +4617,18 @@ _VOCAB_COUNTS_MAX = 4
 def _vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted (w, cnt) word counts for the documents table at sf_dir —
     computed once per session and shared by every consumer."""
-    hit = _VOCAB_COUNTS.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    d = _t(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-    ).persist()
 
-    def _release(entry):
-        try:
-            entry[1].unpersist()
-        except Exception:  # stale session — nothing to release
-            pass
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        vocab = (
+            d.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") > 0)
+            .groupBy("w")
+            .agg(F.count("*").alias("cnt"))
+        ).persist()
+        return (vocab,)
 
-    stale = _VOCAB_COUNTS.pop(sf_dir, None)
-    if stale is not None:
-        _release(stale)
-    while len(_VOCAB_COUNTS) >= _VOCAB_COUNTS_MAX:
-        _release(_VOCAB_COUNTS.pop(next(iter(_VOCAB_COUNTS))))
-    _VOCAB_COUNTS[sf_dir] = (spark, vocab)
+    (vocab,) = _shared_frames(_VOCAB_COUNTS, _VOCAB_COUNTS_MAX, spark, sf_dir, build)
     return vocab
 
 
@@ -6369,6 +6410,8 @@ _RECERT_FIRST = {
     "simhash_near_dupes_wide": 7,  # r6 shared-subplan refactor, last green r5
     "source_mixture_report": 7,  # r7 NULL-text hash guard
     "doc_bpe_learned_merges": 7,  # r7 unrolled-loop oracle replaces rows-only
+    "ngram_jaccard_dupes": 7,  # r7 shared _DOC_SHINGLES input
+    "minhash_lsh_dupes": 7,  # r7 shared _DOC_SHINGLES input
 }
 
 

@@ -1,11 +1,12 @@
 """Lifecycle tests for the module-level persisted-frame caches in
-plans/queries.py (_SIMHASH_SHARED, _VOCAB_COUNTS).
+plans/queries.py (_shared_frames and its three instances: _DOC_SHINGLES,
+_VOCAB_COUNTS, _SIMHASH_SHARED).
 
 ADVICE r6 found a real bug here (dict.popitem() evicts LIFO, pinning the
 oldest persisted frames forever) that no test covered; these pin the
 contract: same-session calls reuse the cached frames, a stale-session
 entry under the same key is released before overwrite, and eviction is
-oldest-first with unpersist.
+oldest-first with every frame in the evicted entry unpersisted.
 """
 
 from __future__ import annotations
@@ -31,58 +32,75 @@ def _stub_entry(released, tag, n_frames=1):
     return (_StubSession(), *[_StubFrame(released, f"{tag}:{i}") for i in range(n_frames)])
 
 
-def test_vocab_counts_same_session_reuse(spark):
+def _drain(cache):
+    for entry in cache.values():
+        for frame in entry[1:]:
+            frame.unpersist()
+    cache.clear()
+
+
+def test_shared_frames_same_session_reuse():
+    cache: dict = {}
+    spark, built = object(), []
+
+    def build():
+        built.append(1)
+        return (_StubFrame([], "fresh"),)
+
+    (a,) = Q._shared_frames(cache, 4, spark, "k", build)
+    (b,) = Q._shared_frames(cache, 4, spark, "k", build)
+    assert a is b and built == [1]  # cache hit, build ran once
+
+
+def test_shared_frames_stale_session_released_before_overwrite():
+    cache: dict = {}
+    released: list[str] = []
+    cache["k"] = _stub_entry(released, "stale", n_frames=2)
+    fresh = _StubFrame([], "fresh")
+    (got,) = Q._shared_frames(cache, 4, object(), "k", lambda: (fresh,))
+    assert released == ["stale:0", "stale:1"]
+    assert got is fresh and cache["k"][1] is fresh
+
+
+def test_shared_frames_eviction_is_oldest_first():
+    cache: dict = {}
+    released: list[str] = []
+    for i in range(4):
+        cache[f"k{i}"] = _stub_entry(released, f"k{i}")
+    Q._shared_frames(cache, 4, object(), "new", lambda: (_StubFrame([], "n"),))
+    # one slot freed, and it was the OLDEST entry, not the newest
+    assert released == ["k0:0"]
+    assert list(cache) == ["k1", "k2", "k3", "new"]
+
+
+def test_vocab_counts_wiring(spark):
     Q._VOCAB_COUNTS.clear()
     a = Q._vocab_counts(spark, SF_SMOKE)
     b = Q._vocab_counts(spark, SF_SMOKE)
     assert a is b  # cache hit, no second persist
     assert list(Q._VOCAB_COUNTS) == [SF_SMOKE]
-    Q._VOCAB_COUNTS.pop(SF_SMOKE)[1].unpersist()
+    _drain(Q._VOCAB_COUNTS)
 
 
-def test_vocab_counts_stale_session_released_before_overwrite(spark):
-    Q._VOCAB_COUNTS.clear()
-    released: list[str] = []
-    Q._VOCAB_COUNTS[SF_SMOKE] = _stub_entry(released, "stale")
-    fresh = Q._vocab_counts(spark, SF_SMOKE)
-    assert released == ["stale:0"]
-    assert Q._VOCAB_COUNTS[SF_SMOKE][1] is fresh
-    Q._VOCAB_COUNTS.pop(SF_SMOKE)[1].unpersist()
+def test_doc_shingles_wiring(spark):
+    Q._DOC_SHINGLES.clear()
+    a = Q._doc_shingles(spark, SF_SMOKE)
+    b = Q._doc_shingles(spark, SF_SMOKE)
+    assert a is b
+    assert set(a.columns) == {"doc_id", "_sh"}
+    _drain(Q._DOC_SHINGLES)
 
 
-def test_vocab_counts_eviction_is_oldest_first(spark):
-    Q._VOCAB_COUNTS.clear()
-    released: list[str] = []
-    for i in range(Q._VOCAB_COUNTS_MAX):
-        Q._VOCAB_COUNTS[f"/fake/sf{i}"] = _stub_entry(released, f"k{i}")
-    Q._vocab_counts(spark, SF_SMOKE)
-    # one slot freed, and it was the OLDEST entry, not the newest
-    assert released == ["k0:0"]
-    assert list(Q._VOCAB_COUNTS) == [
-        f"/fake/sf{i}" for i in range(1, Q._VOCAB_COUNTS_MAX)
-    ] + [SF_SMOKE]
-    Q._VOCAB_COUNTS.pop(SF_SMOKE)[1].unpersist()
-    Q._VOCAB_COUNTS.clear()
-
-
-def test_simhash_shared_lifecycle(spark):
+def test_simhash_shared_wiring(spark):
     Q._SIMHASH_SHARED.clear()
-    released: list[str] = []
-    for i in range(Q._SIMHASH_SHARED_MAX):
-        Q._SIMHASH_SHARED[f"/fake/sf{i}"] = _stub_entry(released, f"k{i}", n_frames=3)
+    Q._DOC_SHINGLES.clear()
     sigs, toks, exact = Q._simhash_shared(spark, SF_SMOKE)
-    # oldest entry evicted, every frame in it released
-    assert released == ["k0:0", "k0:1", "k0:2"]
-    assert Q._SIMHASH_SHARED[SF_SMOKE][1] is sigs
+    # the verification shingles come from the family-wide _DOC_SHINGLES
+    assert toks is Q._DOC_SHINGLES[SF_SMOKE][1]
     # same-session reuse returns the identical frames
     sigs2, toks2, exact2 = Q._simhash_shared(spark, SF_SMOKE)
     assert (sigs2 is sigs) and (toks2 is toks) and (exact2 is exact)
-    # stale-session entry under the same key is released before overwrite
-    stale_released: list[str] = []
-    Q._SIMHASH_SHARED[SF_SMOKE] = _stub_entry(stale_released, "stale", n_frames=3)
-    Q._simhash_shared(spark, SF_SMOKE)
-    assert stale_released == ["stale:0", "stale:1", "stale:2"]
-    for entry in Q._SIMHASH_SHARED.values():
-        for frame in entry[1:]:
-            frame.unpersist()
-    Q._SIMHASH_SHARED.clear()
+    # simhash cache holds (spark, sigs, exact) — toks is not double-held
+    assert len(Q._SIMHASH_SHARED[SF_SMOKE]) == 3
+    _drain(Q._SIMHASH_SHARED)
+    _drain(Q._DOC_SHINGLES)
