@@ -1262,18 +1262,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5).
 
-    O(n²) ground truth for the LSH variants; at 100 TB use
-    minhash_lsh_dupes (same output, linear shuffle). Reads the corpus
-    shingles from the session-shared persisted frame (_DOC_SHINGLES) the
-    whole dedup family tokenizes once.
+    The dedup family's ground truth (inverted-index postings join — exact
+    for any positive threshold, O(postings + co-pairs) shuffle, never n²);
+    at 100 TB minhash_lsh_dupes trades it for a strictly linear shuffle.
+    Returns the session-shared persisted truth frame (_EXACT_PAIRS), which
+    both SimHash rows also certify against, over the family-wide shingle
+    pass (_DOC_SHINGLES) — one tokenize, one postings join per session.
     """
-    from elastic_surv_spark.operators.dedup_fuzzy import shingle_jaccard_pairs
-
-    d = _t(spark, sf_dir, "documents")
-    return shingle_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.5,
-        tokenized=_doc_shingles(spark, sf_dir),
-    )
+    return _exact_dup_pairs(spark, sf_dir)
 
 
 @query(
@@ -1391,15 +1387,47 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks
 
 
-#: Session-scoped share of the SimHash family's common subplans, keyed by
-#: sf_dir: (spark, sigs, exact_pairs), each DataFrame persisted (the shingle
-#: frame both rows verify against lives in _DOC_SHINGLES). The two registry
-#: rows (simhash_near_dupes / simhash_near_dupes_wide) certify the SAME
-#: signature+verification derivation against two bandings, so recomputing
-#: signatures and the 8×8 verified pairs per row doubled the family's board
-#: time. This cache changes WHEN the subplans run, never what they return —
-#: both rows stay independently oracle-checked. Bounded: entries are tiny
-#: ((id, int64) sigs, verified pairs) and at most _SIMHASH_SHARED_MAX
+#: Session-scoped share of the dedup family's exact truth set, keyed by
+#: sf_dir: (spark, pairs) with pairs = the COMPLETE postings-derived
+#: (id_a, id_b, jaccard) frame at threshold 0.5 (shingle_jaccard_pairs over
+#: the shared _DOC_SHINGLES frame — exact by construction: any pair with
+#: jaccard > 0 shares a shingle, so the inverted index proposes it). Shared
+#: by ngram_jaccard_dupes (it IS this frame) and both SimHash rows (their
+#: certified truth set). Unlike the pre-r7 design — which derived "exact"
+#: from the Hamming≤7 banded candidates and went red the first time a true
+#: pair sat beyond radius 7 (observed at sf0.001, 27 vs 28 pairs) — this
+#: derivation's oracle equality is a guarantee, not a per-corpus die roll.
+#: Bounded: one row per qualifying pair; eviction via _shared_frames.
+_EXACT_PAIRS: dict[str, tuple] = {}
+_EXACT_PAIRS_MAX = 4
+
+
+def _exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted exact Jaccard≥0.5 3-shingle pairs for documents at sf_dir."""
+    from elastic_surv_spark.operators.dedup_fuzzy import shingle_jaccard_pairs
+
+    toks = _doc_shingles(spark, sf_dir)
+
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        return (
+            shingle_jaccard_pairs(
+                d, "doc_id", "text", n=3, threshold=0.5, tokenized=toks
+            ).persist(),
+        )
+
+    (pairs,) = _shared_frames(_EXACT_PAIRS, _EXACT_PAIRS_MAX, spark, sf_dir, build)
+    return pairs
+
+
+#: Session-scoped share of the SimHash family's signature subplan, keyed by
+#: sf_dir: (spark, sigs), persisted (the shingle frame lives in
+#: _DOC_SHINGLES; the exact truth set in _EXACT_PAIRS). Both registry rows
+#: (simhash_near_dupes / simhash_near_dupes_wide) read the SAME 64-bit
+#: signatures, so recomputing the codegen hash-aggregate per row doubled
+#: the family's board time. This cache changes WHEN the subplan runs, never
+#: what it returns — both rows stay independently oracle-checked. Bounded:
+#: entries are tiny ((id, int64) rows) and at most _SIMHASH_SHARED_MAX
 #: sf_dirs stay persisted.
 _SIMHASH_SHARED: dict[str, tuple] = {}
 _SIMHASH_SHARED_MAX = 4
@@ -1407,25 +1435,18 @@ _SIMHASH_SHARED_MAX = 4
 
 def _simhash_shared(spark: SparkSession, sf_dir: str):
     """(sigs, toks, exact_pairs) for the documents table at sf_dir —
-    computed once per session, persisted, reused by both SimHash rows."""
-    from elastic_surv_spark.operators.dedup_fuzzy import (
-        _verified_jaccard_pairs,
-        simhash64,
-        simhash_near_pairs_from_sigs,
-    )
+    signatures computed once per session and persisted; toks/exact come
+    from their own family-wide caches."""
+    from elastic_surv_spark.operators.dedup_fuzzy import simhash64
 
     toks = _doc_shingles(spark, sf_dir)
+    exact = _exact_dup_pairs(spark, sf_dir)
 
     def build():
         d = _t(spark, sf_dir, "documents")
-        sigs = simhash64(d, "doc_id", "text").persist()
-        cand8 = simhash_near_pairs_from_sigs(
-            sigs, "doc_id", max_hamming=7, n_chunks=8
-        ).select("id_a", "id_b")
-        exact = _verified_jaccard_pairs(cand8, toks, "doc_id", 0.5, 6).persist()
-        return sigs, exact
+        return (simhash64(d, "doc_id", "text").persist(),)
 
-    sigs, exact = _shared_frames(
+    (sigs,) = _shared_frames(
         _SIMHASH_SHARED, _SIMHASH_SHARED_MAX, spark, sf_dir, build
     )
     return sigs, toks, exact
@@ -1433,10 +1454,14 @@ def _simhash_shared(spark: SparkSession, sf_dir: str):
 
 @query(
     "simhash_near_dupes",
-    # SimHash 8×8-bit chunk banding is complete for Hamming ≤ 7 (pigeonhole)
-    # and every true Jaccard≥0.5 pair on this corpus sits at distance ≤ 5, so
-    # the verified-candidate output equals the exact result — the exact-
-    # Jaccard SQL is the oracle for this plan too (as for minhash_lsh_dupes).
+    # Output = the COMPLETE exact-Jaccard pair list (postings derivation —
+    # guaranteed equal to this all-pairs SQL on any corpus) annotated with a
+    # per-pair pigeonhole-law boolean: the 8×8-bit-banded verified SimHash
+    # path found the pair IFF its signature distance is ≤ 7. The law holds
+    # by construction (banding is complete to Hamming 7), so the oracle pins
+    # it TRUE; a banding/signature/verification bug flips a row red. Before
+    # r7 this row's oracle equality instead ASSUMED every true pair sits
+    # within radius 7 — a per-corpus die roll that came up wrong at sf0.001.
     """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1448,27 +1473,68 @@ def _simhash_shared(spark: SparkSession, sf_dir: str):
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard,
+           TRUE AS band8_law_ok
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
     """,
 )
 def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with exact-Jaccard verification: 64-bit
-    Charikar signatures, 8×8-bit chunk banding (complete for Hamming ≤ 7 by
-    pigeonhole), candidates verified against the shingle sets.
+    """SimHash near-dup certification: 64-bit Charikar signatures, 8×8-bit
+    chunk banding (complete for Hamming ≤ 7 by pigeonhole), candidates
+    verified against the shingle sets — full-outer-joined with the exact
+    truth set (_EXACT_PAIRS, complete postings derivation).
 
-    The banding is PINNED to 8/7 here — the declared oracle is the exact
-    Jaccard SQL, which only holds when the banding is complete to a radius
-    that covers every true pair's signature distance; the operator's
-    size-gated default would silently drop to 4×16-bit (radius 3) above
-    2.5k docs and break that contract. The web-scale 4×16 path is certified
-    separately (``simhash_near_dupes_wide``) with a radius-aware check.
-    Plan ≡ simhash_verified_pairs(n=3, threshold=0.5, max_hamming=7,
-    n_chunks=8), via the session-shared subplans (_simhash_shared)."""
-    _, _, exact = _simhash_shared(spark, sf_dir)
-    return exact
+    Emits every exact pair with its jaccard plus ``band8_law_ok`` =
+    (banded path found the pair) == (signature distance ≤ 7). Pigeonhole
+    guarantees the banding proposes every pair within radius 7, and
+    verification guarantees banded ⊆ exact, so the law is TRUE on any
+    corpus — including one with a true pair beyond radius 7 (both sides
+    false; the sf0.001 corpus has exactly one such pair). A banded-only
+    pair (subset violation) surfaces as an extra row with NULL jaccard →
+    row count diverges → red. The web-scale 4×16 banding is certified
+    separately (``simhash_near_dupes_wide``) with the same law shape at
+    radius 3. Shares sigs/toks/exact across the family
+    (_simhash_shared, _DOC_SHINGLES, _EXACT_PAIRS)."""
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        _verified_jaccard_pairs,
+        simhash_near_pairs_from_sigs,
+    )
+
+    sigs, toks, exact = _simhash_shared(spark, sf_dir)
+    cand8 = simhash_near_pairs_from_sigs(
+        sigs, "doc_id", max_hamming=7, n_chunks=8
+    ).select("id_a", "id_b")
+    band8 = _verified_jaccard_pairs(cand8, toks, "doc_id", 0.5, 6).select(
+        "id_a", "id_b", F.lit(1).alias("_b8")
+    )
+    annotated = (
+        exact.join(
+            sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 7)
+            .cast("int")
+            .alias("_r7"),
+        )
+    )
+    return annotated.join(band8, ["id_a", "id_b"], "full_outer").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        (
+            F.coalesce(F.col("_b8"), F.lit(0)) == F.coalesce(F.col("_r7"), F.lit(0))
+        ).alias("band8_law_ok"),
+    )
 
 
 @query(
@@ -1503,32 +1569,26 @@ def simhash_near_dupes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Law (pigeonhole): the wide path's verified output equals
     {exact-Jaccard ≥ 0.5 pairs whose 64-bit signature distance ≤ 3} — no
-    false positives, no in-radius misses. The row emits the SQL-derivable
-    exact-pair count plus two booleans computed in-plan: set equality of
-    wide vs the Hamming-≤3-filtered exact pairs, and wide ⊆ exact. A
-    broken banding, signature, or verification flips a boolean and the
-    driver's hash check goes red."""
+    false positives, no in-radius misses. The row emits the exact-pair
+    count (from the complete postings truth set, guaranteed equal to the
+    oracle's all-pairs SQL) plus two booleans computed in-plan: set
+    equality of wide vs the Hamming-≤3-filtered exact pairs, and wide ⊆
+    exact. A broken banding, signature, or verification flips a boolean
+    and the driver's hash check goes red."""
     from elastic_surv_spark.operators.dedup_fuzzy import (
         _verified_jaccard_pairs,
         simhash_near_pairs_from_sigs,
     )
 
     # Signatures, shingle sets, and the exact truth set come from the
-    # session-shared persisted subplans (_simhash_shared): the exact set is
-    # the 8×8-banded verified derivation (complete to Hamming 7 by
-    # pigeonhole — the same plan simhash_near_dupes certifies) rather than
-    # an O(pairs) all-pairs shingle join. If any true pair sat beyond
-    # Hamming 7, n_exact_pairs would diverge from the oracle's all-pairs
-    # SQL count and the row goes red, so the shortcut is itself certified.
-    # EXPECTED-RED SIGNATURE for that (dataset-dependent, never yet seen on
-    # generated testdata; measured min Jaccard-pair distance ≤ 5): the
-    # driver reports rows_match=True (always 1 row) with hash_match=False,
-    # and n_exact_pairs is LOWER than the oracle's count while both law
-    # booleans stay true. That exact pattern means a true pair beyond
-    # Hamming 7 exists in this round's corpus — not a plan bug; re-derive
-    # `exact` from the all-pairs shingle join to confirm, then widen the
-    # radius or restore the O(pairs) join for that corpus.
-    sigs, toks, exact8 = _simhash_shared(spark, sf_dir)
+    # session-shared persisted subplans (_simhash_shared / _DOC_SHINGLES /
+    # _EXACT_PAIRS). Since r7 the exact set is the COMPLETE postings
+    # derivation — before, it was the Hamming≤7-banded one, and the first
+    # corpus with a true pair beyond radius 7 (sf0.001, 1 of 28 pairs) made
+    # n_exact_pairs read low against the oracle's all-pairs count. Now
+    # n_exact_pairs equals the oracle count on any corpus, and the law
+    # booleans certify the 4×16 banding against the true exact set.
+    sigs, toks, exact_pairs = _simhash_shared(spark, sf_dir)
     cand = simhash_near_pairs_from_sigs(
         sigs, "doc_id", max_hamming=3, n_chunks=4
     ).select("id_a", "id_b")
@@ -1540,7 +1600,7 @@ def simhash_near_dupes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — a per-check exceptAll/count formulation re-executed the wide and
     # exact plans for each crossJoined branch.
     exact = (
-        exact8.select("id_a", "id_b")
+        exact_pairs.select("id_a", "id_b")
         .join(
             sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa")),
             "id_a",

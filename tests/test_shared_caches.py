@@ -1,6 +1,6 @@
 """Lifecycle tests for the module-level persisted-frame caches in
-plans/queries.py (_shared_frames and its three instances: _DOC_SHINGLES,
-_VOCAB_COUNTS, _SIMHASH_SHARED).
+plans/queries.py (_shared_frames and its four instances: _DOC_SHINGLES,
+_VOCAB_COUNTS, _EXACT_PAIRS, _SIMHASH_SHARED).
 
 ADVICE r6 found a real bug here (dict.popitem() evicts LIFO, pinning the
 oldest persisted frames forever) that no test covered; these pin the
@@ -93,14 +93,31 @@ def test_doc_shingles_wiring(spark):
 
 def test_simhash_shared_wiring(spark):
     Q._SIMHASH_SHARED.clear()
+    Q._EXACT_PAIRS.clear()
     Q._DOC_SHINGLES.clear()
     sigs, toks, exact = Q._simhash_shared(spark, SF_SMOKE)
-    # the verification shingles come from the family-wide _DOC_SHINGLES
+    # the verification shingles come from the family-wide _DOC_SHINGLES and
+    # the truth set from the family-wide _EXACT_PAIRS — each held once
     assert toks is Q._DOC_SHINGLES[SF_SMOKE][1]
+    assert exact is Q._EXACT_PAIRS[SF_SMOKE][1]
     # same-session reuse returns the identical frames
     sigs2, toks2, exact2 = Q._simhash_shared(spark, SF_SMOKE)
     assert (sigs2 is sigs) and (toks2 is toks) and (exact2 is exact)
-    # simhash cache holds (spark, sigs, exact) — toks is not double-held
-    assert len(Q._SIMHASH_SHARED[SF_SMOKE]) == 3
+    # simhash cache holds only (spark, sigs) — toks/exact not double-held
+    assert len(Q._SIMHASH_SHARED[SF_SMOKE]) == 2
     _drain(Q._SIMHASH_SHARED)
+    _drain(Q._EXACT_PAIRS)
+    _drain(Q._DOC_SHINGLES)
+
+
+def test_exact_pairs_wiring(spark):
+    Q._EXACT_PAIRS.clear()
+    Q._DOC_SHINGLES.clear()
+    a = Q._exact_dup_pairs(spark, SF_SMOKE)
+    b = Q._exact_dup_pairs(spark, SF_SMOKE)
+    assert a is b
+    assert set(a.columns) == {"id_a", "id_b", "jaccard"}
+    # ngram_jaccard_dupes IS this frame — same object, no rebuild
+    assert Q.REGISTRY["ngram_jaccard_dupes"].fn(spark, SF_SMOKE) is a
+    _drain(Q._EXACT_PAIRS)
     _drain(Q._DOC_SHINGLES)
