@@ -233,14 +233,14 @@ def main() -> None:
     # subprocess measures: with it merely idle-resident, solo colds read
     # 3× high (16.1 s vs 4.8 s for the e2e pipeline on this box).
     spark.stop()
-    # Mechanical attribution (r6 brief #4): re-run the top-N slowest board
+    # Mechanical attribution (r6 brief #4): re-run the top-N (default 5) slowest board
     # lines solo in a fresh process and publish {in_bench, solo_cold,
     # solo_warm} side by side — ends the recurring "regression or shared-JVM
     # noise?" question without a manual measurement round.
     # SPARK_GRAFT_SOLO_TOP=0 disables.
     solo: dict[str, dict] = {}
     try:
-        solo_top = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "3").strip() or 0)
+        solo_top = int(os.environ.get("SPARK_GRAFT_SOLO_TOP", "5").strip() or 0)
     except ValueError:
         # a typo'd knob must not sink the already-measured board; treat any
         # non-numeric value as "disabled" and say so

@@ -9,9 +9,14 @@ column pruning and predicates down as ES queries — the same role eland's
 query compiler plays.
 
 The connector jar and a live cluster are not present in this harness, so
-these helpers build fully-configured readers/writers (testable) and fail
-with a clear message only at ``.load()``/``.save()`` time. Swap in the
-parquet source (sources/parquet.py) everywhere else in the repo.
+the jar-based helpers build fully-configured readers/writers (testable)
+and fail with a clear message only at ``.load()``/``.save()`` time. The
+pure-stdlib transport paths, by contrast, run end-to-end under pytest
+against a canned stub server (tests/test_elastic_transport.py): counts
+(``es_count``), server-side aggregations (``es_aggregate``, composite
+pagination) and the jar-free distributed document scan (``scan_es``,
+sliced scroll — one Spark partition per ES slice). Swap in the parquet
+source (sources/parquet.py) everywhere else in the repo.
 """
 
 from __future__ import annotations
@@ -268,21 +273,26 @@ def parse_agg_response(
     return rows, groups.get("after_key")
 
 
-def _es_post(url: str, body: dict, timeout: float = 30.0) -> dict:
-    """POST a JSON body to an ES REST endpoint via stdlib urllib — the
-    driver-side transport for the aggregation-pushdown path (no client
-    library, no connector jar). Driver-only and tiny: one request per
-    composite page, never per row."""
+def _es_request(url: str, body: dict, method: str = "POST", timeout: float = 30.0) -> dict:
+    """One JSON request to an ES REST endpoint via stdlib urllib — the
+    whole transport layer (no client library, no connector jar). Used
+    driver-side for counts/aggregations (one request per composite page)
+    and executor-side for the sliced-scroll scan (one request per
+    ``page_size`` documents, never per row)."""
     import urllib.request
 
     req = urllib.request.Request(
         url,
         data=json.dumps(body).encode(),
         headers={"Content-Type": "application/json"},
-        method="POST",
+        method=method,
     )
     with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
         return json.loads(r.read().decode())
+
+
+def _es_post(url: str, body: dict, timeout: float = 30.0) -> dict:
+    return _es_request(url, body, "POST", timeout)
 
 
 def es_count(base_url: str, index: str, query: dict | None = None) -> int:
@@ -316,6 +326,119 @@ def es_aggregate(
         rows.extend(page)
         if not group_by or after is None:
             return rows
+
+
+def scan_slice_pages(
+    base_url: str,
+    index: str,
+    slice_id: int,
+    max_slices: int,
+    query: dict | None = None,
+    fields: list[str] | None = None,
+    page_size: int = 1000,
+    scroll: str = "2m",
+    timeout: float = 30.0,
+):
+    """Yield pages (lists of ``_source`` dicts) for ONE scroll slice.
+
+    Executor-side loop of the jar-free distributed scan (:func:`scan_es`):
+    opens a sliced scroll (``slice: {id, max}`` — ES partitions the index
+    server-side so the N readers see disjoint, exhaustive document sets),
+    sorts by ``_doc`` (the no-scoring fast path), and pages until the
+    server returns an empty hit list. Memory is bounded by ``page_size``
+    regardless of slice size. The scroll context is best-effort deleted on
+    exit so server state doesn't linger for the full TTL."""
+    body: dict = {"size": page_size, "sort": ["_doc"]}
+    if max_slices > 1:  # ES rejects slice.max == 1; a 1-slice scan is plain
+        body["slice"] = {"id": slice_id, "max": max_slices}
+    if query is not None:
+        body["query"] = query.get("query", query)
+    if fields:
+        body["_source"] = fields
+    resp = _es_request(f"{base_url}/{index}/_search?scroll={scroll}", body, timeout=timeout)
+    scroll_id = resp.get("_scroll_id")
+    try:
+        while True:
+            hits = resp.get("hits", {}).get("hits", [])
+            if not hits:
+                return
+            yield [h.get("_source", {}) for h in hits]
+            if scroll_id is None:
+                return
+            resp = _es_request(
+                f"{base_url}/_search/scroll",
+                {"scroll": scroll, "scroll_id": scroll_id},
+                timeout=timeout,
+            )
+            scroll_id = resp.get("_scroll_id", scroll_id)
+    finally:
+        if scroll_id is not None:
+            try:
+                _es_request(
+                    f"{base_url}/_search/scroll",
+                    {"scroll_id": scroll_id},
+                    method="DELETE",
+                    timeout=timeout,
+                )
+            except Exception:  # noqa: S110 — cleanup is best-effort
+                pass
+
+
+def scan_es(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    schema,
+    slices: int = 8,
+    query: dict | None = None,
+    fields: list[str] | None = None,
+    page_size: int = 1000,
+    scroll: str = "2m",
+) -> DataFrame:
+    """Distributed, jar-free document scan: one Spark partition per ES slice.
+
+    The document-pull path of the reference's ``ESDataset`` (reference
+    src/elastic_surv/dataset.py:228-271 — eland streams ``_source`` docs out
+    of the index) re-expressed for Spark WITHOUT the elasticsearch-hadoop
+    connector: ``spark.range(slices)`` plants exactly one slice id per
+    partition (no shuffle), and ``mapInPandas`` streams that slice through
+    the stdlib HTTP transport in ``page_size`` Arrow batches. Scales
+    horizontally — N slices → N parallel executor-side readers, ES
+    partitions the index disjointly server-side — with per-reader memory
+    bounded by ``page_size``. ``query`` (from :func:`filters_to_es_query`)
+    filters server-side; ``fields`` prunes ``_source`` server-side, the
+    same pushdowns the jar connector derives from Catalyst.
+
+    ``schema`` is a ``StructType`` or DDL string; documents missing a field
+    surface it as NULL. At 100 TB this is the scale story the config-only
+    ``es_reader`` can't test-drive in this harness: the whole read path
+    (slicing, paging, pushdown, Arrow batching) runs under pytest against a
+    canned stub server (tests/test_elastic_transport.py)."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    names = [f.name for f in schema.fields]
+    n_slices = int(slices)
+    q, flds, psize, scr = query, list(fields) if fields else None, int(page_size), scroll
+
+    def _pull(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for sid in pdf["id"].tolist():
+                pages = scan_slice_pages(
+                    base_url, index, int(sid), n_slices, q, flds, psize, scr
+                )
+                for page in pages:
+                    # dict-of-object-lists: absent keys become None → NULL,
+                    # Arrow infers per-column types from the schema cast
+                    yield pd.DataFrame(
+                        {n: pd.Series([d.get(n) for d in page], dtype=object) for n in names}
+                    )
+
+    slice_ids = spark.range(0, n_slices, 1, numPartitions=n_slices)
+    return slice_ids.mapInPandas(_pull, schema=schema)
 
 
 def es_reader(

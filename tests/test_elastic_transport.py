@@ -2,10 +2,13 @@
 
 Exercises the last seam of the ES source that the DSL tests can't: the
 actual request/response loop (``es_count``, ``es_aggregate`` with composite
-pagination) over a real HTTP socket — no cluster, no client library. The
-stub replays the public Elasticsearch response shapes for ``_count`` and
-``_search`` (composite aggs paginated via ``after_key``), mirroring the
-server-side aggregation path of the reference backend (reference
+pagination, and the jar-free distributed document scan ``scan_es`` —
+sliced scroll, one Spark partition per slice) over a real HTTP socket —
+no cluster, no client library. The stub replays the public Elasticsearch
+response shapes for ``_count``, ``_search`` (composite aggs paginated via
+``after_key``) and ``_search?scroll`` (sliced scroll paginated via
+``_scroll_id``, DELETE cleanup), mirroring the server-side aggregation
+and document-pull paths of the reference backend (reference
 src/elastic_surv/dataset.py:228-271).
 """
 
@@ -22,6 +25,8 @@ from elastic_surv_spark.sources.elastic import (
     es_aggregate,
     es_count,
     filters_to_es_query,
+    scan_es,
+    scan_slice_pages,
 )
 
 PAGE1 = {
@@ -64,19 +69,58 @@ PAGE3 = {"aggregations": {"groups": {"buckets": []}}}
 UNGROUPED = {"aggregations": {"n": {"value": 8}, "avg_len": {"value": 86.25}}}
 
 
+# Six-document corpus for the sliced-scroll scan tests. Slice i of max m
+# owns docs where doc_id % m == i (the stub's deterministic stand-in for
+# ES's server-side slice partitioning: disjoint and exhaustive). doc 5
+# omits n_chars to exercise missing-field → NULL.
+SCROLL_DOCS = [
+    {"doc_id": 0, "lang": "en", "n_chars": 100},
+    {"doc_id": 1, "lang": "de", "n_chars": 50},
+    {"doc_id": 2, "lang": "en", "n_chars": 75},
+    {"doc_id": 3, "lang": "fr", "n_chars": 20},
+    {"doc_id": 4, "lang": "en", "n_chars": 60},
+    {"doc_id": 5, "lang": "de"},
+]
+_SCROLL_PAGE = 2  # docs per scroll page served by the stub
+
+
+def _scroll_response(slice_id: int, max_slices: int, offset: int) -> dict:
+    mine = [d for d in SCROLL_DOCS if d["doc_id"] % max_slices == slice_id]
+    page = mine[offset : offset + _SCROLL_PAGE]
+    return {
+        "_scroll_id": f"s{slice_id}.{max_slices}.{offset + len(page)}",
+        "hits": {"hits": [{"_id": str(d["doc_id"]), "_source": d} for d in page]},
+    }
+
+
 class _Stub(BaseHTTPRequestHandler):
     requests: list[tuple[str, dict]] = []
+    deletes: list[dict] = []
 
     def do_POST(self):  # noqa: N802
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"] or 0)) or b"{}")
         _Stub.requests.append((self.path, body))
         if self.path.endswith("/_count"):
             resp = {"count": 42 if body.get("query") else 100}
+        elif "_search?scroll=" in self.path:
+            sl = body.get("slice", {"id": 0, "max": 1})
+            resp = _scroll_response(sl["id"], sl["max"], 0)
+        elif self.path == "/_search/scroll":
+            sid, mx, off = body["scroll_id"].lstrip("s").split(".")
+            resp = _scroll_response(int(sid), int(mx), int(off))
         elif "composite" in json.dumps(body):
             after = body["aggs"]["groups"]["composite"].get("after")
             resp = PAGE1 if after is None else PAGE2 if after == {"lang": "en"} else PAGE3
         else:
             resp = UNGROUPED
+        self._reply(resp)
+
+    def do_DELETE(self):  # noqa: N802 — scroll-context cleanup
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"] or 0)) or b"{}")
+        _Stub.deletes.append(body)
+        self._reply({"succeeded": True})
+
+    def _reply(self, resp: dict) -> None:
         payload = json.dumps(resp).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -91,6 +135,7 @@ class _Stub(BaseHTTPRequestHandler):
 @pytest.fixture()
 def es_url():
     _Stub.requests = []
+    _Stub.deletes = []
     srv = HTTPServer(("127.0.0.1", 0), _Stub)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -143,3 +188,59 @@ def test_grouped_aggregate_paginates_composite(es_url):
     assert afters == [None, {"lang": "en"}, {"lang": "fr"}]
     # every page re-ships the filter and stays size:0
     assert all(b["size"] == 0 and "query" in b for _, b in _Stub.requests)
+
+
+def test_scan_slice_pages_pulls_one_slice(es_url):
+    """Executor-side loop alone: slice 1 of 2 pages through its documents
+    (ids 1,3 then 5), ships the pushdowns on the open request, and deletes
+    its scroll context when exhausted."""
+    pages = list(
+        scan_slice_pages(
+            es_url,
+            "docs",
+            slice_id=1,
+            max_slices=2,
+            query=filters_to_es_query(EqualTo("lang", "en")),
+            fields=["doc_id", "lang"],
+            page_size=2,
+        )
+    )
+    assert [[d["doc_id"] for d in p] for p in pages] == [[1, 3], [5]]
+    open_body = _Stub.requests[0][1]
+    assert _Stub.requests[0][0] == "/docs/_search?scroll=2m"
+    assert open_body["slice"] == {"id": 1, "max": 2}
+    assert open_body["query"] == {"term": {"lang": "en"}}  # server-side filter
+    assert open_body["_source"] == ["doc_id", "lang"]  # server-side pruning
+    assert open_body["sort"] == ["_doc"]  # no-scoring fast path
+    assert _Stub.deletes == [{"scroll_id": "s1.2.3"}]
+
+
+def test_scan_es_distributed_sliced_scroll(spark, es_url):
+    """Full jar-free scan: 2 Spark partitions × sliced scroll reassemble the
+    corpus exactly once, missing fields surface as NULL, and each slice
+    opened its own disjoint scroll."""
+    df = scan_es(
+        spark,
+        es_url,
+        "docs",
+        schema="doc_id long, lang string, n_chars long",
+        slices=2,
+        page_size=2,
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]  # disjoint + exhaustive
+    assert rows[5]["n_chars"] is None and rows[5]["lang"] == "de"
+    assert rows[0]["n_chars"] == 100
+    opened = sorted(
+        b["slice"]["id"] for p, b in _Stub.requests if "_search?scroll=" in p
+    )
+    assert opened == [0, 1]
+    assert len(_Stub.deletes) == 2  # both scroll contexts cleaned up
+
+
+def test_scan_es_single_slice_omits_slice_clause(spark, es_url):
+    df = scan_es(spark, es_url, "docs", schema="doc_id long, lang string", slices=1)
+    assert df.count() == 6
+    open_bodies = [b for p, b in _Stub.requests if "_search?scroll=" in p]
+    assert len(open_bodies) == 1 and "slice" not in open_bodies[0]
