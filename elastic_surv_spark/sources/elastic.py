@@ -295,6 +295,22 @@ def _es_post(url: str, body: dict, timeout: float = 30.0) -> dict:
     return _es_request(url, body, "POST", timeout)
 
 
+def _es_bulk(url: str, lines: list[str], timeout: float = 30.0) -> dict:
+    """POST an NDJSON payload to the ``_bulk`` endpoint (its content type is
+    newline-delimited JSON, not a JSON document — hence not
+    :func:`_es_request`)."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=("\n".join(lines) + "\n").encode(),
+        headers={"Content-Type": "application/x-ndjson"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
+        return json.loads(r.read().decode())
+
+
 def es_count(base_url: str, index: str, query: dict | None = None) -> int:
     """Server-side row count ≡ the reference's ``es_client.count``
     (reference src/elastic_surv/dataset.py:241-246), optionally filtered."""
@@ -439,6 +455,73 @@ def scan_es(
 
     slice_ids = spark.range(0, n_slices, 1, numPartitions=n_slices)
     return slice_ids.mapInPandas(_pull, schema=schema)
+
+
+def bulk_write_es(
+    df: DataFrame,
+    base_url: str,
+    index: str,
+    id_col: str | None = None,
+    batch_docs: int = 500,
+) -> int:
+    """Distributed, jar-free bulk upload — ≡ ``ed.pandas_to_eland`` (the
+    reference's demo-data upload, README.md:65-78) re-expressed for Spark
+    without the connector jar: every partition streams its rows to the ES
+    ``_bulk`` NDJSON endpoint in ``batch_docs``-document requests through
+    the stdlib transport. Returns the total number of documents indexed
+    (the per-partition acks are summed JVM-side, so the driver never sees
+    row data). ``id_col`` routes a column to ``_id`` for idempotent
+    re-writes (re-running upserts instead of duplicating); NULL/NaN values
+    are dropped from each document the way JSON uploads drop missing
+    fields. Raises on a ``"errors": true`` bulk response. Scales
+    horizontally: N partitions → N concurrent bulk streams, each bounded
+    by ``batch_docs``."""
+    import pandas as pd
+
+    cols = df.columns
+
+    def _flush(lines: list[str], acked: int) -> int:
+        if not lines:
+            return acked
+        resp = _es_bulk(f"{base_url}/_bulk", lines)
+        if resp.get("errors"):
+            bad = [
+                it for it in resp.get("items", [])
+                if next(iter(it.values())).get("status", 200) >= 300
+            ][:3]
+            raise RuntimeError(f"ES bulk indexing reported errors, e.g. {bad}")
+        return acked + len(lines) // 2
+
+    def _push(batches):
+        acked = 0
+        lines: list[str] = []
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                doc = {}
+                for k, v in rec.items():
+                    if v is None:
+                        continue
+                    if hasattr(v, "tolist"):  # numpy scalar/array → python
+                        v = v.tolist()
+                    if isinstance(v, float) and v != v:  # NaN ≡ missing
+                        continue
+                    doc[k] = v
+                action: dict = {"index": {"_index": index}}
+                if id_col is not None:
+                    action["index"]["_id"] = str(rec[id_col])
+                lines.append(json.dumps(action))
+                lines.append(json.dumps(doc, default=str))
+                if len(lines) >= 2 * batch_docs:
+                    acked = _flush(lines, acked)
+                    lines = []
+        acked = _flush(lines, acked)
+        yield pd.DataFrame({"indexed": [acked]})
+
+    from pyspark.sql import functions as F
+
+    acks = df.select(cols).mapInPandas(_push, schema="indexed long")
+    total = acks.agg(F.sum("indexed").alias("n")).collect()[0]["n"]
+    return int(total or 0)
 
 
 def es_reader(

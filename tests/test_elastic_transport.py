@@ -23,6 +23,7 @@ import pytest
 from elastic_surv_spark.sources.elastic import (
     EqualTo,
     es_aggregate,
+    bulk_write_es,
     es_count,
     filters_to_es_query,
     scan_es,
@@ -96,9 +97,22 @@ def _scroll_response(slice_id: int, max_slices: int, offset: int) -> dict:
 class _Stub(BaseHTTPRequestHandler):
     requests: list[tuple[str, dict]] = []
     deletes: list[dict] = []
+    bulk_batches: list[list[dict]] = []
+    lock = threading.Lock()
 
     def do_POST(self):  # noqa: N802
-        body = json.loads(self.rfile.read(int(self.headers["Content-Length"] or 0)) or b"{}")
+        raw = self.rfile.read(int(self.headers["Content-Length"] or 0))
+        if self.path == "/_bulk":
+            lines = [json.loads(ln) for ln in raw.decode().splitlines() if ln]
+            with _Stub.lock:
+                _Stub.bulk_batches.append(lines)
+            items = [
+                {"index": {"status": 201, "_id": a["index"].get("_id")}}
+                for a in lines[::2]
+            ]
+            self._reply({"errors": False, "items": items})
+            return
+        body = json.loads(raw or b"{}")
         _Stub.requests.append((self.path, body))
         if self.path.endswith("/_count"):
             resp = {"count": 42 if body.get("query") else 100}
@@ -136,6 +150,7 @@ class _Stub(BaseHTTPRequestHandler):
 def es_url():
     _Stub.requests = []
     _Stub.deletes = []
+    _Stub.bulk_batches = []
     srv = HTTPServer(("127.0.0.1", 0), _Stub)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -244,3 +259,26 @@ def test_scan_es_single_slice_omits_slice_clause(spark, es_url):
     assert df.count() == 6
     open_bodies = [b for p, b in _Stub.requests if "_search?scroll=" in p]
     assert len(open_bodies) == 1 and "slice" not in open_bodies[0]
+
+
+def test_bulk_write_es_round_trip(spark, es_url):
+    """Write twin of the scan: per-partition NDJSON bulk streams, id
+    routing, NULL-field dropping, batch bounding, and an exact ack total."""
+    src = spark.createDataFrame(
+        [(i, f"d{i}", float(i) if i != 3 else None) for i in range(7)],
+        "doc_id long, name string, score double",
+    ).repartition(2)
+    n = bulk_write_es(src, es_url, "docs_out", id_col="doc_id", batch_docs=2)
+    assert n == 7
+    flat = [ln for batch in _Stub.bulk_batches for ln in batch]
+    actions, docs = flat[::2], flat[1::2]
+    assert len(docs) == 7
+    assert all(a["index"]["_index"] == "docs_out" for a in actions)
+    assert sorted(a["index"]["_id"] for a in actions) == [str(i) for i in range(7)]
+    by_id = {d["doc_id"]: d for d in docs}
+    assert "score" not in by_id[3]  # NULL dropped from the document
+    assert by_id[2]["score"] == 2.0 and by_id[2]["name"] == "d2"
+    # batch_docs=2 bounds every request to ≤2 documents (≤4 NDJSON lines)
+    assert all(len(b) <= 4 for b in _Stub.bulk_batches)
+    # idempotent re-write: same ids, same count
+    assert bulk_write_es(src, es_url, "docs_out", id_col="doc_id") == 7
