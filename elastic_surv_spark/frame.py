@@ -121,6 +121,64 @@ class SurvFrame:
         )
 
     # ------------------------------------------------------------------ #
+    @classmethod
+    def from_es(
+        cls,
+        spark: SparkSession,
+        base_url: str,
+        index: str,
+        schema,
+        time_column: str,
+        event_column: str,
+        features: list[str] | None = None,
+        slices: int = 8,
+        query: dict | None = None,
+        order_column: str | None = None,
+        train_ratio: float = 0.9,
+        label_transformer: Callable | None = None,
+        page_size: int = 1000,
+    ) -> "SurvFrame":
+        """≡ reference ESDataset (dataset.py:228-271, construction at 260):
+        a survival frame whose rows live in an Elasticsearch index.
+
+        The scan is the jar-free sliced-scroll reader
+        (:func:`elastic_surv_spark.sources.elastic.scan_es` — one Spark
+        partition per ES slice, server-side ``query``/``_source`` pushdown,
+        the pushdown role eland plays for the reference). Column pruning is
+        applied at the source: only role columns ship out of the cluster.
+        ES document order is not a stable total order, so the default split
+        is the order-free ``hash_split`` path; pass ``order_column`` (e.g. a
+        monotone id field) to enable exact prefix-``split()`` semantics.
+        """
+        from elastic_surv_spark.sources.elastic import scan_es
+
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if features is None:
+            excluded = {time_column, event_column, ROW_ID, order_column}
+            features = sorted(f.name for f in schema.fields if f.name not in excluded)
+        fields = list(
+            dict.fromkeys(
+                [*features, time_column, event_column]
+                + ([order_column] if order_column else [])
+            )
+        )
+        pruned = T.StructType([f for f in schema.fields if f.name in set(fields)])
+        df = scan_es(
+            spark, base_url, index, pruned,
+            slices=slices, query=query, fields=fields, page_size=page_size,
+        )
+        return cls(
+            df,
+            time_column,
+            event_column,
+            features=features,
+            order_column=order_column,
+            train_ratio=train_ratio,
+            label_transformer=label_transformer,
+        )
+
+    # ------------------------------------------------------------------ #
     @property
     def columns(self) -> list[str]:
         """Role projection ≡ reference dataset.py:51 (features + [time, event])."""

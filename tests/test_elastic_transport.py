@@ -75,12 +75,12 @@ UNGROUPED = {"aggregations": {"n": {"value": 8}, "avg_len": {"value": 86.25}}}
 # ES's server-side slice partitioning: disjoint and exhaustive). doc 5
 # omits n_chars to exercise missing-field → NULL.
 SCROLL_DOCS = [
-    {"doc_id": 0, "lang": "en", "n_chars": 100},
-    {"doc_id": 1, "lang": "de", "n_chars": 50},
-    {"doc_id": 2, "lang": "en", "n_chars": 75},
-    {"doc_id": 3, "lang": "fr", "n_chars": 20},
-    {"doc_id": 4, "lang": "en", "n_chars": 60},
-    {"doc_id": 5, "lang": "de"},
+    {"doc_id": 0, "lang": "en", "n_chars": 100, "event": 1},
+    {"doc_id": 1, "lang": "de", "n_chars": 50, "event": 0},
+    {"doc_id": 2, "lang": "en", "n_chars": 75, "event": 1},
+    {"doc_id": 3, "lang": "fr", "n_chars": 20, "event": 1},
+    {"doc_id": 4, "lang": "en", "n_chars": 60, "event": 0},
+    {"doc_id": 5, "lang": "de", "event": 1},
 ]
 _SCROLL_PAGE = 2  # docs per scroll page served by the stub
 
@@ -259,6 +259,38 @@ def test_scan_es_single_slice_omits_slice_clause(spark, es_url):
     assert df.count() == 6
     open_bodies = [b for p, b in _Stub.requests if "_search?scroll=" in p]
     assert len(open_bodies) == 1 and "slice" not in open_bodies[0]
+
+
+def test_survframe_from_es(spark, es_url):
+    """ESDataset parity: a survival frame whose rows live in an ES index,
+    read through the jar-free sliced scan with role-column pruning pushed
+    to the source, prefix-splittable via an explicit order column."""
+    from elastic_surv_spark.frame import SurvFrame
+
+    frame = SurvFrame.from_es(
+        spark,
+        es_url,
+        "docs",
+        schema="doc_id long, lang string, n_chars long, event long",
+        time_column="n_chars",
+        event_column="event",
+        slices=2,
+        order_column="doc_id",
+        page_size=2,
+    )
+    assert frame.features == ["lang"]  # roles + order excluded, sorted
+    rows = {r["doc_id"]: r for r in frame.df.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    assert rows[5]["n_chars"] is None  # missing field → NULL time
+    # column pruning reached the source: every scroll open ships _source
+    open_bodies = [b for p, b in _Stub.requests if "_search?scroll=" in p]
+    assert all(
+        sorted(b["_source"]) == ["doc_id", "event", "lang", "n_chars"]
+        for b in open_bodies
+    )
+    train, test = frame.split()  # exact prefix semantics via doc_id order
+    assert train.count() == 5 and test.count() == 1
+    assert test.collect()[0]["doc_id"] == 5
 
 
 def test_bulk_write_es_round_trip(spark, es_url):
