@@ -85,11 +85,28 @@ SCROLL_DOCS = [
 _SCROLL_PAGE = 2  # docs per scroll page served by the stub
 
 
-def _scroll_response(slice_id: int, max_slices: int, offset: int) -> dict:
-    mine = [d for d in SCROLL_DOCS if d["doc_id"] % max_slices == slice_id]
-    page = mine[offset : offset + _SCROLL_PAGE]
+def _surv_docs() -> list[dict]:
+    """A GBSG2-shaped corpus served as the ``surv`` index — the reference's
+    headline scenario (train a survival model on rows living in ES)."""
+    from tests.fixtures import gbsg2_like
+
+    pdf = gbsg2_like(160, seed=7).reset_index(names="doc_id")
+    return json.loads(pdf.to_json(orient="records"))  # plain-python types
+
+
+# corpus key → (index name, documents, scroll page size)
+_CORPORA = {
+    "s": ("docs", SCROLL_DOCS, _SCROLL_PAGE),
+    "t": ("surv", _surv_docs(), 50),
+}
+
+
+def _scroll_response(corpus: str, slice_id: int, max_slices: int, offset: int) -> dict:
+    _, docs, page_size = _CORPORA[corpus]
+    mine = [d for d in docs if d["doc_id"] % max_slices == slice_id]
+    page = mine[offset : offset + page_size]
     return {
-        "_scroll_id": f"s{slice_id}.{max_slices}.{offset + len(page)}",
+        "_scroll_id": f"{corpus}{slice_id}.{max_slices}.{offset + len(page)}",
         "hits": {"hits": [{"_id": str(d["doc_id"]), "_source": d} for d in page]},
     }
 
@@ -118,10 +135,12 @@ class _Stub(BaseHTTPRequestHandler):
             resp = {"count": 42 if body.get("query") else 100}
         elif "_search?scroll=" in self.path:
             sl = body.get("slice", {"id": 0, "max": 1})
-            resp = _scroll_response(sl["id"], sl["max"], 0)
+            corpus = "t" if self.path.startswith("/surv/") else "s"
+            resp = _scroll_response(corpus, sl["id"], sl["max"], 0)
         elif self.path == "/_search/scroll":
-            sid, mx, off = body["scroll_id"].lstrip("s").split(".")
-            resp = _scroll_response(int(sid), int(mx), int(off))
+            corpus, rest = body["scroll_id"][0], body["scroll_id"][1:]
+            sid, mx, off = rest.split(".")
+            resp = _scroll_response(corpus, int(sid), int(mx), int(off))
         elif "composite" in json.dumps(body):
             after = body["aggs"]["groups"]["composite"].get("after")
             resp = PAGE1 if after is None else PAGE2 if after == {"lang": "en"} else PAGE3
@@ -291,6 +310,42 @@ def test_survframe_from_es(spark, es_url):
     train, test = frame.split()  # exact prefix semantics via doc_id order
     assert train.count() == 5 and test.count() == 1
     assert test.collect()[0]["doc_id"] == 5
+
+
+def test_cox_trains_on_es_index(spark, es_url):
+    """The reference's headline flow end-to-end without a cluster: an
+    ESDataset-equivalent survival frame over a GBSG2-shaped ES index
+    (sliced scroll, one-hot featurization of string columns downstream)
+    feeding CoxPH train + score — ≡ reference README.md:65-96 (ESDataset +
+    CoxPH over an uploaded index)."""
+    import numpy as np
+
+    from elastic_surv_spark.frame import SurvFrame
+    from elastic_surv_spark.models.cox_ph import CoxPHModel
+    from elastic_surv_spark.models.data import SurvDataset
+
+    frame = SurvFrame.from_es(
+        spark,
+        es_url,
+        "surv",
+        schema=(
+            "doc_id long, time long, cens long, age long, estrec long, "
+            "horTh string, menostat string, pnodes long, progrec long, "
+            "tgrade string, tsize long"
+        ),
+        time_column="time",
+        event_column="cens",
+        slices=2,
+        order_column="doc_id",
+        page_size=50,
+    )
+    ds = SurvDataset(frame)
+    model = CoxPHModel(in_features=ds.in_features, epochs=5, patience=5, seed=42)
+    model.train(ds)
+    scores = model.score(ds)
+    assert set(scores) == {"c_index", "brier_score"}
+    assert np.isfinite(scores["c_index"]) and np.isfinite(scores["brier_score"])
+    assert 0.0 <= scores["c_index"] <= 1.0
 
 
 def test_bulk_write_es_round_trip(spark, es_url):
