@@ -123,11 +123,17 @@ class _Stub(BaseHTTPRequestHandler):
             lines = [json.loads(ln) for ln in raw.decode().splitlines() if ln]
             with _Stub.lock:
                 _Stub.bulk_batches.append(lines)
+            rejected = any(a["index"]["_index"] == "reject" for a in lines[::2])
             items = [
-                {"index": {"status": 201, "_id": a["index"].get("_id")}}
+                {
+                    "index": {
+                        "status": 503 if rejected else 201,
+                        "_id": a["index"].get("_id"),
+                    }
+                }
                 for a in lines[::2]
             ]
-            self._reply({"errors": False, "items": items})
+            self._reply({"errors": rejected, "items": items})
             return
         body = json.loads(raw or b"{}")
         _Stub.requests.append((self.path, body))
@@ -369,3 +375,11 @@ def test_bulk_write_es_round_trip(spark, es_url):
     assert all(len(b) <= 4 for b in _Stub.bulk_batches)
     # idempotent re-write: same ids, same count
     assert bulk_write_es(src, es_url, "docs_out", id_col="doc_id") == 7
+
+
+def test_bulk_write_es_raises_on_rejected_documents(spark, es_url):
+    """An ``errors: true`` bulk response must fail the write job — silent
+    partial ingestion is the one failure mode a writer can't have."""
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, name string")
+    with pytest.raises(Exception, match="bulk indexing reported errors"):
+        bulk_write_es(src, es_url, "reject", id_col="doc_id")
