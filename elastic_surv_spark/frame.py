@@ -146,9 +146,10 @@ class SurvFrame:
         partition per ES slice, server-side ``query``/``_source`` pushdown,
         the pushdown role eland plays for the reference). Column pruning is
         applied at the source: only role columns ship out of the cluster.
-        ES document order is not a stable total order, so the default split
-        is the order-free ``hash_split`` path; pass ``order_column`` (e.g. a
-        monotone id field) to enable exact prefix-``split()`` semantics.
+        ES document order is not a stable total order, so without
+        ``order_column`` use the order-free ``hash_split()`` path (e.g.
+        ``SurvDataset(frame, use_hash_split=True)``); pass ``order_column``
+        (a monotone id field) to enable exact prefix-``split()`` semantics.
         """
         from elastic_surv_spark.sources.elastic import scan_es
 
