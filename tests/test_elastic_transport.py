@@ -101,12 +101,14 @@ _CORPORA = {
 }
 
 
-def _scroll_response(corpus: str, slice_id: int, max_slices: int, offset: int) -> dict:
-    _, docs, page_size = _CORPORA[corpus]
+def _scroll_response(
+    prefix: str, docs: list[dict], page_size: int,
+    slice_id: int, max_slices: int, offset: int,
+) -> dict:
     mine = [d for d in docs if d["doc_id"] % max_slices == slice_id]
     page = mine[offset : offset + page_size]
     return {
-        "_scroll_id": f"{corpus}{slice_id}.{max_slices}.{offset + len(page)}",
+        "_scroll_id": f"{prefix}{slice_id}.{max_slices}.{offset + len(page)}",
         "hits": {"hits": [{"_id": str(d["doc_id"]), "_source": d} for d in page]},
     }
 
@@ -115,6 +117,7 @@ class _Stub(BaseHTTPRequestHandler):
     requests: list[tuple[str, dict]] = []
     deletes: list[dict] = []
     bulk_batches: list[list[dict]] = []
+    indexed: dict[str, list[dict]] = {}
     lock = threading.Lock()
 
     def do_POST(self):  # noqa: N802
@@ -124,6 +127,10 @@ class _Stub(BaseHTTPRequestHandler):
             with _Stub.lock:
                 _Stub.bulk_batches.append(lines)
             rejected = any(a["index"]["_index"] == "reject" for a in lines[::2])
+            if not rejected:  # store documents so scans can read them back
+                with _Stub.lock:
+                    for a, doc in zip(lines[::2], lines[1::2]):
+                        _Stub.indexed.setdefault(a["index"]["_index"], []).append(doc)
             items = [
                 {
                     "index": {
@@ -141,12 +148,26 @@ class _Stub(BaseHTTPRequestHandler):
             resp = {"count": 42 if body.get("query") else 100}
         elif "_search?scroll=" in self.path:
             sl = body.get("slice", {"id": 0, "max": 1})
-            corpus = "t" if self.path.startswith("/surv/") else "s"
-            resp = _scroll_response(corpus, sl["id"], sl["max"], 0)
+            index = self.path.split("/")[1]
+            if index in _Stub.indexed:  # a bulk-written index, scanned back
+                resp = _scroll_response(
+                    f"w:{index}:", _Stub.indexed[index], _SCROLL_PAGE,
+                    sl["id"], sl["max"], 0,
+                )
+            else:
+                corpus = "t" if index == "surv" else "s"
+                _, docs, psize = _CORPORA[corpus]
+                resp = _scroll_response(corpus, docs, psize, sl["id"], sl["max"], 0)
         elif self.path == "/_search/scroll":
-            corpus, rest = body["scroll_id"][0], body["scroll_id"][1:]
-            sid, mx, off = rest.split(".")
-            resp = _scroll_response(corpus, int(sid), int(mx), int(off))
+            sid = body["scroll_id"]
+            if sid.startswith("w:"):
+                _, index, rest = sid.split(":", 2)
+                prefix, docs, psize = f"w:{index}:", _Stub.indexed[index], _SCROLL_PAGE
+            else:
+                prefix, rest = sid[0], sid[1:]
+                _, docs, psize = _CORPORA[prefix]
+            s, mx, off = rest.split(".")
+            resp = _scroll_response(prefix, docs, psize, int(s), int(mx), int(off))
         elif "composite" in json.dumps(body):
             after = body["aggs"]["groups"]["composite"].get("after")
             resp = PAGE1 if after is None else PAGE2 if after == {"lang": "en"} else PAGE3
@@ -176,6 +197,7 @@ def es_url():
     _Stub.requests = []
     _Stub.deletes = []
     _Stub.bulk_batches = []
+    _Stub.indexed = {}
     srv = HTTPServer(("127.0.0.1", 0), _Stub)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -375,6 +397,28 @@ def test_bulk_write_es_round_trip(spark, es_url):
     assert all(len(b) <= 4 for b in _Stub.bulk_batches)
     # idempotent re-write: same ids, same count
     assert bulk_write_es(src, es_url, "docs_out", id_col="doc_id") == 7
+
+
+def test_bulk_write_then_scan_round_trip(spark, es_url):
+    """Write → read round-trip entirely through the jar-free paths: a frame
+    bulk-written to the stub comes back row-identical (modulo NULL-field
+    dropping) through a 2-slice distributed scan of the same index."""
+    src = spark.createDataFrame(
+        [(i, f"d{i}", float(i * 10)) for i in range(9)],
+        "doc_id long, name string, score double",
+    ).repartition(3)
+    assert bulk_write_es(src, es_url, "rt_index", id_col="doc_id") == 9
+    back = scan_es(
+        spark,
+        es_url,
+        "rt_index",
+        schema="doc_id long, name string, score double",
+        slices=2,
+        page_size=2,
+    )
+    assert sorted(back.collect(), key=lambda r: r["doc_id"]) == sorted(
+        src.collect(), key=lambda r: r["doc_id"]
+    )
 
 
 def test_bulk_write_es_raises_on_rejected_documents(spark, es_url):
