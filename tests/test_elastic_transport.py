@@ -301,6 +301,14 @@ def test_scan_es_distributed_sliced_scroll(spark, es_url):
     assert len(_Stub.deletes) == 2  # both scroll contexts cleaned up
 
 
+def test_scan_es_more_slices_than_docs(spark, es_url):
+    """Over-slicing (8 slices, 6 docs) leaves some slices empty — they must
+    produce empty partitions, not errors, and the union stays exact."""
+    df = scan_es(spark, es_url, "docs", schema="doc_id long", slices=8)
+    assert sorted(r["doc_id"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+    assert df.rdd.getNumPartitions() == 8
+
+
 def test_scan_es_single_slice_omits_slice_clause(spark, es_url):
     df = scan_es(spark, es_url, "docs", schema="doc_id long, lang string", slices=1)
     assert df.count() == 6
