@@ -220,14 +220,17 @@ class SurvFrame:
 
         Partitions rows by ``pmod(xxhash64(key, salt), 100) < 100*train_ratio``.
         Fully parallel, reproducible across runs, and independent of
-        partitioning — the right split at 100 TB.
+        partitioning — the right split at 100 TB. Without a ``key`` (and
+        with no ``order_column`` — e.g. a frame scanned out of ES, where
+        document order is not a stable total order), the hash covers ALL
+        projected columns: still deterministic and shuffle-free, with
+        fully-duplicate rows landing on the same side by construction.
         """
         key = key or self.order_column
-        if key is None:
-            raise ValueError("hash_split requires a key column")
-        bucket = F.pmod(F.xxhash64(F.col(key), F.lit(salt)), F.lit(100))
-        thresh = int(self.train_ratio * 100)
         proj = self.projected()
+        key_cols = [F.col(key)] if key is not None else [F.col(c) for c in proj.columns]
+        bucket = F.pmod(F.xxhash64(*key_cols, F.lit(salt)), F.lit(100))
+        thresh = int(self.train_ratio * 100)
         return proj.filter(bucket < thresh), proj.filter(bucket >= thresh)
 
     # ------------------------------------------------------------------ #

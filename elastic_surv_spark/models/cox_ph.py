@@ -119,10 +119,16 @@ class CoxPHModel(SurvModel):
             F.sum(F.col(e_col).cast("double")).alias("d"),
             F.sum("exp_g").alias("sum_eg"),
         )
-        # constant-valued partition column (see metrics/km.py): the windows
-        # run over the bounded aggregated curve — one deliberate task, with
-        # a declared partitioning instead of the unpartitioned-window warning.
-        grouped = grouped.withColumn("_p", F.pmod(F.col("d").cast("long"), F.lit(1)))
+        # constant-valued partition column (see metrics/km.py: a bare
+        # literal is constant-folded out of the partition spec, degrading
+        # to the warned unpartitioned form): the windows run over the
+        # bounded aggregated curve — one deliberate task. The coalesce
+        # matters: pmod(d, 1) alone goes NULL when a bin's events are all
+        # NULL (sum of NULLs), silently splitting the window into two
+        # partitions and corrupting the cumulative baseline-hazard sums.
+        grouped = grouped.withColumn(
+            "_p", F.pmod(F.coalesce(F.col("d").cast("long"), F.lit(0)), F.lit(1))
+        )
         w_rev = (
             Window.partitionBy("_p")
             .orderBy(F.desc("t"))
@@ -141,8 +147,14 @@ class CoxPHModel(SurvModel):
             .orderBy("t")
         ).collect()
         # bounded by construction: quantize_times caps the domain at
-        # max_curve_points bins (+1 for the lower edge)
-        assert len(curve) <= self.max_curve_points + 1, len(curve)
+        # max_curve_points bins (+1 for the lower edge). A hard raise, not
+        # an assert — the driver-side collect bound is load-bearing and
+        # must hold under `python -O` too.
+        if len(curve) > self.max_curve_points + 1:
+            raise RuntimeError(
+                f"baseline-hazard curve has {len(curve)} points, above the "
+                f"max_curve_points={self.max_curve_points} collect bound"
+            )
         self.cuts = np.array([float(r["t"]) for r in curve])
         self.baseline_cumhaz = np.array([float(r["H0"]) for r in curve])
 

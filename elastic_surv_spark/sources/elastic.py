@@ -48,9 +48,8 @@ class In:
     col: str
     values: tuple
 
-    def __init__(self, col: str, values) -> None:  # tolerate lists
-        object.__setattr__(self, "col", col)
-        object.__setattr__(self, "values", tuple(values))
+    def __post_init__(self) -> None:  # tolerate lists
+        object.__setattr__(self, "values", tuple(self.values))
 
 
 @dataclass(frozen=True)
@@ -273,22 +272,77 @@ def parse_agg_response(
     return rows, groups.get("after_key")
 
 
-def _es_request(url: str, body: dict, method: str = "POST", timeout: float = 30.0) -> dict:
+#: HTTP statuses worth retrying — 429 is routine back-pressure under the
+#: N-concurrent-streams load the bulk writer creates; 502/503/504 are
+#: transient gateway/cluster states. Everything else (400 mapping errors,
+#: 404, auth) is a real failure and must surface immediately.
+RETRYABLE_STATUSES = frozenset({429, 502, 503, 504})
+#: retry attempts beyond the first try, and the first backoff sleep
+#: (doubles per attempt: 0.5, 1, 2, 4 s — ~7.5 s of patience total).
+#: The resilience eland's elasticsearch-py client gives the reference for
+#: free (retry_on_timeout / bulk helpers); without it a single transient
+#: 429/503 kills a whole 100 TB scan or write job.
+DEFAULT_RETRIES = 4
+DEFAULT_BACKOFF_S = 0.5
+
+
+def _with_retries(send, retries: int = DEFAULT_RETRIES,
+                  backoff: float = DEFAULT_BACKOFF_S):
+    """Run ``send()`` retrying transient failures with exponential backoff.
+
+    Retries HTTP {429, 502, 503, 504} and connection-level errors
+    (refused/reset/timeout); re-raises everything else — and the last
+    transient error once ``retries`` attempts are spent. Safe for every
+    transport call here: counts/aggs/PIT pages are idempotent reads, a
+    retried ``_search/scroll`` request is safe because the scroll cursor
+    only advances on a successful response, and ``_bulk`` re-sends are
+    idempotent under ``_id`` routing (and at-least-once without it, the
+    same contract the official bulk helpers give)."""
+    import time as _time
+    import urllib.error
+
+    attempt = 0
+    while True:
+        try:
+            return send()
+        except urllib.error.HTTPError as exc:  # subclasses URLError: first
+            if exc.code not in RETRYABLE_STATUSES or attempt >= retries:
+                raise
+        except (urllib.error.URLError, ConnectionError, TimeoutError, OSError):
+            if attempt >= retries:
+                raise
+        _time.sleep(backoff * (2 ** attempt))
+        attempt += 1
+
+
+def _es_request(
+    url: str,
+    body: dict,
+    method: str = "POST",
+    timeout: float = 30.0,
+    retries: int = DEFAULT_RETRIES,
+    backoff: float = DEFAULT_BACKOFF_S,
+) -> dict:
     """One JSON request to an ES REST endpoint via stdlib urllib — the
     whole transport layer (no client library, no connector jar). Used
     driver-side for counts/aggregations (one request per composite page)
-    and executor-side for the sliced-scroll scan (one request per
-    ``page_size`` documents, never per row)."""
+    and executor-side for the sliced-scroll/PIT scan (one request per
+    ``page_size`` documents, never per row). Transient failures retry
+    with exponential backoff (see :func:`_with_retries`); pass
+    ``retries=0`` for best-effort calls like scroll-context cleanup."""
     import urllib.request
 
-    req = urllib.request.Request(
-        url,
-        data=json.dumps(body).encode(),
-        headers={"Content-Type": "application/json"},
-        method=method,
-    )
-    with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
-        return json.loads(r.read().decode())
+    def _send() -> dict:
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method=method,
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
+            return json.loads(r.read().decode())
+
+    return _with_retries(_send, retries, backoff)
 
 
 def _es_post(url: str, body: dict, timeout: float = 30.0) -> dict:
@@ -298,17 +352,22 @@ def _es_post(url: str, body: dict, timeout: float = 30.0) -> dict:
 def _es_bulk(url: str, lines: list[str], timeout: float = 30.0) -> dict:
     """POST an NDJSON payload to the ``_bulk`` endpoint (its content type is
     newline-delimited JSON, not a JSON document — hence not
-    :func:`_es_request`)."""
+    :func:`_es_request`). A whole-request 429/5xx retries with backoff;
+    per-ITEM rejections come back inside a 200 response and are handled by
+    the caller (:func:`bulk_write_es` re-sends only the rejected items)."""
     import urllib.request
 
-    req = urllib.request.Request(
-        url,
-        data=("\n".join(lines) + "\n").encode(),
-        headers={"Content-Type": "application/x-ndjson"},
-        method="POST",
-    )
-    with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
-        return json.loads(r.read().decode())
+    def _send() -> dict:
+        req = urllib.request.Request(
+            url,
+            data=("\n".join(lines) + "\n").encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
+            return json.loads(r.read().decode())
+
+    return _with_retries(_send)
 
 
 def es_count(base_url: str, index: str, query: dict | None = None) -> int:
@@ -362,8 +421,11 @@ def scan_slice_pages(
     server-side so the N readers see disjoint, exhaustive document sets),
     sorts by ``_doc`` (the no-scoring fast path), and pages until the
     server returns an empty hit list. Memory is bounded by ``page_size``
-    regardless of slice size. The scroll context is best-effort deleted on
-    exit so server state doesn't linger for the full TTL."""
+    regardless of slice size. Transient request failures (429/5xx,
+    connection resets) retry with backoff — safe because the scroll cursor
+    only advances on a successful response. The scroll context is
+    best-effort deleted on exit so server state doesn't linger for the
+    full TTL."""
     body: dict = {"size": page_size, "sort": ["_doc"]}
     if max_slices > 1:  # ES rejects slice.max == 1; a 1-slice scan is plain
         body["slice"] = {"id": slice_id, "max": max_slices}
@@ -378,9 +440,14 @@ def scan_slice_pages(
             hits = resp.get("hits", {}).get("hits", [])
             if not hits:
                 return
-            yield [h.get("_source", {}) for h in hits]
             if scroll_id is None:
-                return
+                # a misbehaving proxy/ES response with hits but no cursor
+                # would otherwise truncate the scan while looking complete
+                raise RuntimeError(
+                    f"ES scroll response for {index} slice {slice_id} has "
+                    "hits but no _scroll_id; refusing a silently truncated scan"
+                )
+            yield [h.get("_source", {}) for h in hits]
             resp = _es_request(
                 f"{base_url}/_search/scroll",
                 {"scroll": scroll, "scroll_id": scroll_id},
@@ -395,9 +462,77 @@ def scan_slice_pages(
                     {"scroll_id": scroll_id},
                     method="DELETE",
                     timeout=timeout,
+                    retries=0,  # cleanup must not stall a finishing task
                 )
             except Exception:  # noqa: S110 — cleanup is best-effort
                 pass
+
+
+def scan_slice_pages_pit(
+    base_url: str,
+    index: str,
+    slice_id: int,
+    max_slices: int,
+    query: dict | None = None,
+    fields: list[str] | None = None,
+    page_size: int = 1000,
+    keep_alive: str = "2m",
+    timeout: float = 30.0,
+):
+    """Yield pages for ONE slice via point-in-time + ``search_after`` —
+    the ES 8 replacement for the deprecated scroll API (the reference pins
+    eland 7.14.1b1 / ES 7.x, reference setup.cfg:30, so scroll is its
+    parity path; this is the forward-compat variant).
+
+    Same contract as :func:`scan_slice_pages`: disjoint + exhaustive
+    slices, ``page_size``-bounded memory, server-side query/``_source``
+    pushdown, transient-failure retries (safe — PIT pages are idempotent
+    reads keyed by ``search_after``, which only advances after a page is
+    received), best-effort PIT close on exit. Sorts by ``_shard_doc``,
+    the PIT-scoped tie-breaker ES recommends for no-scoring pagination."""
+    pit_id = _es_request(
+        f"{base_url}/{index}/_pit?keep_alive={keep_alive}", {}, timeout=timeout
+    )["id"]
+    try:
+        after: list | None = None
+        while True:
+            body: dict = {
+                "size": page_size,
+                "sort": [{"_shard_doc": "asc"}],
+                "pit": {"id": pit_id, "keep_alive": keep_alive},
+            }
+            if max_slices > 1:
+                body["slice"] = {"id": slice_id, "max": max_slices}
+            if query is not None:
+                body["query"] = query.get("query", query)
+            if fields:
+                body["_source"] = fields
+            if after is not None:
+                body["search_after"] = after
+            resp = _es_request(f"{base_url}/_search", body, timeout=timeout)
+            pit_id = resp.get("pit_id", pit_id)  # ES may refresh the id
+            hits = resp.get("hits", {}).get("hits", [])
+            if not hits:
+                return
+            last_sort = hits[-1].get("sort")
+            if last_sort is None:
+                raise RuntimeError(
+                    f"ES PIT page for {index} slice {slice_id} has hits "
+                    "without sort values; cannot paginate with search_after"
+                )
+            yield [h.get("_source", {}) for h in hits]
+            after = last_sort
+    finally:
+        try:
+            _es_request(
+                f"{base_url}/_pit",
+                {"id": pit_id},
+                method="DELETE",
+                timeout=timeout,
+                retries=0,  # cleanup must not stall a finishing task
+            )
+        except Exception:  # noqa: S110 — cleanup is best-effort
+            pass
 
 
 def scan_es(
@@ -410,6 +545,7 @@ def scan_es(
     fields: list[str] | None = None,
     page_size: int = 1000,
     scroll: str = "2m",
+    mode: str = "scroll",
 ) -> DataFrame:
     """Distributed, jar-free document scan: one Spark partition per ES slice.
 
@@ -426,14 +562,20 @@ def scan_es(
     same pushdowns the jar connector derives from Catalyst.
 
     ``schema`` is a ``StructType`` or DDL string; documents missing a field
-    surface it as NULL. At 100 TB this is the scale story the config-only
-    ``es_reader`` can't test-drive in this harness: the whole read path
-    (slicing, paging, pushdown, Arrow batching) runs under pytest against a
-    canned stub server (tests/test_elastic_transport.py)."""
+    surface it as NULL. ``mode`` picks the pagination API: ``"scroll"``
+    (sliced scroll — parity with the reference's ES 7.x pin) or ``"pit"``
+    (point-in-time + ``search_after``, the ES 8 path where scroll is
+    deprecated); both yield the same document set. At 100 TB this is the
+    scale story the config-only ``es_reader`` can't test-drive in this
+    harness: the whole read path (slicing, paging, pushdown, retries,
+    Arrow batching) runs under pytest against a canned stub server
+    (tests/test_elastic_transport.py)."""
     from pyspark.sql import types as T
 
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
+    if mode not in ("scroll", "pit"):
+        raise ValueError(f"scan_es mode must be 'scroll' or 'pit', got {mode!r}")
     names = [f.name for f in schema.fields]
     n_slices = int(slices)
     q, flds, psize, scr = query, list(fields) if fields else None, int(page_size), scroll
@@ -443,9 +585,14 @@ def scan_es(
 
         for pdf in batches:
             for sid in pdf["id"].tolist():
-                pages = scan_slice_pages(
-                    base_url, index, int(sid), n_slices, q, flds, psize, scr
-                )
+                if mode == "pit":
+                    pages = scan_slice_pages_pit(
+                        base_url, index, int(sid), n_slices, q, flds, psize, scr
+                    )
+                else:
+                    pages = scan_slice_pages(
+                        base_url, index, int(sid), n_slices, q, flds, psize, scr
+                    )
                 for page in pages:
                     # dict-of-object-lists: absent keys become None → NULL,
                     # Arrow infers per-column types from the schema cast
@@ -471,26 +618,65 @@ def bulk_write_es(
     the stdlib transport. Returns the total number of documents indexed
     (the per-partition acks are summed JVM-side, so the driver never sees
     row data). ``id_col`` routes a column to ``_id`` for idempotent
-    re-writes (re-running upserts instead of duplicating); NULL/NaN values
-    are dropped from each document the way JSON uploads drop missing
-    fields. Raises on a ``"errors": true`` bulk response. Scales
-    horizontally: N partitions → N concurrent bulk streams, each bounded
-    by ``batch_docs``."""
+    re-writes (re-running upserts instead of duplicating); NULL/NaN/NaT/NA
+    values are dropped from each document the way JSON uploads drop
+    missing fields. Per-item transient rejections (429 back-pressure —
+    routine on a real cluster under exactly the N-concurrent-streams load
+    this writer creates) re-send ONLY the rejected documents with
+    exponential backoff; non-retryable item errors (400 mapping failures)
+    and exhausted retries raise — silent partial ingestion is the one
+    failure mode a writer can't have. Scales horizontally: N partitions →
+    N concurrent bulk streams, each bounded by ``batch_docs``."""
     import pandas as pd
 
     cols = df.columns
 
     def _flush(lines: list[str], acked: int) -> int:
+        """Send one bulk request, re-sending per-item-rejected documents.
+
+        Safe under ``_id`` routing (a re-sent accepted document upserts,
+        no duplicates) and at-least-once without it — the same contract
+        the official elasticsearch-py bulk helpers document."""
+        import time as _time
+
         if not lines:
             return acked
-        resp = _es_bulk(f"{base_url}/_bulk", lines)
-        if resp.get("errors"):
-            bad = [
-                it for it in resp.get("items", [])
-                if next(iter(it.values())).get("status", 200) >= 300
-            ][:3]
-            raise RuntimeError(f"ES bulk indexing reported errors, e.g. {bad}")
-        return acked + len(lines) // 2
+        pending = lines
+        for attempt in range(DEFAULT_RETRIES + 1):
+            resp = _es_bulk(f"{base_url}/_bulk", pending)
+            if not resp.get("errors"):
+                return acked + len(pending) // 2
+            items = resp.get("items", [])
+            if len(items) != len(pending) // 2:
+                raise RuntimeError(
+                    f"ES bulk indexing reported errors but returned "
+                    f"{len(items)} item results for {len(pending) // 2} "
+                    "documents; cannot attribute rejections"
+                )
+            retry_lines: list[str] = []
+            fatal: list[dict] = []
+            for i, item in enumerate(items):
+                status = next(iter(item.values())).get("status", 200)
+                if status < 300:
+                    acked += 1
+                elif status in RETRYABLE_STATUSES:
+                    retry_lines.extend(pending[2 * i : 2 * i + 2])
+                else:
+                    fatal.append(item)
+            if fatal:
+                raise RuntimeError(
+                    f"ES bulk indexing reported errors (non-retryable), "
+                    f"e.g. {fatal[:3]}"
+                )
+            if not retry_lines:
+                return acked
+            pending = retry_lines
+            if attempt < DEFAULT_RETRIES:
+                _time.sleep(DEFAULT_BACKOFF_S * (2 ** attempt))
+        raise RuntimeError(
+            f"ES bulk indexing reported errors after {DEFAULT_RETRIES} "
+            f"retries: {len(pending) // 2} documents still rejected"
+        )
 
     def _push(batches):
         acked = 0
@@ -501,10 +687,13 @@ def bulk_write_es(
                 for k, v in rec.items():
                     if v is None:
                         continue
+                    # every pandas missing sentinel (NaN, NaT, pd.NA) ≡
+                    # absent field; sized values (strings, lists, arrays)
+                    # can't be scalar-NA and would make pd.isna ambiguous
+                    if not hasattr(v, "__len__") and pd.isna(v):
+                        continue
                     if hasattr(v, "tolist"):  # numpy scalar/array → python
                         v = v.tolist()
-                    if isinstance(v, float) and v != v:  # NaN ≡ missing
-                        continue
                     doc[k] = v
                 action: dict = {"index": {"_index": index}}
                 if id_col is not None:

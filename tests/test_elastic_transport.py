@@ -94,10 +94,13 @@ def _surv_docs() -> list[dict]:
     return json.loads(pdf.to_json(orient="records"))  # plain-python types
 
 
-# corpus key → (index name, documents, scroll page size)
+# corpus key → (index name, documents, scroll page size). "f" is the
+# flaky twin of "docs": same corpus, but every scroll open/continuation
+# serves one transient 503 before succeeding (retry-path coverage).
 _CORPORA = {
     "s": ("docs", SCROLL_DOCS, _SCROLL_PAGE),
     "t": ("surv", _surv_docs(), 50),
+    "f": ("flaky", SCROLL_DOCS, _SCROLL_PAGE),
 }
 
 
@@ -117,57 +120,96 @@ class _Stub(BaseHTTPRequestHandler):
     requests: list[tuple[str, dict]] = []
     deletes: list[dict] = []
     bulk_batches: list[list[dict]] = []
-    indexed: dict[str, list[dict]] = {}
+    #: index → {_id (or auto key): doc} — dict-by-id gives real upsert
+    #: semantics, so idempotent double-writes can assert exactly-once docs
+    indexed: dict[str, dict[str, dict]] = {}
+    #: per-_id 429s already served for the "backpressure" index
+    rejected_once: set = set()
+    #: scroll keys / open keys whose one transient 503 was already served
+    failed_once: set = set()
+    #: count of transient 5xx replies served (assert retries happened)
+    transient_served: int = 0
     lock = threading.Lock()
+
+    def _stored(self, index: str) -> list[dict]:
+        return list(_Stub.indexed[index].values())
+
+    def _corpus(self, index: str) -> tuple[str, list[dict], int]:
+        """(scroll-id prefix, docs, page size) for an index name."""
+        if index in _Stub.indexed:  # a bulk-written index, scanned back
+            return f"w:{index}:", self._stored(index), _SCROLL_PAGE
+        key = {"surv": "t", "flaky": "f"}.get(index, "s")
+        _, docs, psize = _CORPORA[key]
+        return key, docs, psize
 
     def do_POST(self):  # noqa: N802
         raw = self.rfile.read(int(self.headers["Content-Length"] or 0))
         if self.path == "/_bulk":
             lines = [json.loads(ln) for ln in raw.decode().splitlines() if ln]
+            items = []
             with _Stub.lock:
                 _Stub.bulk_batches.append(lines)
-            rejected = any(a["index"]["_index"] == "reject" for a in lines[::2])
-            if not rejected:  # store documents so scans can read them back
-                with _Stub.lock:
-                    for a, doc in zip(lines[::2], lines[1::2]):
-                        _Stub.indexed.setdefault(a["index"]["_index"], []).append(doc)
-            items = [
-                {
-                    "index": {
-                        "status": 503 if rejected else 201,
-                        "_id": a["index"].get("_id"),
-                    }
-                }
-                for a in lines[::2]
-            ]
-            self._reply({"errors": rejected, "items": items})
+                for a, doc in zip(lines[::2], lines[1::2]):
+                    index = a["index"]["_index"]
+                    _id = a["index"].get("_id")
+                    if index == "reject":  # permanent mapping failure
+                        items.append({"index": {
+                            "status": 400, "_id": _id,
+                            "error": {"type": "mapper_parsing_exception"},
+                        }})
+                        continue
+                    # "backpressure": odd ids get ONE 429 each, then accept
+                    if (
+                        index == "backpressure"
+                        and _id is not None
+                        and int(_id) % 2 == 1
+                        and _id not in _Stub.rejected_once
+                    ):
+                        _Stub.rejected_once.add(_id)
+                        items.append({"index": {
+                            "status": 429, "_id": _id,
+                            "error": {"type": "es_rejected_execution_exception"},
+                        }})
+                        continue
+                    store = _Stub.indexed.setdefault(index, {})
+                    key = _id if _id is not None else f"_auto{len(store)}"
+                    store[key] = doc
+                    items.append({"index": {"status": 201, "_id": _id}})
+            errors = any(it["index"]["status"] >= 300 for it in items)
+            self._reply({"errors": errors, "items": items})
             return
         body = json.loads(raw or b"{}")
         _Stub.requests.append((self.path, body))
         if self.path.endswith("/_count"):
             resp = {"count": 42 if body.get("query") else 100}
+        elif "/_pit?" in self.path:  # open a point-in-time on an index
+            resp = {"id": f"p:{self.path.split('/')[1]}"}
         elif "_search?scroll=" in self.path:
             sl = body.get("slice", {"id": 0, "max": 1})
             index = self.path.split("/")[1]
-            if index in _Stub.indexed:  # a bulk-written index, scanned back
-                resp = _scroll_response(
-                    f"w:{index}:", _Stub.indexed[index], _SCROLL_PAGE,
-                    sl["id"], sl["max"], 0,
-                )
-            else:
-                corpus = "t" if index == "surv" else "s"
-                _, docs, psize = _CORPORA[corpus]
-                resp = _scroll_response(corpus, docs, psize, sl["id"], sl["max"], 0)
+            if index == "flaky" and self._fail_once(f"open:{sl['id']}"):
+                return  # one transient 503 on the scroll OPEN request
+            prefix, docs, psize = self._corpus(index)
+            resp = _scroll_response(prefix, docs, psize, sl["id"], sl["max"], 0)
+            if index == "nocursor":  # hits but no cursor: must raise
+                resp.pop("_scroll_id")
         elif self.path == "/_search/scroll":
             sid = body["scroll_id"]
             if sid.startswith("w:"):
                 _, index, rest = sid.split(":", 2)
-                prefix, docs, psize = f"w:{index}:", _Stub.indexed[index], _SCROLL_PAGE
+                prefix, docs, psize = (
+                    f"w:{index}:", self._stored(index), _SCROLL_PAGE,
+                )
             else:
                 prefix, rest = sid[0], sid[1:]
                 _, docs, psize = _CORPORA[prefix]
+            # "flaky" continuations each serve ONE transient 503 first
+            if prefix == "f" and self._fail_once(sid):
+                return
             s, mx, off = rest.split(".")
             resp = _scroll_response(prefix, docs, psize, int(s), int(mx), int(off))
+        elif self.path == "/_search" and "pit" in body:
+            resp = self._pit_page(body)
         elif "composite" in json.dumps(body):
             after = body["aggs"]["groups"]["composite"].get("after")
             resp = PAGE1 if after is None else PAGE2 if after == {"lang": "en"} else PAGE3
@@ -175,14 +217,51 @@ class _Stub(BaseHTTPRequestHandler):
             resp = UNGROUPED
         self._reply(resp)
 
-    def do_DELETE(self):  # noqa: N802 — scroll-context cleanup
+    def _fail_once(self, key: str) -> bool:
+        """Serve one 503 for ``key``; True if this request was failed."""
+        with _Stub.lock:
+            if key in _Stub.failed_once:
+                return False
+            _Stub.failed_once.add(key)
+            _Stub.transient_served += 1
+        self._reply({"error": {"type": "unavailable"}}, status=503)
+        return True
+
+    def _pit_page(self, body: dict) -> dict:
+        """PIT + search_after page: docs sorted by doc_id, sliced by
+        ``doc_id % max``, resumed strictly after the ``search_after``
+        sort value — the stateless stand-in for ES's PIT pagination."""
+        pit_id = body["pit"]["id"]
+        index = pit_id.split(":", 1)[1]
+        if index in _Stub.indexed:
+            docs = self._stored(index)
+        else:
+            _, docs, _ = _CORPORA["t" if index == "surv" else "s"]
+        sl = body.get("slice", {"id": 0, "max": 1})
+        mine = sorted(
+            (d for d in docs if d["doc_id"] % sl["max"] == sl["id"]),
+            key=lambda d: d["doc_id"],
+        )
+        after = body.get("search_after")
+        if after is not None:
+            mine = [d for d in mine if d["doc_id"] > after[0]]
+        page = mine[: body["size"]]
+        return {
+            "pit_id": pit_id,
+            "hits": {"hits": [
+                {"_id": str(d["doc_id"]), "_source": d, "sort": [d["doc_id"]]}
+                for d in page
+            ]},
+        }
+
+    def do_DELETE(self):  # noqa: N802 — scroll/PIT context cleanup
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"] or 0)) or b"{}")
         _Stub.deletes.append(body)
         self._reply({"succeeded": True})
 
-    def _reply(self, resp: dict) -> None:
+    def _reply(self, resp: dict, status: int = 200) -> None:
         payload = json.dumps(resp).encode()
-        self.send_response(200)
+        self.send_response(status)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
@@ -198,6 +277,9 @@ def es_url():
     _Stub.deletes = []
     _Stub.bulk_batches = []
     _Stub.indexed = {}
+    _Stub.rejected_once = set()
+    _Stub.failed_once = set()
+    _Stub.transient_served = 0
     srv = HTTPServer(("127.0.0.1", 0), _Stub)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -430,8 +512,157 @@ def test_bulk_write_then_scan_round_trip(spark, es_url):
 
 
 def test_bulk_write_es_raises_on_rejected_documents(spark, es_url):
-    """An ``errors: true`` bulk response must fail the write job — silent
-    partial ingestion is the one failure mode a writer can't have."""
+    """A non-retryable item error (400 mapping failure) must fail the write
+    job immediately — silent partial ingestion is the one failure mode a
+    writer can't have, and retrying a mapping error would never succeed."""
     src = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, name string")
     with pytest.raises(Exception, match="bulk indexing reported errors"):
         bulk_write_es(src, es_url, "reject", id_col="doc_id")
+    assert "reject" not in _Stub.indexed  # nothing half-ingested
+
+
+def test_bulk_write_retries_per_item_429(spark, es_url):
+    """Per-item back-pressure: the stub 429-rejects every odd ``_id`` once.
+    The writer must re-send ONLY the rejected documents (evens are not
+    re-indexed), ack the exact total, and leave every doc stored exactly
+    once — the routine partial-rejection storm of a busy real cluster."""
+    src = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, name string"
+    ).repartition(2)
+    assert bulk_write_es(src, es_url, "backpressure", id_col="doc_id", batch_docs=4) == 8
+    assert sorted(_Stub.indexed["backpressure"]) == [str(i) for i in range(8)]
+    # every odd id was sent exactly twice (reject + retry), evens once
+    sent = [a["index"]["_id"] for b in _Stub.bulk_batches for a in b[::2]]
+    from collections import Counter
+
+    counts = Counter(sent)
+    assert all(counts[str(i)] == (2 if i % 2 else 1) for i in range(8))
+
+
+def test_scan_retries_transient_scroll_failures(spark, es_url):
+    """The "flaky" index 503s each scroll open/continuation once; the
+    transport's backoff must absorb every failure and still yield the
+    complete corpus exactly once (the scroll cursor only advances on a
+    successful response, so a retried request cannot skip documents)."""
+    df = scan_es(
+        spark, es_url, "flaky",
+        schema="doc_id long, lang string, n_chars long",
+        slices=2, page_size=2,
+    )
+    assert sorted(r["doc_id"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+    assert _Stub.transient_served >= 2  # retries actually exercised
+
+
+def test_scroll_response_without_cursor_raises(es_url):
+    """Hits but no ``_scroll_id`` (misbehaving proxy) must raise, not
+    silently truncate the scan after one page."""
+    with pytest.raises(RuntimeError, match="no _scroll_id"):
+        list(scan_slice_pages(es_url, "nocursor", 0, 1, page_size=2))
+
+
+def test_scan_es_pit_mode_matches_scroll(spark, es_url):
+    """``mode="pit"`` (point-in-time + search_after, the ES 8 path) must
+    round-trip the same corpus identically to the scroll path, open/close
+    the PIT, and paginate via ``search_after`` on ``_shard_doc`` order."""
+    kwargs = dict(
+        schema="doc_id long, lang string, n_chars long", slices=2, page_size=2
+    )
+    via_scroll = scan_es(spark, es_url, "docs", **kwargs).collect()
+    via_pit = scan_es(spark, es_url, "docs", mode="pit", **kwargs).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(via_pit, key=key) == sorted(via_scroll, key=key)
+    pit_bodies = [b for p, b in _Stub.requests if p == "/_search" and "pit" in b]
+    assert pit_bodies and all(
+        b["sort"] == [{"_shard_doc": "asc"}] and b["pit"]["id"] == "p:docs"
+        for b in pit_bodies
+    )
+    assert any("search_after" in b for b in pit_bodies)  # page ≥2 resumed
+    assert {"id": "p:docs"} in _Stub.deletes  # PIT closed after the scan
+
+
+def test_pit_scan_pushes_query_and_fields(es_url):
+    """The PIT page loop ships the same server-side pushdowns as scroll:
+    translated query, ``_source`` pruning, and the slice clause."""
+    from elastic_surv_spark.sources.elastic import scan_slice_pages_pit
+
+    pages = list(
+        scan_slice_pages_pit(
+            es_url, "docs", slice_id=1, max_slices=2,
+            query=filters_to_es_query(EqualTo("lang", "en")),
+            fields=["doc_id", "lang"], page_size=2,
+        )
+    )
+    assert [[d["doc_id"] for d in p] for p in pages] == [[1, 3], [5]]
+    bodies = [b for p, b in _Stub.requests if p == "/_search"]
+    assert all(b["slice"] == {"id": 1, "max": 2} for b in bodies)
+    assert all(b["query"] == {"term": {"lang": "en"}} for b in bodies)
+    assert all(b["_source"] == ["doc_id", "lang"] for b in bodies)
+
+
+def test_bulk_write_multi_partition_idempotent_round_trip(spark, es_url):
+    """Write → write → scan at >1 partition with planted NULL/NaN/NaT:
+    under ``_id`` routing the double write upserts (exactly-once docs),
+    every pandas missing sentinel is dropped from its document, and both
+    scan modes reassemble the surviving values identically."""
+    import datetime
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "name": [None if i == 4 else f"d{i}" for i in range(10)],
+            "score": [float("nan") if i % 3 == 0 else float(i) for i in range(10)],
+            "ts": [
+                pd.NaT if i % 4 == 0 else datetime.datetime(2024, 1, 1 + i)
+                for i in range(10)
+            ],
+        }
+    )
+    src = spark.createDataFrame(pdf).repartition(3)
+    assert bulk_write_es(src, es_url, "pp_idx", id_col="doc_id", batch_docs=3) == 10
+    assert bulk_write_es(src, es_url, "pp_idx", id_col="doc_id", batch_docs=3) == 10
+    stored = _Stub.indexed["pp_idx"]
+    assert sorted(stored) == sorted(str(i) for i in range(10))  # exactly once
+    # every missing sentinel dropped: None name, NaN score, NaT timestamp
+    assert "name" not in stored["4"]
+    assert all("score" not in stored[str(i)] for i in range(0, 10, 3))
+    assert all("ts" not in stored[str(i)] for i in range(0, 10, 4))
+    assert stored["1"]["ts"].startswith("2024-01-02")  # real values survive
+    assert stored["2"]["score"] == 2.0
+    back = scan_es(
+        spark, es_url, "pp_idx",
+        schema="doc_id long, name string, score double", slices=3, page_size=2,
+    )
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert sorted(rows) == list(range(10))
+    assert rows[4]["name"] is None and rows[0]["score"] is None
+    assert rows[2]["score"] == 2.0 and rows[2]["name"] == "d2"
+
+
+def test_from_es_hash_split_disjoint_and_exhaustive(spark, es_url):
+    """The documented no-order ES path: ``SurvFrame.from_es`` without an
+    ``order_column`` trains via ``hash_split`` (ES document order is not a
+    stable total order). The split must be deterministic, disjoint, and
+    exhaustive over the index — mirroring tests/test_frame.py:83-90."""
+    from elastic_surv_spark.frame import SurvFrame
+    from elastic_surv_spark.models.data import SurvDataset
+
+    frame = SurvFrame.from_es(
+        spark, es_url, "surv",
+        schema="doc_id long, time long, cens long, age long, pnodes long",
+        time_column="time", event_column="cens",
+        slices=2, page_size=50,
+    )
+    train, test = frame.hash_split(key="doc_id")
+    tr = {r["doc_id"] for r in train.select("doc_id").collect()}
+    te = {r["doc_id"] for r in test.select("doc_id").collect()}
+    n = es_count(es_url, "surv")  # noqa: F841 — stub count is canned
+    all_ids = {d["doc_id"] for d in _CORPORA["t"][1]}
+    assert tr.isdisjoint(te) and tr | te == all_ids
+    assert len(tr) > len(te) > 0  # ~90/10 at n=160
+    # deterministic: the same split on a re-scan
+    tr2, _ = frame.hash_split(key="doc_id")
+    assert {r["doc_id"] for r in tr2.select("doc_id").collect()} == tr
+    ds = SurvDataset(frame, use_hash_split=True)
+    assert ds.in_features > 0
