@@ -93,7 +93,15 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
     swing ±3× on identical plans from shared-JVM pressure
     (SOLO_BENCH_r05/r06). Prints one JSON line {name: {solo_cold,
     solo_warm}}; cold = first execution after the table-touch warmup,
-    warm = best of 2 repeats."""
+    warm = best of 2 repeats (the key is omitted when no warm repeat
+    succeeded — a null would break consumers that expect a number).
+    Session-shared subplan caches are released BETWEEN names so every
+    cold number pays its family build cost, the way a fresh session
+    would — without this, the first dedup-family member builds the shared
+    shingle frame and later members read a cache hit masquerading as a
+    cold measurement (the r7 `ngram_jaccard_dupes solo_cold 0.052 s`
+    artifact)."""
+    from elastic_surv_spark.plans.queries import release_shared_caches
     from elastic_surv_spark.sources.parquet import TABLES, load_table
 
     spark = get_spark("elastic-surv-spark-solo")
@@ -107,6 +115,7 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
+        release_shared_caches()  # each name starts family-cold
         runs: list[float] = []
         for _ in range(3):
             try:
@@ -127,34 +136,39 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
             # the cold number is the attribution ground truth — report it
             # even when a later warm repeat died
             "solo_cold": round(runs[0], 3),
-            "solo_warm": round(min(runs[1:]), 3) if len(runs) > 1 else None,
         }
+        if len(runs) > 1:
+            res[name]["solo_warm"] = round(min(runs[1:]), 3)
     print(json.dumps(res, separators=(",", ":")))
     sys.stdout.flush()
     spark.stop()
 
 
 def _solo_attribution(sf_dir: str, names: list[str]) -> dict[str, dict]:
-    """Run the solo mode in a fresh subprocess (fresh JVM) and parse its
-    JSON line. Failures degrade to {} — attribution must never sink the
-    bench."""
+    """Run solo mode ONE SUBPROCESS PER QUERY (fresh JVM each) and merge
+    the JSON lines. One process per name is what makes the cold numbers
+    honest: shared-subplan family members in a single process would read
+    each other's persisted frames (the r7 measurement defect) — and a
+    fresh JVM additionally resets codegen/broadcast state. Failures
+    degrade to {} — attribution must never sink the bench."""
     import subprocess
 
-    cmd = [sys.executable, os.path.abspath(__file__), "--solo", sf_dir, *names]
-    try:
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=900
-        )
-        for line in reversed(out.stdout.strip().splitlines()):
-            try:
-                parsed = json.loads(line)
-                if isinstance(parsed, dict):
-                    return parsed
-            except ValueError:
-                continue
-    except Exception as exc:  # pragma: no cover - defensive
-        print(f"SOLO SUBPROCESS ERROR: {exc}", file=sys.stderr)
-    return {}
+    merged: dict[str, dict] = {}
+    for name in names:
+        cmd = [sys.executable, os.path.abspath(__file__), "--solo", sf_dir, name]
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                    if isinstance(parsed, dict):
+                        merged.update(parsed)
+                        break
+                except ValueError:
+                    continue
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"SOLO SUBPROCESS ERROR {name}: {exc}", file=sys.stderr)
+    return merged
 
 
 def main() -> None:
@@ -187,8 +201,6 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
     # SPARK_GRAFT_BENCH_FIRST=<query> times that query before the rest —
     # the attribution knob for in-bench-vs-solo gaps (a query that is slow
     # late in the board but fast when first is suffering shared-JVM
@@ -202,30 +214,82 @@ def main() -> None:
     first = os.environ.get("SPARK_GRAFT_BENCH_FIRST", "llm_data_pipeline_e2e")
     if first and first in REGISTRY:
         order.sort(key=lambda kv: kv[0] != first)
-    for name, spec in order:
-        # Local mode runs driver+executor in ONE JVM: without a nudge the
-        # 48g heap GCs rarely, ContextCleaner lags, and stale shuffle/
-        # broadcast blocks from earlier queries degrade later ones by 2-5×.
-        # Forced GC between measurements = standard benchmark hygiene.
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
-        # One broken query must not sink the whole bench (a round-3 schema
-        # drift in the testdata crashed the run before any JSON printed).
-        # Timing starts AFTER plan construction — same methodology as every
-        # prior round's baseline (fn-side driver work like iterative
-        # clustering or codebook fits is setup, not the measured plan).
-        try:
-            df = spec.fn(spark, sf_dir)  # build plan (lazy)
-            start = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # pragma: no cover - defensive
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    errors: dict[str, str] = {}
+
+    def run_board() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, spec in order:
+            # Local mode runs driver+executor in ONE JVM: without a nudge
+            # the 48g heap GCs rarely, ContextCleaner lags, and stale
+            # shuffle/broadcast blocks from earlier queries degrade later
+            # ones by 2-5×. Forced GC between measurements = standard
+            # benchmark hygiene.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            # One broken query must not sink the whole bench (a round-3
+            # schema drift in the testdata crashed the run before any JSON
+            # printed). Timing starts AFTER plan construction — same
+            # methodology as every prior round's baseline (fn-side driver
+            # work like iterative clustering or codebook fits is setup,
+            # not the measured plan).
+            try:
+                df = spec.fn(spark, sf_dir)  # build plan (lazy)
+                start = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # pragma: no cover - defensive
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+        return timings
+
+    # Median-of-N board: back-to-back totals on IDENTICAL code span ±8%+
+    # (r7: 99.1–136.3 s), larger than most round-over-round deltas, so a
+    # single-run headline is machine weather. Run the board N times
+    # (SPARK_GRAFT_BOARD_RUNS, default 3), publish the MEDIAN total with
+    # every individual total in the payload, and take per-query medians for
+    # the breakdown. Session-shared subplan caches are released between
+    # runs so each run pays the family build cost a fresh board would; the
+    # JVM itself stays warm (that bias is shared by all repeats and is the
+    # price of not paying 3× startup). A wall-clock budget
+    # (SPARK_GRAFT_BOARD_BUDGET_S, default 600) skips remaining repeats
+    # when a run is slow enough that N repeats risk the driver's patience —
+    # the payload's `runs` length records what actually happened.
+    from statistics import median
+
+    from elastic_surv_spark.plans.queries import release_shared_caches
+
+    try:
+        board_runs = max(1, int(os.environ.get("SPARK_GRAFT_BOARD_RUNS", "3")))
+    except ValueError:
+        board_runs = 1
+    try:
+        board_budget = float(os.environ.get("SPARK_GRAFT_BOARD_BUDGET_S", "600"))
+    except ValueError:
+        board_budget = 600.0
+    bench_start = time.perf_counter()
+    runs: list[dict[str, float]] = []
+    for i in range(board_runs):
+        if i > 0:
+            elapsed = time.perf_counter() - bench_start
+            last_total = sum(runs[-1].values())
+            if elapsed + 1.2 * last_total > board_budget:
+                print(
+                    f"BOARD BUDGET: stopping after {i} run(s) "
+                    f"({elapsed:.0f}s elapsed)", file=sys.stderr,
+                )
+                break
+            release_shared_caches()  # each repeat pays the family builds
+        runs.append(run_board())
+
+    run_totals = [round(sum(t.values()), 3) for t in runs]
+    total = round(median(run_totals), 3) if run_totals else 0.0
+    timings = {
+        name: round(median([t[name] for t in runs if name in t]), 3)
+        for name in {n for t in runs for n in t}
+    }
     e2e_stages = None
     if os.environ.get("SPARK_GRAFT_E2E_STAGES"):
         e2e_stages = time_e2e_stages(spark, sf_dir)
@@ -260,6 +324,10 @@ def main() -> None:
         "metric": "registry_queries_total_runtime",
         "value": total,
         "unit": "sec",
+        # value = MEDIAN of these back-to-back board totals (shared-cache
+        # releases between runs; warm JVM). queries = per-query medians, so
+        # sum(queries) can differ slightly from value.
+        "runs": run_totals,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # effective measurement order (ADVICE r6 #4): per-query numbers are

@@ -1365,6 +1365,31 @@ def _shared_frames(cache: dict, max_entries: int, spark, key, build):
     return frames
 
 
+def release_shared_caches() -> None:
+    """Unpersist and clear EVERY session-shared subplan cache.
+
+    For measurement harnesses (bench.py board repeats and per-query solo
+    attribution): a timed run must pay the same family build cost a fresh
+    session would, or a cache hit masquerades as a cold number (the r7
+    solo artifact — ngram_jaccard_dupes read 0.05 s "cold" because an
+    earlier family member had built the shared shingle frame in the same
+    process). Correctness is untouched: caching changes only WHEN shared
+    subplans run, never what they return, and unpersisted frames recompute
+    from lineage."""
+    for cache in (
+        _DOC_SHINGLES, _EXACT_PAIRS, _SIMHASH_SHARED, _VOCAB_COUNTS, _BPE_MERGES,
+    ):
+        for entry in cache.values():
+            for obj in entry[1:]:  # entry[0] is the owning SparkSession
+                unpersist = getattr(obj, "unpersist", None)
+                if callable(unpersist):
+                    try:
+                        unpersist()
+                    except Exception:  # noqa: S110 — stale session
+                        pass
+        cache.clear()
+
+
 #: sf_dir -> (spark, toks): the persisted (doc_id, _sh) 3-gram shingle
 #: frame over documents — the dedup family's common first pass. Shared by
 #: ngram_jaccard_dupes, minhash_lsh_dupes, and the SimHash verification

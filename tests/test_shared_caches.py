@@ -121,3 +121,36 @@ def test_exact_pairs_wiring(spark):
     assert Q.REGISTRY["ngram_jaccard_dupes"].fn(spark, SF_SMOKE) is a
     _drain(Q._EXACT_PAIRS)
     _drain(Q._DOC_SHINGLES)
+
+
+def test_release_shared_caches_unpersists_and_clears():
+    """The bench-harness reset: every cache emptied, every cached frame
+    unpersisted (entry[0], the owning session, must NOT be released), and
+    non-frame payloads like _BPE_MERGES' merge list tolerated."""
+    released: list[str] = []
+    Q._DOC_SHINGLES["sfA"] = _stub_entry(released, "shingles", n_frames=1)
+    Q._EXACT_PAIRS["sfA"] = _stub_entry(released, "pairs", n_frames=1)
+    Q._SIMHASH_SHARED["sfA"] = _stub_entry(released, "sigs", n_frames=2)
+    Q._VOCAB_COUNTS["sfA"] = _stub_entry(released, "vocab", n_frames=1)
+    Q._BPE_MERGES["sfA"] = (_StubSession(), [("a", "b")])  # plain list payload
+    Q.release_shared_caches()
+    assert sorted(released) == [
+        "pairs:0", "shingles:0", "sigs:0", "sigs:1", "vocab:0",
+    ]
+    for cache in (
+        Q._DOC_SHINGLES, Q._EXACT_PAIRS, Q._SIMHASH_SHARED,
+        Q._VOCAB_COUNTS, Q._BPE_MERGES,
+    ):
+        assert cache == {}
+
+
+def test_release_shared_caches_forces_family_rebuild(spark):
+    """After a release, the next family call rebuilds (no stale reuse) —
+    the property that makes bench board repeats structurally cold."""
+    Q._DOC_SHINGLES.clear()
+    a = Q._doc_shingles(spark, SF_SMOKE)
+    Q.release_shared_caches()
+    assert Q._DOC_SHINGLES == {}
+    b = Q._doc_shingles(spark, SF_SMOKE)
+    assert b is not a  # a fresh build, not the released frame
+    _drain(Q._DOC_SHINGLES)
