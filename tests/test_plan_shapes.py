@@ -230,14 +230,34 @@ def test_q13_left_outer_preserved(spark):
 # rows at scale, deliberate on tiny aggregated inputs. These queries run a
 # global window over a bounded post-aggregate domain, each documented at its
 # site; anything NOT listed here that plans one is a regression.
+# Whitelisted global (unpartitioned) windows. EVERY entry must run over a
+# post-aggregate domain whose row count is bounded INDEPENDENT of input
+# size — name the bound here AND in the plan's docstring in
+# plans/queries.py (grep the query name) so a review can cross-check both;
+# an entry without a stated bound is a lint escape, not an exemption.
 _GLOBAL_WINDOW_OK = {
-    "orders_monthly_trend",  # lag over ~84 month-aggregate rows
-    "doc_mixture_weights",  # broadcast scalar corpus total
-    "important_part_revenue_share",  # broadcast scalar revenue total
-    "top_revenue_supplier",  # global max over supplier aggregates
-    "bpe_merge_pairs",  # top-10 over the pair-vocabulary aggregate
-    "customer_spend_distribution",  # prefix sum over 32 shard totals
-    "doc_budget_selection",  # prefix sum over shard totals
+    # lag over month-grain aggregate rows: |domain| = #months in the data's
+    # date span (~84 at any SF) — see orders_monthly_trend in plans/queries.py
+    "orders_monthly_trend",
+    # window computes ONE scalar (corpus token total) over source-grain
+    # aggregates: |domain| = #sources — see doc_mixture_weights docstring
+    "doc_mixture_weights",
+    # scalar revenue total over a year-filtered part-grain aggregate:
+    # |domain| = #qualifying parts, then one global sum — see
+    # important_part_revenue_share docstring
+    "important_part_revenue_share",
+    # global rank over supplier-grain totals: |domain| = #suppliers (dim
+    # table, not fact-scale) — see top_revenue_supplier docstring
+    "top_revenue_supplier",
+    # top-10 over the adjacent-pair vocabulary aggregate: |domain| =
+    # #distinct symbol pairs (vocab-sized) — see bpe_merge_pairs docstring
+    "bpe_merge_pairs",
+    # second level of a two-level prefix sum: |domain| = 32 shard totals
+    # (one row per shuffle partition) — see customer_spend_distribution
+    "customer_spend_distribution",
+    # same two-level prefix-sum pattern: |domain| = shard-total rows —
+    # see doc_budget_selection / operators/prefix.py
+    "doc_budget_selection",
 }
 
 
