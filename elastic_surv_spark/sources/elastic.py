@@ -297,7 +297,13 @@ def _with_retries(send, retries: int = DEFAULT_RETRIES,
     retried ``_search/scroll`` request is safe because the scroll cursor
     only advances on a successful response, and ``_bulk`` re-sends are
     idempotent under ``_id`` routing (and at-least-once without it, the
-    same contract the official bulk helpers give)."""
+    same contract the official bulk helpers give).
+
+    Sleeps are jittered (uniform in [base/2, base]): when a node stalls,
+    hundreds of executor-side readers/writers see the failure at the same
+    instant, and un-jittered exponential backoff re-synchronizes them into
+    repeating retry storms against the recovering node."""
+    import random as _random
     import time as _time
     import urllib.error
 
@@ -311,7 +317,8 @@ def _with_retries(send, retries: int = DEFAULT_RETRIES,
         except (urllib.error.URLError, ConnectionError, TimeoutError, OSError):
             if attempt >= retries:
                 raise
-        _time.sleep(backoff * (2 ** attempt))
+        base = backoff * (2 ** attempt)
+        _time.sleep(base * (0.5 + 0.5 * _random.random()))
         attempt += 1
 
 
