@@ -236,3 +236,96 @@ def test_percentiles_and_unknown_kind():
     assert rows == [{"p": {"50.0": 1.0, "95.0": 9.0}}]
     with pytest.raises(ValueError):
         agg_request({"x": ("median", "value")})
+
+
+# --- retry policy (pure; the stub-server tests cover the wired paths) ----
+
+
+def _http_error(code: int):
+    import urllib.error
+
+    return urllib.error.HTTPError("http://x", code, "err", {}, None)
+
+
+def test_with_retries_retries_transient_then_succeeds(monkeypatch):
+    from elastic_surv_spark.sources import elastic as E
+
+    sleeps: list[float] = []
+    monkeypatch.setattr("time.sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def send():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise _http_error(503)
+        return {"ok": True}
+
+    assert E._with_retries(send, retries=4, backoff=0.5) == {"ok": True}
+    assert calls["n"] == 3
+    # jittered exponential: sleep_i in [base/2, base], base = 0.5 * 2^i
+    assert len(sleeps) == 2
+    assert 0.25 <= sleeps[0] <= 0.5 and 0.5 <= sleeps[1] <= 1.0
+
+
+def test_with_retries_nonretryable_status_raises_immediately(monkeypatch):
+    import urllib.error
+
+    from elastic_surv_spark.sources import elastic as E
+
+    monkeypatch.setattr("time.sleep", lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    calls = {"n": 0}
+
+    def send():
+        calls["n"] += 1
+        raise _http_error(400)
+
+    with pytest.raises(urllib.error.HTTPError):
+        E._with_retries(send)
+    assert calls["n"] == 1  # no retry, no sleep
+
+
+def test_with_retries_exhaustion_reraises_last_error(monkeypatch):
+    import urllib.error
+
+    from elastic_surv_spark.sources import elastic as E
+
+    sleeps: list[float] = []
+    monkeypatch.setattr("time.sleep", sleeps.append)
+
+    def send():
+        raise _http_error(429)
+
+    with pytest.raises(urllib.error.HTTPError):
+        E._with_retries(send, retries=2, backoff=0.1)
+    assert len(sleeps) == 2  # initial try + 2 retries, sleep between each
+
+
+def test_with_retries_zero_retries_is_single_attempt(monkeypatch):
+    from elastic_surv_spark.sources import elastic as E
+
+    monkeypatch.setattr("time.sleep", lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    calls = {"n": 0}
+
+    def send():
+        calls["n"] += 1
+        raise ConnectionError("refused")
+
+    with pytest.raises(ConnectionError):
+        E._with_retries(send, retries=0)
+    assert calls["n"] == 1
+
+
+def test_with_retries_connection_errors_retry(monkeypatch):
+    from elastic_surv_spark.sources import elastic as E
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def send():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise TimeoutError("read timeout")
+        return {"ok": 1}
+
+    assert E._with_retries(send) == {"ok": 1}
+    assert calls["n"] == 2
