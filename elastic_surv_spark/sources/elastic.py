@@ -284,6 +284,8 @@ RETRYABLE_STATUSES = frozenset({429, 502, 503, 504})
 #: 429/503 kills a whole 100 TB scan or write job.
 DEFAULT_RETRIES = 4
 DEFAULT_BACKOFF_S = 0.5
+#: upper bound on honoring a server's Retry-After header
+RETRY_AFTER_CAP_S = 30.0
 
 
 def _with_retries(send, retries: int = DEFAULT_RETRIES,
@@ -302,23 +304,35 @@ def _with_retries(send, retries: int = DEFAULT_RETRIES,
     Sleeps are jittered (uniform in [base/2, base]): when a node stalls,
     hundreds of executor-side readers/writers see the failure at the same
     instant, and un-jittered exponential backoff re-synchronizes them into
-    repeating retry storms against the recovering node."""
+    repeating retry storms against the recovering node. A numeric
+    ``Retry-After`` header on a retryable response overrides the computed
+    backoff (capped at ``RETRY_AFTER_CAP_S`` so a misconfigured server
+    can't park an executor for an hour) — the server knows its own
+    recovery horizon better than our schedule does."""
     import random as _random
     import time as _time
     import urllib.error
 
     attempt = 0
     while True:
+        retry_after = None
         try:
             return send()
         except urllib.error.HTTPError as exc:  # subclasses URLError: first
             if exc.code not in RETRYABLE_STATUSES or attempt >= retries:
                 raise
+            try:
+                retry_after = float((exc.headers or {}).get("Retry-After"))
+            except (TypeError, ValueError):  # absent or HTTP-date form
+                retry_after = None
         except (urllib.error.URLError, ConnectionError, TimeoutError, OSError):
             if attempt >= retries:
                 raise
-        base = backoff * (2 ** attempt)
-        _time.sleep(base * (0.5 + 0.5 * _random.random()))
+        if retry_after is not None:
+            _time.sleep(min(max(retry_after, 0.0), RETRY_AFTER_CAP_S))
+        else:
+            base = backoff * (2 ** attempt)
+            _time.sleep(base * (0.5 + 0.5 * _random.random()))
         attempt += 1
 
 

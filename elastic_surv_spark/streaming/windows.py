@@ -383,3 +383,45 @@ def run_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_to_es(
+    stream_df: DataFrame,
+    base_url: str,
+    index: str,
+    checkpoint_dir: str,
+    id_col: str | None = None,
+    output_mode: str = "append",
+    batch_docs: int = 500,
+) -> None:
+    """Checkpointed streaming ES sink: ``foreachBatch`` → the jar-free
+    distributed bulk writer (sources/elastic.py:bulk_write_es) — the
+    streaming twin of the reference's ``pandas_to_eland`` upload path
+    (reference README.md:65-78), for pipelines that land enriched events
+    or windowed aggregates back in the index they came from.
+
+    Delivery contract: Structured Streaming replays a failed micro-batch
+    from the checkpointed offsets, so the sink is at-least-once at the
+    batch level; pass ``id_col`` (any deterministic row key — e.g. an event
+    id, or a window-start/group-key concat for ``update``-mode aggregates)
+    and replays become upserts instead of duplicates — the standard
+    idempotent-sink recipe for external stores without transactional
+    commits. Every micro-batch fans out per-partition bulk streams with
+    per-item 429 retry/backoff, so a back-pressured cluster slows the
+    stream instead of killing it. A restart over an unchanged bounded
+    source commits nothing new (offsets already consumed)."""
+    from elastic_surv_spark.sources.elastic import bulk_write_es
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bulk_write_es(batch_df, base_url, index, id_col=id_col, batch_docs=batch_docs)
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

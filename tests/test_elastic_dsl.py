@@ -329,3 +329,45 @@ def test_with_retries_connection_errors_retry(monkeypatch):
 
     assert E._with_retries(send) == {"ok": 1}
     assert calls["n"] == 2
+
+
+def test_with_retries_honors_numeric_retry_after(monkeypatch):
+    import urllib.error
+
+    from elastic_surv_spark.sources import elastic as E
+
+    sleeps: list[float] = []
+    monkeypatch.setattr("time.sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def send():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise urllib.error.HTTPError(
+                "http://x", 429, "busy", {"Retry-After": "2"}, None
+            )
+        return {"ok": 1}
+
+    assert E._with_retries(send, retries=2, backoff=0.5) == {"ok": 1}
+    assert sleeps == [2.0]  # server's horizon, not the computed backoff
+
+
+def test_with_retries_caps_retry_after(monkeypatch):
+    import urllib.error
+
+    from elastic_surv_spark.sources import elastic as E
+
+    sleeps: list[float] = []
+    monkeypatch.setattr("time.sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def send():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise urllib.error.HTTPError(
+                "http://x", 503, "down", {"Retry-After": "3600"}, None
+            )
+        return {"ok": 1}
+
+    assert E._with_retries(send) == {"ok": 1}
+    assert sleeps == [E.RETRY_AFTER_CAP_S]  # a misconfigured server can't park us

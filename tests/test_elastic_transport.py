@@ -666,3 +666,61 @@ def test_from_es_hash_split_disjoint_and_exhaustive(spark, es_url):
     assert {r["doc_id"] for r in tr2.select("doc_id").collect()} == tr
     ds = SurvDataset(frame, use_hash_split=True)
     assert ds.in_features > 0
+
+
+def test_streaming_sink_to_es_idempotent_restart(spark, es_url, tmp_path):
+    """Structured Streaming → ES through the jar-free bulk writer
+    (streaming/windows.py:run_to_es): a bounded file stream lands its rows
+    in the stub index exactly once under ``_id`` routing, and a RESTART
+    over the same checkpoint + unchanged source commits nothing new (the
+    offsets are already consumed) — the checkpointed at-least-once +
+    idempotent-upsert delivery contract."""
+    from elastic_surv_spark.streaming.windows import run_to_es
+
+    src_dir, chk_dir = str(tmp_path / "src"), str(tmp_path / "chk")
+    spark.createDataFrame(
+        [(i, f"e{i}") for i in range(6)], "event_id long, name string"
+    ).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("event_id long, name string").parquet(src_dir)
+    run_to_es(stream, es_url, "stream_idx", chk_dir, id_col="event_id", batch_docs=3)
+    assert sorted(_Stub.indexed["stream_idx"]) == [str(i) for i in range(6)]
+    n_bulk = len(_Stub.bulk_batches)
+    assert n_bulk >= 1
+    # restart: same checkpoint, same source — nothing re-committed
+    stream2 = spark.readStream.schema("event_id long, name string").parquet(src_dir)
+    run_to_es(stream2, es_url, "stream_idx", chk_dir, id_col="event_id", batch_docs=3)
+    assert len(_Stub.bulk_batches) == n_bulk
+    assert sorted(_Stub.indexed["stream_idx"]) == [str(i) for i in range(6)]
+
+
+def test_streaming_windowed_aggregate_upserts_to_es(spark, es_url, tmp_path):
+    """Update-mode windowed counts land as upserts keyed on the window
+    group: late re-emissions of the same group overwrite the stale count
+    instead of duplicating it — the contract that makes update-mode
+    streaming aggregates safe to serve straight out of ES."""
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.streaming.windows import run_to_es
+
+    src_dir, chk_dir = str(tmp_path / "src"), str(tmp_path / "chk")
+    spark.createDataFrame(
+        [("2024-01-01 00:05:00", "click"), ("2024-01-01 00:20:00", "click"),
+         ("2024-01-01 01:10:00", "view")],
+        "ts string, etype string",
+    ).selectExpr("cast(ts as timestamp) ts", "etype").coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("ts timestamp, etype string").parquet(src_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "etype")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat_ws("|", F.col("w.start").cast("string"), "etype").alias("k"),
+            F.col("w.start").cast("string").alias("window_start"),
+            "etype", "n",
+        )
+    )
+    run_to_es(stream, es_url, "agg_idx", chk_dir, id_col="k", output_mode="update")
+    stored = _Stub.indexed["agg_idx"]
+    by_key = {d["etype"]: d for d in stored.values()}
+    assert by_key["click"]["n"] == 2 and by_key["view"]["n"] == 1
+    assert len(stored) == 2  # one doc per (window, type) group — no dupes
