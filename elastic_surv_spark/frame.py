@@ -137,6 +137,7 @@ class SurvFrame:
         train_ratio: float = 0.9,
         label_transformer: Callable | None = None,
         page_size: int = 1000,
+        mode: str = "scroll",
     ) -> "SurvFrame":
         """≡ reference ESDataset (dataset.py:228-271, construction at 260):
         a survival frame whose rows live in an Elasticsearch index.
@@ -150,6 +151,8 @@ class SurvFrame:
         ``order_column`` use the order-free ``hash_split()`` path (e.g.
         ``SurvDataset(frame, use_hash_split=True)``); pass ``order_column``
         (a monotone id field) to enable exact prefix-``split()`` semantics.
+        ``mode`` picks the pagination API: ``"scroll"`` (ES 7 parity with
+        the reference's eland pin) or ``"pit"`` (ES 8, scroll deprecated).
         """
         from elastic_surv_spark.sources.elastic import scan_es
 
@@ -168,6 +171,7 @@ class SurvFrame:
         df = scan_es(
             spark, base_url, index, pruned,
             slices=slices, query=query, fields=fields, page_size=page_size,
+            mode=mode,
         )
         return cls(
             df,

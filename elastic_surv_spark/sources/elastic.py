@@ -556,6 +556,31 @@ def scan_slice_pages_pit(
             pass
 
 
+def suggest_slices(
+    base_url: str,
+    index: str,
+    query: dict | None = None,
+    docs_per_slice: int = 500_000,
+    max_slices: int = 256,
+) -> int:
+    """Pick a slice count for :func:`scan_es` from the (filtered) index
+    size: ``ceil(count / docs_per_slice)`` clamped to [1, max_slices].
+
+    A hardcoded slice count is wrong at both ends of the scale — 8 slices
+    over a 4-billion-doc index makes half-billion-doc partitions (straggler
+    tasks, no parallelism headroom), while 64 slices over 10k docs pays 64
+    scroll-context opens for nothing. One ``_count`` round-trip (the same
+    server-side count the reference's ``len(dataset)`` issues,
+    reference src/elastic_surv/dataset.py:241-246) sizes the scan instead.
+    ``max_slices`` bounds ES-side slice state; ES docs recommend keeping
+    slices near the shard count — cap accordingly if the index layout is
+    known."""
+    import math
+
+    n = es_count(base_url, index, query)
+    return max(1, min(int(max_slices), math.ceil(n / max(1, int(docs_per_slice)))))
+
+
 def scan_es(
     spark: SparkSession,
     base_url: str,

@@ -724,3 +724,39 @@ def test_streaming_windowed_aggregate_upserts_to_es(spark, es_url, tmp_path):
     by_key = {d["etype"]: d for d in stored.values()}
     assert by_key["click"]["n"] == 2 and by_key["view"]["n"] == 1
     assert len(stored) == 2  # one doc per (window, type) group — no dupes
+
+
+def test_suggest_slices_sizes_from_count(es_url):
+    """Slice count derives from the server-side (filtered) count: ceil
+    division, floor 1, cap honored — the stub counts 100 plain / 42
+    filtered."""
+    from elastic_surv_spark.sources.elastic import suggest_slices
+
+    assert suggest_slices(es_url, "docs", docs_per_slice=30) == 4  # ceil(100/30)
+    assert suggest_slices(es_url, "docs", docs_per_slice=1000) == 1  # floor
+    assert suggest_slices(es_url, "docs", docs_per_slice=10, max_slices=6) == 6
+    assert (
+        suggest_slices(
+            es_url, "docs",
+            query=filters_to_es_query(EqualTo("lang", "en")),
+            docs_per_slice=10,
+        )
+        == 5  # ceil(42/10)
+    )
+
+
+def test_from_es_pit_mode(spark, es_url):
+    """`SurvFrame.from_es(..., mode="pit")` rides the ES 8 scan path and
+    produces the same frame as the scroll default."""
+    from elastic_surv_spark.frame import SurvFrame
+
+    kw = dict(
+        schema="doc_id long, lang string, n_chars long, event long",
+        time_column="n_chars", event_column="event",
+        slices=2, order_column="doc_id", page_size=2,
+    )
+    a = SurvFrame.from_es(spark, es_url, "docs", **kw)
+    b = SurvFrame.from_es(spark, es_url, "docs", mode="pit", **kw)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(b.df.collect(), key=key) == sorted(a.df.collect(), key=key)
+    assert any(p == "/_search" and "pit" in bd for p, bd in _Stub.requests)
