@@ -424,6 +424,46 @@ def es_aggregate(
             return rows
 
 
+def es_agg_df(
+    spark: SparkSession,
+    base_url: str,
+    index: str,
+    metrics: dict[str, tuple[str, str]],
+    group_by: list[str] | None = None,
+    query: dict | None = None,
+    page_size: int = 1000,
+    max_groups: int = 100_000,
+    **kind_opts,
+) -> DataFrame:
+    """Server-side (grouped) aggregation as a Spark DataFrame — compute in
+    the cluster that owns the data, join in Spark.
+
+    The eland pattern behind the reference's dataset statistics
+    (reference src/elastic_surv/dataset.py:64-96: counts, cardinality,
+    min/max, category discovery) extended to grouped form: ES does the
+    aggregation, and the result lands as a DataFrame ready to
+    broadcast-join against Spark-side frames (it is dimension-sized by
+    contract). The rows DO materialize driver-side — that is the point of
+    a server-side aggregate — so ``max_groups`` hard-bounds the collect
+    (same discipline as the ≤100k codebook fits in operators/pq.py):
+    above it, the right tool is :func:`scan_es` + a distributed
+    ``groupBy``, and this raises instead of degrading into a corpus-sized
+    driver collect."""
+    import pandas as pd
+
+    rows = es_aggregate(
+        base_url, index, metrics, group_by, query, page_size, **kind_opts
+    )
+    if len(rows) > max_groups:
+        raise RuntimeError(
+            f"es_agg_df returned {len(rows)} groups > max_groups="
+            f"{max_groups}; use scan_es + a distributed groupBy for "
+            "corpus-sized group-bys"
+        )
+    cols = list(group_by or []) + list(metrics)
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+
+
 def scan_slice_pages(
     base_url: str,
     index: str,

@@ -760,3 +760,28 @@ def test_from_es_pit_mode(spark, es_url):
     key = lambda r: r["doc_id"]  # noqa: E731
     assert sorted(b.df.collect(), key=key) == sorted(a.df.collect(), key=key)
     assert any(p == "/_search" and "pit" in bd for p, bd in _Stub.requests)
+
+
+def test_es_agg_df_bridges_server_side_aggs_to_spark(spark, es_url):
+    """Grouped server-side aggregation lands as a broadcast-joinable
+    DataFrame (composite pagination under the hood), and the group bound
+    raises instead of letting a corpus-sized group-by collect driver-side."""
+    from elastic_surv_spark.sources.elastic import es_agg_df
+
+    df = es_agg_df(
+        spark, es_url, "docs", METRICS, group_by=["lang"], page_size=2
+    )
+    rows = {r["lang"]: r for r in df.collect()}
+    assert set(rows) == {"de", "en", "fr"}
+    assert rows["en"]["n"] == 5 and rows["en"]["avg_len"] == 80.0
+    # joinable against a Spark-side frame
+    joined = (
+        spark.createDataFrame([("en", 1), ("de", 2)], "lang string, x int")
+        .join(df, "lang")
+    )
+    assert joined.count() == 2
+    with pytest.raises(RuntimeError, match="max_groups"):
+        es_agg_df(
+            spark, es_url, "docs", METRICS, group_by=["lang"],
+            page_size=2, max_groups=2,
+        )
