@@ -150,11 +150,24 @@ def _solo_attribution(sf_dir: str, names: list[str]) -> dict[str, dict]:
     honest: shared-subplan family members in a single process would read
     each other's persisted frames (the r7 measurement defect) — and a
     fresh JVM additionally resets codegen/broadcast state. Failures
-    degrade to {} — attribution must never sink the bench."""
+    degrade to {} — attribution must never sink the bench, and a wall-
+    clock budget (SPARK_GRAFT_SOLO_BUDGET_S, default 420) stops launching
+    further subprocesses on a slow machine: partial attribution beats a
+    bench run the driver gives up on."""
     import subprocess
 
+    try:
+        budget = float(os.environ.get("SPARK_GRAFT_SOLO_BUDGET_S", "420"))
+    except ValueError:
+        budget = 420.0
+    t0 = time.perf_counter()
     merged: dict[str, dict] = {}
     for name in names:
+        if time.perf_counter() - t0 > budget:
+            print(
+                f"SOLO BUDGET: skipped {name} and later names", file=sys.stderr
+            )
+            break
         cmd = [sys.executable, os.path.abspath(__file__), "--solo", sf_dir, name]
         try:
             out = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
