@@ -424,6 +424,141 @@ def es_aggregate(
             return rows
 
 
+# --- Spark schema ↔ ES mapping ----------------------------------------------
+# The typing seam eland owns for the reference: ``ed.DataFrame`` types its
+# columns FROM the index mapping (field_mappings machinery), and
+# ``ed.pandas_to_eland`` CREATES the destination index with mappings
+# inferred from the frame's dtypes (reference README.md:65-78,
+# ``es_if_exists="replace"``). Both directions are pure translations and
+# unit-testable without a cluster; ``ensure_index``/``scan_es(schema=None)``
+# wire them to the transport.
+
+#: ES field type → Spark DDL type. half_float/scaled_float widen to the
+#: nearest Spark type; text and keyword are both strings.
+_ES_TO_SPARK = {
+    "long": "long", "integer": "int", "short": "short", "byte": "tinyint",
+    "unsigned_long": "decimal(20,0)",
+    "double": "double", "float": "float", "half_float": "float",
+    "scaled_float": "double",
+    "keyword": "string", "text": "string", "wildcard": "string",
+    "constant_keyword": "string", "ip": "string",
+    "boolean": "boolean", "date": "timestamp", "date_nanos": "timestamp",
+    "binary": "binary",
+}
+
+
+def mapping_to_schema(properties: dict):
+    """ES mapping ``properties`` → Spark ``StructType`` (sorted by field
+    name — mapping key order is not meaningful). ``object`` fields recurse
+    into nested structs. ES has no array type (any field may be
+    multi-valued), so multi-valued fields surface as their element type —
+    pass an explicit schema to ``scan_es`` when an array column is needed
+    (the same caveat the jar connector's
+    ``es.read.field.as.array.include`` option exists for)."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for name in sorted(properties):
+        spec = properties[name]
+        if "properties" in spec:  # object → nested struct
+            fields.append(T.StructField(name, mapping_to_schema(spec["properties"])))
+            continue
+        es_type = spec.get("type", "object")
+        ddl = _ES_TO_SPARK.get(es_type)
+        if ddl is None:
+            raise ValueError(
+                f"unsupported ES field type {es_type!r} for field {name!r}; "
+                "pass an explicit schema to scan_es"
+            )
+        fields.append(T.StructField(name, T._parse_datatype_string(ddl)))
+    return T.StructType(fields)
+
+
+def fetch_index_schema(base_url: str, index: str):
+    """``GET /{index}/_mapping`` → Spark StructType — lets ``scan_es`` and
+    ``SurvFrame.from_es`` type themselves from the index the way eland
+    does, instead of requiring a hand-written schema."""
+    resp = _es_request(f"{base_url}/{index}/_mapping", {}, method="GET")
+    # response is keyed by the CONCRETE index name (aliases/patterns
+    # resolve), so take the single entry's mappings
+    (entry,) = resp.values() if len(resp) == 1 else (resp.get(index, {}),)
+    return mapping_to_schema(entry.get("mappings", {}).get("properties", {}))
+
+
+def schema_to_mapping(schema) -> dict:
+    """Spark schema (StructType or DDL string) → ES mapping ``properties``.
+
+    Strings map to ES's own dynamic-mapping convention (``text`` with a
+    ``keyword`` sub-field) so filters/aggregations on the raw value keep
+    working; arrays map to their element type (ES fields are inherently
+    multi-valued); structs recurse as ``object`` fields."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+
+    def _field(dt) -> dict:
+        if isinstance(dt, T.StructType):
+            return {"properties": {f.name: _field(f.dataType) for f in dt.fields}}
+        if isinstance(dt, T.ArrayType):
+            return _field(dt.elementType)
+        if isinstance(dt, T.StringType):
+            return {"type": "text", "fields": {"keyword": {"type": "keyword"}}}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return {"type": "date"}
+        if isinstance(dt, T.DecimalType):
+            return {"type": "double"}
+        simple = {
+            T.LongType: "long", T.IntegerType: "integer", T.ShortType: "short",
+            T.ByteType: "byte", T.DoubleType: "double", T.FloatType: "float",
+            T.BooleanType: "boolean", T.BinaryType: "binary",
+        }.get(type(dt))
+        if simple is None:
+            raise ValueError(f"unsupported Spark type for ES mapping: {dt}")
+        return {"type": simple}
+
+    return {f.name: _field(f.dataType) for f in schema.fields}
+
+
+def ensure_index(
+    base_url: str,
+    index: str,
+    schema,
+    if_exists: str = "fail",
+) -> bool:
+    """Create ``index`` with mappings inferred from a Spark schema —
+    ≡ the index-creation half of ``ed.pandas_to_eland`` (reference
+    README.md:65-78): ``if_exists`` mirrors its ``es_if_exists`` contract
+    ("fail" raises when present, "replace" drops and recreates, "append"
+    leaves an existing index untouched). Returns True when an index was
+    created. Run once driver-side BEFORE ``bulk_write_es`` so N concurrent
+    bulk streams index into explicit mappings instead of racing ES's
+    dynamic guesses."""
+    import urllib.error
+
+    if if_exists not in ("fail", "replace", "append"):
+        raise ValueError(f"if_exists must be fail|replace|append, got {if_exists!r}")
+    exists = True
+    try:
+        _es_request(f"{base_url}/{index}", {}, method="GET", retries=0)
+    except urllib.error.HTTPError as exc:
+        if exc.code != 404:
+            raise
+        exists = False
+    if exists:
+        if if_exists == "fail":
+            raise RuntimeError(f"ES index {index!r} already exists")
+        if if_exists == "append":
+            return False
+        _es_request(f"{base_url}/{index}", {}, method="DELETE")
+    _es_request(
+        f"{base_url}/{index}",
+        {"mappings": {"properties": schema_to_mapping(schema)}},
+        method="PUT",
+    )
+    return True
+
+
 def es_agg_df(
     spark: SparkSession,
     base_url: str,
@@ -625,7 +760,7 @@ def scan_es(
     spark: SparkSession,
     base_url: str,
     index: str,
-    schema,
+    schema=None,
     slices: int = 8,
     query: dict | None = None,
     fields: list[str] | None = None,
@@ -647,8 +782,10 @@ def scan_es(
     filters server-side; ``fields`` prunes ``_source`` server-side, the
     same pushdowns the jar connector derives from Catalyst.
 
-    ``schema`` is a ``StructType`` or DDL string; documents missing a field
-    surface it as NULL. ``mode`` picks the pagination API: ``"scroll"``
+    ``schema`` is a ``StructType`` or DDL string — or None to type the
+    scan from the index's own mapping (``GET /{index}/_mapping`` →
+    :func:`mapping_to_schema`, the eland self-typing behavior); documents
+    missing a field surface it as NULL. ``mode`` picks the pagination API: ``"scroll"``
     (sliced scroll — parity with the reference's ES 7.x pin) or ``"pit"``
     (point-in-time + ``search_after``, the ES 8 path where scroll is
     deprecated); both yield the same document set. At 100 TB this is the
@@ -658,6 +795,8 @@ def scan_es(
     (tests/test_elastic_transport.py)."""
     from pyspark.sql import types as T
 
+    if schema is None:
+        schema = fetch_index_schema(base_url, index)
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     if mode not in ("scroll", "pit"):

@@ -129,7 +129,42 @@ class _Stub(BaseHTTPRequestHandler):
     failed_once: set = set()
     #: count of transient 5xx replies served (assert retries happened)
     transient_served: int = 0
+    #: explicitly-created indexes (PUT /{index}) → their mappings body
+    created: dict[str, dict] = {}
     lock = threading.Lock()
+
+    #: canned mapping for the "docs" corpus (GET /docs/_mapping)
+    DOCS_MAPPING = {
+        "properties": {
+            "doc_id": {"type": "long"},
+            "lang": {"type": "keyword"},
+            "n_chars": {"type": "long"},
+            "event": {"type": "long"},
+        }
+    }
+
+    def do_GET(self):  # noqa: N802 — mapping fetch + index-exists probe
+        if self.path.endswith("/_mapping"):
+            index = self.path.split("/")[1]
+            if index in _Stub.created:
+                self._reply({index: {"mappings": _Stub.created[index]}})
+            elif index == "docs":
+                self._reply({index: {"mappings": _Stub.DOCS_MAPPING}})
+            else:
+                self._reply({"error": {"type": "index_not_found_exception"}}, 404)
+            return
+        index = self.path.strip("/")
+        if index in _Stub.created or index in _Stub.indexed or index == "docs":
+            self._reply({index: {}})
+        else:
+            self._reply({"error": {"type": "index_not_found_exception"}}, 404)
+
+    def do_PUT(self):  # noqa: N802 — index creation with mappings
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"] or 0)) or b"{}")
+        index = self.path.strip("/")
+        with _Stub.lock:
+            _Stub.created[index] = body.get("mappings", {})
+        self._reply({"acknowledged": True, "index": index})
 
     def _stored(self, index: str) -> list[dict]:
         return list(_Stub.indexed[index].values())
@@ -254,8 +289,15 @@ class _Stub(BaseHTTPRequestHandler):
             ]},
         }
 
-    def do_DELETE(self):  # noqa: N802 — scroll/PIT context cleanup
+    def do_DELETE(self):  # noqa: N802 — scroll/PIT cleanup + index drop
         body = json.loads(self.rfile.read(int(self.headers["Content-Length"] or 0)) or b"{}")
+        if self.path not in ("/_pit", "/_search/scroll"):  # DELETE /{index}
+            index = self.path.strip("/")
+            with _Stub.lock:
+                _Stub.created.pop(index, None)
+                _Stub.indexed.pop(index, None)
+            self._reply({"acknowledged": True})
+            return
         _Stub.deletes.append(body)
         self._reply({"succeeded": True})
 
@@ -280,6 +322,7 @@ def es_url():
     _Stub.rejected_once = set()
     _Stub.failed_once = set()
     _Stub.transient_served = 0
+    _Stub.created = {}
     srv = HTTPServer(("127.0.0.1", 0), _Stub)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -785,3 +828,94 @@ def test_es_agg_df_bridges_server_side_aggs_to_spark(spark, es_url):
             spark, es_url, "docs", METRICS, group_by=["lang"],
             page_size=2, max_groups=2,
         )
+
+
+def test_schema_mapping_translation_round_trips():
+    """Spark schema → ES mapping → Spark schema: types survive the trip
+    (strings via text+keyword multi-field, timestamps via date, structs via
+    object recursion); arrays flatten to their element type by ES's
+    no-array-type design — documented, not silent."""
+    from pyspark.sql import types as T
+
+    from elastic_surv_spark.sources.elastic import (
+        mapping_to_schema,
+        schema_to_mapping,
+    )
+
+    ddl = (
+        "id long, n int, score double, name string, ok boolean, "
+        "ts timestamp, blob binary, emb array<float>, "
+        "meta struct<w:long, tag:string>"
+    )
+    mapping = schema_to_mapping(ddl)
+    assert mapping["name"] == {
+        "type": "text", "fields": {"keyword": {"type": "keyword"}}
+    }
+    assert mapping["ts"] == {"type": "date"}
+    assert mapping["emb"] == {"type": "float"}  # element type: ES has no arrays
+    assert mapping["meta"]["properties"]["tag"]["type"] == "text"
+    back = mapping_to_schema(mapping)
+    by_name = {f.name: f.dataType for f in back.fields}
+    assert by_name["id"] == T.LongType() and by_name["n"] == T.IntegerType()
+    assert by_name["name"] == T.StringType() and by_name["ts"] == T.TimestampType()
+    assert by_name["emb"] == T.FloatType()  # the documented array flattening
+    assert isinstance(by_name["meta"], T.StructType)
+    assert dict((f.name, f.dataType) for f in by_name["meta"].fields) == {
+        "w": T.LongType(), "tag": T.StringType()
+    }
+
+
+def test_mapping_to_schema_rejects_unknown_type():
+    from elastic_surv_spark.sources.elastic import mapping_to_schema
+
+    with pytest.raises(ValueError, match="unsupported ES field type"):
+        mapping_to_schema({"loc": {"type": "geo_point"}})
+
+
+def test_ensure_index_lifecycle(es_url):
+    """eland's es_if_exists contract: create when missing, fail raises,
+    append is a no-op on an existing index, replace drops and recreates."""
+    from elastic_surv_spark.sources.elastic import ensure_index
+
+    assert ensure_index(es_url, "new_idx", "id long, name string") is True
+    assert _Stub.created["new_idx"]["properties"]["id"] == {"type": "long"}
+    with pytest.raises(RuntimeError, match="already exists"):
+        ensure_index(es_url, "new_idx", "id long")
+    assert ensure_index(es_url, "new_idx", "id long", if_exists="append") is False
+    assert "name" in _Stub.created["new_idx"]["properties"]  # untouched
+    assert ensure_index(es_url, "new_idx", "id long", if_exists="replace") is True
+    assert "name" not in _Stub.created["new_idx"]["properties"]  # recreated
+
+
+def test_write_then_scan_self_typed_from_mapping(spark, es_url):
+    """The full eland-parity loop with NO hand-written read schema:
+    ensure_index infers mappings from the frame, the bulk writer lands the
+    rows, and scan_es(schema=None) types itself from GET /{index}/_mapping."""
+    from pyspark.sql import types as T
+
+    from elastic_surv_spark.sources.elastic import ensure_index
+
+    src = spark.createDataFrame(
+        [(i, f"d{i}", float(i) / 2, i % 2 == 0) for i in range(5)],
+        "doc_id long, name string, score double, flag boolean",
+    ).repartition(2)
+    ensure_index(es_url, "typed_idx", src.schema)
+    assert bulk_write_es(src, es_url, "typed_idx", id_col="doc_id") == 5
+    back = scan_es(spark, es_url, "typed_idx", slices=2, page_size=2)
+    by_name = {f.name: f.dataType for f in back.schema.fields}
+    assert by_name == {
+        "doc_id": T.LongType(), "name": T.StringType(),
+        "score": T.DoubleType(), "flag": T.BooleanType(),
+    }
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[3]["score"] == 1.5 and rows[2]["flag"] is True
+
+
+def test_scan_es_self_types_canned_index(spark, es_url):
+    """schema=None on the canned corpus reads the stub's docs mapping."""
+    df = scan_es(spark, es_url, "docs", slices=2, page_size=2)
+    assert sorted(f.name for f in df.schema.fields) == [
+        "doc_id", "event", "lang", "n_chars"
+    ]
+    assert sorted(r["doc_id"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
