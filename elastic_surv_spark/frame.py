@@ -127,9 +127,9 @@ class SurvFrame:
         spark: SparkSession,
         base_url: str,
         index: str,
-        schema,
-        time_column: str,
-        event_column: str,
+        schema=None,
+        time_column: str = "",
+        event_column: str = "",
         features: list[str] | None = None,
         slices: int = 8,
         query: dict | None = None,
@@ -153,9 +153,17 @@ class SurvFrame:
         (a monotone id field) to enable exact prefix-``split()`` semantics.
         ``mode`` picks the pagination API: ``"scroll"`` (ES 7 parity with
         the reference's eland pin) or ``"pit"`` (ES 8, scroll deprecated).
+        ``schema=None`` types the frame from the index's own mapping
+        (``GET /{index}/_mapping``) — exactly how ``ed.DataFrame`` types
+        itself for the reference; pass an explicit schema to override
+        (e.g. for multi-valued fields, which ES mappings can't declare).
         """
-        from elastic_surv_spark.sources.elastic import scan_es
+        from elastic_surv_spark.sources.elastic import fetch_index_schema, scan_es
 
+        if not time_column or not event_column:
+            raise ValueError("from_es requires time_column and event_column")
+        if schema is None:
+            schema = fetch_index_schema(base_url, index)
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         if features is None:

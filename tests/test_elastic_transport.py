@@ -919,3 +919,21 @@ def test_scan_es_self_types_canned_index(spark, es_url):
         "doc_id", "event", "lang", "n_chars"
     ]
     assert sorted(r["doc_id"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_from_es_self_types_from_mapping(spark, es_url):
+    """`SurvFrame.from_es` without a schema types the frame from the index
+    mapping (ed.DataFrame behavior) — roles validated, features inferred,
+    pruning still pushed to the source."""
+    from elastic_surv_spark.frame import SurvFrame
+
+    frame = SurvFrame.from_es(
+        spark, es_url, "docs",
+        time_column="n_chars", event_column="event",
+        slices=2, order_column="doc_id", page_size=2,
+    )
+    assert frame.features == ["lang"]
+    rows = {r["doc_id"]: r for r in frame.df.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="requires time_column"):
+        SurvFrame.from_es(spark, es_url, "docs")
