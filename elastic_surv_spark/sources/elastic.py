@@ -938,6 +938,24 @@ def bulk_write_es(
     return int(total or 0)
 
 
+def upload_frame(
+    df: DataFrame,
+    base_url: str,
+    index: str,
+    if_exists: str = "replace",
+    id_col: str | None = None,
+    batch_docs: int = 500,
+) -> int:
+    """One-call ``ed.pandas_to_eland`` twin (reference README.md:65-78):
+    create/replace the index with mappings inferred from the frame's
+    schema (:func:`ensure_index`, ``if_exists`` ≡ ``es_if_exists``), then
+    stream the rows in via the distributed ``_bulk`` writer
+    (:func:`bulk_write_es` — per-partition NDJSON streams, per-item 429
+    retries). Returns the indexed-document count."""
+    ensure_index(base_url, index, df.schema, if_exists=if_exists)
+    return bulk_write_es(df, base_url, index, id_col=id_col, batch_docs=batch_docs)
+
+
 def es_reader(
     spark: SparkSession,
     index_pattern: str,

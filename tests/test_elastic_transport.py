@@ -937,3 +937,21 @@ def test_from_es_self_types_from_mapping(spark, es_url):
     assert sorted(rows) == [0, 1, 2, 3, 4, 5]
     with pytest.raises(ValueError, match="requires time_column"):
         SurvFrame.from_es(spark, es_url, "docs")
+
+
+def test_upload_frame_one_call_parity(spark, es_url):
+    """upload_frame ≡ pandas_to_eland: mappings created from the frame,
+    rows landed, replace semantics on re-upload (fresh mapping, upserted
+    docs, exact ack)."""
+    from elastic_surv_spark.sources.elastic import upload_frame
+
+    src = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "b", 1.5)], "doc_id long, name string, score double"
+    )
+    assert upload_frame(src, es_url, "up_idx", id_col="doc_id") == 2
+    assert _Stub.created["up_idx"]["properties"]["score"] == {"type": "double"}
+    assert sorted(_Stub.indexed["up_idx"]) == ["1", "2"]
+    # replace: re-upload of a narrower frame recreates the mapping
+    assert upload_frame(src.drop("score"), es_url, "up_idx", id_col="doc_id") == 2
+    assert "score" not in _Stub.created["up_idx"]["properties"]
+    assert sorted(_Stub.indexed["up_idx"]) == ["1", "2"]  # exactly once
