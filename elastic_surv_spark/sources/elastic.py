@@ -433,18 +433,27 @@ def es_aggregate(
 # unit-testable without a cluster; ``ensure_index``/``scan_es(schema=None)``
 # wire them to the transport.
 
-#: ES field type → Spark DDL type. half_float/scaled_float widen to the
-#: nearest Spark type; text and keyword are both strings.
-_ES_TO_SPARK = {
-    "long": "long", "integer": "int", "short": "short", "byte": "tinyint",
-    "unsigned_long": "decimal(20,0)",
-    "double": "double", "float": "float", "half_float": "float",
-    "scaled_float": "double",
-    "keyword": "string", "text": "string", "wildcard": "string",
-    "constant_keyword": "string", "ip": "string",
-    "boolean": "boolean", "date": "timestamp", "date_nanos": "timestamp",
-    "binary": "binary",
-}
+def _es_to_spark_types() -> dict:
+    """ES field type → Spark type instance. half_float/scaled_float widen
+    to the nearest Spark type; text and keyword are both strings. Built
+    lazily (not at module import) and WITHOUT the DDL parser — pyspark 4's
+    ``_parse_datatype_string`` round-trips through the JVM and needs an
+    active SparkContext, which a pure translation must not require."""
+    from pyspark.sql import types as T
+
+    return {
+        "long": T.LongType(), "integer": T.IntegerType(),
+        "short": T.ShortType(), "byte": T.ByteType(),
+        "unsigned_long": T.DecimalType(20, 0),
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "half_float": T.FloatType(), "scaled_float": T.DoubleType(),
+        "keyword": T.StringType(), "text": T.StringType(),
+        "wildcard": T.StringType(), "constant_keyword": T.StringType(),
+        "ip": T.StringType(),
+        "boolean": T.BooleanType(),
+        "date": T.TimestampType(), "date_nanos": T.TimestampType(),
+        "binary": T.BinaryType(),
+    }
 
 
 def mapping_to_schema(properties: dict):
@@ -457,6 +466,7 @@ def mapping_to_schema(properties: dict):
     ``es.read.field.as.array.include`` option exists for)."""
     from pyspark.sql import types as T
 
+    type_map = _es_to_spark_types()
     fields = []
     for name in sorted(properties):
         spec = properties[name]
@@ -464,13 +474,13 @@ def mapping_to_schema(properties: dict):
             fields.append(T.StructField(name, mapping_to_schema(spec["properties"])))
             continue
         es_type = spec.get("type", "object")
-        ddl = _ES_TO_SPARK.get(es_type)
-        if ddl is None:
+        spark_type = type_map.get(es_type)
+        if spark_type is None:
             raise ValueError(
                 f"unsupported ES field type {es_type!r} for field {name!r}; "
                 "pass an explicit schema to scan_es"
             )
-        fields.append(T.StructField(name, T._parse_datatype_string(ddl)))
+        fields.append(T.StructField(name, spark_type))
     return T.StructType(fields)
 
 

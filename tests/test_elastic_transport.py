@@ -830,11 +830,13 @@ def test_es_agg_df_bridges_server_side_aggs_to_spark(spark, es_url):
         )
 
 
-def test_schema_mapping_translation_round_trips():
+def test_schema_mapping_translation_round_trips(spark):
     """Spark schema → ES mapping → Spark schema: types survive the trip
     (strings via text+keyword multi-field, timestamps via date, structs via
     object recursion); arrays flatten to their element type by ES's
-    no-array-type design — documented, not silent."""
+    no-array-type design — documented, not silent. (The spark fixture is
+    for the DDL-string convenience input — fromDDL parses in the JVM;
+    StructType inputs and mapping_to_schema need no session.)"""
     from pyspark.sql import types as T
 
     from elastic_surv_spark.sources.elastic import (

@@ -100,3 +100,60 @@ def test_range_join_equals_pandas_oracle(spark, lefts, rights, window):
         if n:
             want[lid] = n
     assert got == want
+
+
+# --- ES mapping translation (pure — no Spark job per example) -----------
+
+_LOSSLESS_DDL = st.sampled_from(
+    ["long", "int", "short", "tinyint", "double", "float", "string",
+     "boolean", "timestamp", "binary"]
+)
+
+
+def _mk_type(ddl):
+    from pyspark.sql import types as T
+
+    return {
+        "long": T.LongType(), "int": T.IntegerType(), "short": T.ShortType(),
+        "tinyint": T.ByteType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "string": T.StringType(),
+        "boolean": T.BooleanType(), "timestamp": T.TimestampType(),
+        "binary": T.BinaryType(),
+    }[ddl]
+_FIELD_NAME = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@given(
+    st.dictionaries(_FIELD_NAME, _LOSSLESS_DDL, min_size=1, max_size=8),
+    st.dictionaries(_FIELD_NAME, _LOSSLESS_DDL, min_size=0, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_es_mapping_round_trip_lossless_types(flat, nested):
+    """schema → ES mapping → schema is the identity on the lossless core
+    (every scalar type the bulk writer emits), including one level of
+    struct nesting; field order normalizes to sorted-by-name (ES mapping
+    keys carry no order)."""
+    from pyspark.sql import types as T
+
+    from elastic_surv_spark.sources.elastic import (
+        mapping_to_schema,
+        schema_to_mapping,
+    )
+
+    fields = [T.StructField(n, _mk_type(d)) for n, d in flat.items()]
+    if nested:
+        inner = T.StructType(
+            sorted(
+                (T.StructField(n, _mk_type(d)) for n, d in nested.items()),
+                key=lambda f: f.name,
+            )
+        )
+        name = "zz_nested"  # can't collide with the flat-pool regex? it can — skip if so
+        if name not in flat:
+            fields.append(T.StructField(name, inner))
+    schema = T.StructType(fields)
+    back = mapping_to_schema(schema_to_mapping(schema))
+    want = {f.name: f.dataType for f in schema.fields}
+    got = {f.name: f.dataType for f in back.fields}
+    assert got == want
+    assert [f.name for f in back.fields] == sorted(want)  # normalized order
