@@ -12,11 +12,24 @@ The connector jar and a live cluster are not present in this harness, so
 the jar-based helpers build fully-configured readers/writers (testable)
 and fail with a clear message only at ``.load()``/``.save()`` time. The
 pure-stdlib transport paths, by contrast, run end-to-end under pytest
-against a canned stub server (tests/test_elastic_transport.py): counts
-(``es_count``), server-side aggregations (``es_aggregate``, composite
-pagination) and the jar-free distributed document scan (``scan_es``,
-sliced scroll — one Spark partition per ES slice). Swap in the parquet
-source (sources/parquet.py) everywhere else in the repo.
+against a canned stub server (tests/test_elastic_transport.py):
+
+- counts (``es_count``) and server-side aggregations (``es_aggregate``
+  with composite pagination; ``es_agg_df`` lands them as a bounded,
+  broadcast-joinable DataFrame);
+- the jar-free distributed document scan (``scan_es`` — one Spark
+  partition per ES slice, sliced scroll or PIT + ``search_after``
+  for ES 8, ``suggest_slices`` sizing, self-typing from the index
+  mapping) and the ``_bulk`` writer (``bulk_write_es``, per-item 429
+  re-sends; ``upload_frame`` ≡ ``pandas_to_eland`` with
+  ``ensure_index``-inferred mappings);
+- schema ↔ mapping translation both ways (``schema_to_mapping`` /
+  ``mapping_to_schema``), the typing seam eland owns for the reference;
+- resilience everywhere: jittered exponential backoff on transient
+  HTTP/connection failures, numeric ``Retry-After`` honored (capped).
+
+Swap in the parquet source (sources/parquet.py) everywhere else in the
+repo.
 """
 
 from __future__ import annotations
