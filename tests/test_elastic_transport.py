@@ -957,3 +957,23 @@ def test_upload_frame_one_call_parity(spark, es_url):
     assert upload_frame(src.drop("score"), es_url, "up_idx", id_col="doc_id") == 2
     assert "score" not in _Stub.created["up_idx"]["properties"]
     assert sorted(_Stub.indexed["up_idx"]) == ["1", "2"]  # exactly once
+
+
+def test_empty_inputs_through_the_es_surface(spark, es_url):
+    """Degenerate shapes must stay well-formed: an empty frame bulk-writes
+    zero docs (no requests fired), an index with no documents scans to an
+    empty frame with the requested schema, and upload_frame of an empty
+    frame still creates the index (mappings come from the schema, not the
+    rows) — eland parity."""
+    from elastic_surv_spark.sources.elastic import upload_frame
+
+    empty = spark.createDataFrame([], "doc_id long, name string")
+    assert bulk_write_es(empty, es_url, "empty_idx", id_col="doc_id") == 0
+    assert "empty_idx" not in _Stub.indexed  # no doc ever sent
+    assert upload_frame(empty, es_url, "empty_idx2") == 0
+    assert _Stub.created["empty_idx2"]["properties"]["name"]["type"] == "text"
+    # scanning a created-but-empty index yields an empty, correctly-typed df
+    _Stub.indexed["empty_idx2"] = {}
+    back = scan_es(spark, es_url, "empty_idx2", schema="doc_id long, name string", slices=2)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["doc_id", "name"]
