@@ -425,3 +425,54 @@ def run_to_es(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def document_pipeline_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    quality_threshold: float = 0.5,
+    window_size: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the flagship batch pipeline
+    (plans/queries.py:llm_data_pipeline_e2e): continuous training-data
+    ingest — quality filter → exact content dedup → token counting →
+    per-(window, lang) corpus stats — as ONE watermarked streaming plan.
+
+    Stage posture at scale: the quality filter and token counter are
+    map-only JVM column expressions (no state, no Python); dedup keys on
+    the 8-byte ``xxhash64(text)`` content fingerprint inside the watermark
+    horizon (``dropDuplicatesWithinWatermark`` — state evicts with event
+    time, the only bounded choice for an ever-growing corpus; fingerprints
+    shuffle, never text); the tail is a standard watermarked tumbling
+    aggregate. Append output mode: each window finalizes exactly once when
+    the watermark passes, so the sink sees closed corpus-stat rows (feed
+    them to :func:`run_to_es` keyed on window_start|lang for idempotent
+    upserts).
+    """
+    from elastic_surv_spark.functions.text import quality_score, token_count
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .filter(quality_score(F.col(text_col)) >= quality_threshold)
+        .withColumn("_fp", F.xxhash64(F.col(text_col)))
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .select(
+            F.col(ts_col),
+            F.col(lang_col),
+            token_count(F.col(text_col)).alias("_n_tokens"),
+        )
+        .groupBy(F.window(ts_col, window_size).alias("w"), F.col(lang_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(lang_col),
+            "n_docs",
+            "n_tokens",
+        )
+    )

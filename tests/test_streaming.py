@@ -168,3 +168,82 @@ def test_stateful_transitions_stitch_across_batches(spark, stream_dir, tmp_path_
     # 4 time-ordered micro-batches: cross-batch state stitching must make
     # the streaming pair counts EXACTLY the batch lag-window counts
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark, tmp_path_factory):
+    """Documents replayed as a 4-micro-batch stream. Event time derives
+    from the CONTENT fingerprint (epoch + pmod(xxhash64(text), 720) min),
+    so every copy of a duplicate text shares one timestamp/window — making
+    the streaming dedup's first-arrival choice deterministic and the batch
+    truth well-defined."""
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = load_table(spark, SF, "documents").withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.xxhash64("text"), F.lit(720)) * 60
+        ),
+    )
+    # FileStreamSource orders micro-batches by file MODIFICATION TIME, not
+    # name — a single parallel repartitionByRange write gives the range
+    # files arbitrary mtimes, replaying them out of event-time order and
+    # silently late-dropping whole batches. Write the four 3-hour slices
+    # SEQUENTIALLY so arrival order matches event time, like a real feed.
+    for i in range(4):
+        lo, hi = i * 180 * 60, (i + 1) * 180 * 60
+        (
+            docs.filter(
+                (F.unix_timestamp("ts") - 1704067200 >= lo)
+                & (F.unix_timestamp("ts") - 1704067200 < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    return out
+
+
+def test_document_pipeline_stream_matches_batch(spark, docs_stream_dir):
+    """The streaming twin of llm_data_pipeline_e2e: quality filter →
+    fingerprint dedup-within-watermark → token stats per (window, lang).
+    Emitted (append-closed) windows must agree EXACTLY with the batch
+    computation on per-window totals (lang split is arrival-dependent for
+    a multi-lang duplicate text, totals are not)."""
+    from elastic_surv_spark.functions.text import quality_score, token_count
+    from elastic_surv_spark.streaming.windows import document_pipeline_stream
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_stream_dir)
+    )
+    got = run_to_memory(
+        document_pipeline_stream(stream), "doc_pipe_out"
+    ).toPandas()
+    assert len(got) > 0  # watermark closed at least some windows
+    got_totals = (
+        got.groupby("window_start")[["n_docs", "n_tokens"]].sum().to_dict("index")
+    )
+    batch = (
+        spark.read.parquet(docs_stream_dir)
+        .filter(quality_score(F.col("text")) >= 0.5)
+        .withColumn("_fp", F.xxhash64("text"))
+        .groupBy("_fp")
+        .agg(F.first("ts").alias("ts"), F.first("text").alias("text"))
+        .select("ts", token_count(F.col("text")).alias("n_tokens"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("n_tokens"))
+        .select(F.col("w.start").alias("window_start"), "n_docs", "n_tokens")
+        .toPandas()
+    )
+    batch_totals = {
+        r.window_start: {"n_docs": r.n_docs, "n_tokens": r.n_tokens}
+        for r in batch.itertuples()
+    }
+    for w, vals in got_totals.items():
+        assert batch_totals[w] == vals, (w, vals, batch_totals.get(w))
+    # emitted ⊆ batch and strictly informative
+    assert set(got_totals) <= set(batch_totals)
