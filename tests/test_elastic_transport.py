@@ -977,3 +977,42 @@ def test_empty_inputs_through_the_es_surface(spark, es_url):
     back = scan_es(spark, es_url, "empty_idx2", schema="doc_id long, name string", slices=2)
     assert back.count() == 0
     assert [f.name for f in back.schema.fields] == ["doc_id", "name"]
+
+
+def test_document_pipeline_stream_lands_in_es(spark, es_url, tmp_path):
+    """The production landing path end-to-end: the streaming document
+    pipeline's closed windows upsert into ES keyed on window|lang — a
+    restart over the same checkpoint re-commits nothing."""
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.streaming.windows import (
+        document_pipeline_stream,
+        run_to_es,
+    )
+
+    src_dir, chk = str(tmp_path / "src"), str(tmp_path / "chk")
+    rows = [
+        ("2024-01-01 00:10:00", "en", "the quick brown fox jumps over the lazy dog again"),
+        ("2024-01-01 00:40:00", "en", "the quick brown fox jumps over the lazy dog again"),
+        ("2024-01-01 00:50:00", "de", "ein ganz anderes dokument mit eigenem inhalt und text"),
+        ("2024-01-01 03:10:00", "en", "late window content that stays open past the watermark"),
+    ]
+    spark.createDataFrame(rows, "ts string, lang string, text string").selectExpr(
+        "cast(ts as timestamp) ts", "lang", "text"
+    ).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("ts timestamp, lang string, text string").parquet(src_dir)
+    out = document_pipeline_stream(stream).withColumn(
+        "k", F.concat_ws("|", F.col("window_start").cast("string"), "lang")
+    )
+
+    def _land(chk_dir):
+        run_to_es(out, es_url, "pipe_idx", chk_dir, id_col="k", output_mode="append")
+
+    _land(chk)
+    stored = {d["lang"]: d for d in _Stub.indexed["pipe_idx"].values()}
+    # window 00:00 closed by the 03:10 watermark: duplicate en text deduped
+    assert stored["en"]["n_docs"] == 1 and stored["de"]["n_docs"] == 1
+    assert len(_Stub.indexed["pipe_idx"]) == 2  # 03:00 window still open
+    n_before = len(_Stub.bulk_batches)
+    _land(chk)  # restart: same checkpoint + source → nothing new
+    assert len(_Stub.bulk_batches) == n_before
