@@ -30,6 +30,11 @@ class AFTBaselineModel:
         self.model = None
         self.cuts: np.ndarray | None = None
         self._features: list[str] | None = None
+        # closed-form Weibull parameters extracted after fit; prediction and
+        # persistence depend only on these, never on the MLlib model object
+        self.coefficients: np.ndarray | None = None
+        self.intercept: float | None = None
+        self.scale: float | None = None
 
     @staticmethod
     def name() -> str:
@@ -56,6 +61,12 @@ class AFTBaselineModel:
             maxIter=self.max_iter,
         )
         self.model = aft.fit(self._assemble(train))
+        # MLlib's AFT prediction is the closed form exp(x·β + intercept);
+        # keep (β, intercept, σ) so inference is plain column arithmetic
+        # and the trained model is a handful of JSON-serializable floats
+        self.coefficients = np.asarray(self.model.coefficients.toArray(), dtype=float)
+        self.intercept = float(self.model.intercept)
+        self.scale = float(self.model.scale)
         # duration grid: train-split quantiles (≡ discrete models' label cuts)
         probs = list(np.linspace(0.0, 1.0, self.num_durations))
         qs = train.approxQuantile("_label", probs, 0.001)
@@ -63,16 +74,22 @@ class AFTBaselineModel:
         return self
 
     def predict(self, df: DataFrame, id_cols: list[str], features: list[str]) -> DataFrame:
-        """(id_cols..., surv array<double>) — survival at each cut, pure JVM."""
-        scored = self.model.transform(self._assemble(df))
-        mu = F.log(F.col("prediction"))
-        sigma = float(self.model.scale)
+        """(id_cols..., surv array<double>) — survival at each cut, pure JVM.
+
+        μ(x) = x·β + intercept as a column sum — no VectorAssembler, no
+        MLlib model object, so a JSON-loaded model predicts identically to
+        the freshly trained one and the whole plan stays in codegen.
+        """
+        mu = F.lit(float(self.intercept))
+        for c, b in zip(self._features, self.coefficients):
+            mu = mu + F.col(c).cast("double") * F.lit(float(b))
+        sigma = float(self.scale)
         cuts_lit = F.array(*[F.lit(float(c)) for c in self.cuts])
         surv = F.transform(
             cuts_lit,
             lambda c: F.exp(-F.exp((F.log(c) - mu) / F.lit(sigma))),
         )
-        return scored.select(*id_cols, surv.alias("surv"))
+        return df.select(*id_cols, surv.alias("surv"))
 
     def score(self, dataset: SurvDataset, n_grid: int = 100) -> dict[str, float]:
         t_col, e_col = dataset.time_column, dataset.event_column

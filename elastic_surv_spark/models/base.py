@@ -154,13 +154,16 @@ class SurvModel(ABC):
             if self.verbose:
                 print(f"[{self.name()}] epoch {epoch}: train={train_loss:.4f} val={val_loss:.4f}")
             if val_loss < best_val - 1e-12:
-                best_val, best_weights, since_best = val_loss, self.net.get_weights(), 0
+                # full state, not just params: the checkpoint must restore
+                # the best epoch's BN running stats too (≡ torchtuples
+                # EarlyStopping, which snapshots the whole state_dict)
+                best_val, best_weights, since_best = val_loss, self.net.get_state(), 0
             else:
                 since_best += 1
                 if since_best >= self.patience:
                     break
         if best_weights is not None:
-            self.net.set_weights(best_weights)
+            self.net.set_state(best_weights)
 
     def _fit_averaged(self, dataset: SurvDataset, rounds: int | None = None) -> None:
         """Local-SGD with size-weighted parameter averaging per round."""
@@ -183,7 +186,9 @@ class SurvModel(ABC):
 
         rounds = rounds or self.epochs
         for rnd in range(rounds):
-            weights_b = sc.broadcast(self.net.get_weights())
+            # full state: partitions resume from the averaged BN running
+            # stats instead of re-warming them from init each round
+            weights_b = sc.broadcast(self.net.get_state())
 
             def one_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 net = MLP(
@@ -191,7 +196,7 @@ class SurvModel(ABC):
                     batch_norm=cfg["batch_norm"], dropout=cfg["dropout"],
                     output_bias=cfg["output_bias"], seed=cfg["seed"],
                 )
-                net.set_weights(weights_b.value)
+                net.set_state(weights_b.value)
                 opt = Adam(net, lr=cfg["lr"])
                 saved, model.net = model.net, net
                 n_seen = 0
@@ -213,7 +218,7 @@ class SurvModel(ABC):
                     model.net = saved
                 if n_seen:
                     yield pd.DataFrame(
-                        {"n": [n_seen], "w": [net.get_weights().tolist()]}
+                        {"n": [n_seen], "w": [net.get_state().tolist()]}
                     )
 
             res = dataset.train_df.mapInPandas(
@@ -221,16 +226,21 @@ class SurvModel(ABC):
             ).collect()
             weights_b.unpersist()
             total = sum(r["n"] for r in res)
-            avg = np.zeros_like(self.net.get_weights())
+            # size-weighted average of the full state vector: params AND
+            # BN running stats (means/vars average soundly by size weight)
+            avg = np.zeros_like(self.net.get_state())
             for r in res:
                 avg += (r["n"] / total) * np.asarray(r["w"])
-            self.net.set_weights(avg)
+            self.net.set_state(avg)
 
     # ---- inference -------------------------------------------------------
     def predict(self, df: DataFrame, id_cols: list[str], features: list[str]) -> DataFrame:
         """Distributed survival-curve inference: (ids..., surv array<double>)."""
         model = self
-        weights = self.net.get_weights()
+        # ship the full state (params + BN running stats): eval-mode
+        # BatchNorm on the executors must normalize with the trained
+        # statistics, exactly as local inference would
+        weights = self.net.get_state()
         net_out = self.net.layers[-1].W.shape[1]
         cfg = (features, self.hidden_nodes, self.batch_norm, self.dropout,
                net_out, self._output_bias(), self.seed)
@@ -239,7 +249,7 @@ class SurvModel(ABC):
             feats, hidden, bn, do, out, ob, seed = cfg
             net = MLP(len(feats), hidden, out, batch_norm=bn, dropout=do,
                       output_bias=ob, seed=seed)
-            net.set_weights(np.asarray(weights))
+            net.set_state(np.asarray(weights))
             saved, model.net = model.net, net
             try:
                 for pdf in pdfs:

@@ -163,7 +163,8 @@ class CoxPHModel(SurvModel):
         import pandas as pd  # noqa: F401
 
         model = self
-        weights = self.net.get_weights()
+        # full state so eval-mode BN uses the trained running stats remotely
+        weights = self.net.get_state()
         feats = dataset.features
         cfg = (self.hidden_nodes, self.batch_norm, self.dropout, self.seed)
 
@@ -173,7 +174,7 @@ class CoxPHModel(SurvModel):
             hidden, bn, do, seed = cfg
             net = MLP(len(feats), hidden, 1, batch_norm=bn, dropout=do,
                       output_bias=False, seed=seed)
-            net.set_weights(np.asarray(weights))
+            net.set_state(np.asarray(weights))
             for pdf in pdfs:
                 if not len(pdf):
                     continue

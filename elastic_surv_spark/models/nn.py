@@ -160,6 +160,7 @@ class MLP:
 
     # ---- flat (de)serialization for broadcast / parameter averaging ----
     def get_weights(self) -> np.ndarray:
+        """Trainable parameters only (what the optimizer updates)."""
         return np.concatenate([p.ravel() for p, _ in self.params()])
 
     def set_weights(self, flat: np.ndarray) -> None:
@@ -167,6 +168,39 @@ class MLP:
         for p, _ in self.params():
             p[...] = flat[i : i + p.size].reshape(p.shape)
             i += p.size
+
+    def buffers(self) -> list[np.ndarray]:
+        """Non-trainable inference state: BatchNorm running mean/var.
+
+        torch's ``state_dict`` ships these alongside the weights; a net
+        rebuilt from ``get_weights`` alone would run eval-mode BatchNorm
+        against the init statistics (mean 0, var 1) instead of the trained
+        ones. Everything that rebuilds a net remotely (predict broadcast,
+        parameter averaging, save/load) must use ``get_state``/``set_state``.
+        """
+        out: list[np.ndarray] = []
+        for layer in self.layers:
+            if isinstance(layer, BatchNorm1d):
+                out.append(layer.running_mean)
+                out.append(layer.running_var)
+        return out
+
+    def get_state(self) -> np.ndarray:
+        """Full flat state: trainable params followed by BN buffers."""
+        return np.concatenate([self.get_weights()] + [b.ravel() for b in self.buffers()])
+
+    def set_state(self, flat: np.ndarray) -> None:
+        flat = np.asarray(flat, dtype=float)
+        n_params = sum(p.size for p, _ in self.params())
+        self.set_weights(flat[:n_params])
+        i = n_params
+        for b in self.buffers():
+            b[...] = flat[i : i + b.size].reshape(b.shape)
+            i += b.size
+        if i != flat.size:
+            raise ValueError(
+                f"state vector has {flat.size} values, net expects {i}"
+            )
 
 
 class Adam:
