@@ -301,29 +301,55 @@ DEFAULT_BACKOFF_S = 0.5
 RETRY_AFTER_CAP_S = 30.0
 
 
-def _with_retries(send, retries: int = DEFAULT_RETRIES,
-                  backoff: float = DEFAULT_BACKOFF_S):
-    """Run ``send()`` retrying transient failures with exponential backoff.
+def _backoff_sleep(attempt: int, backoff: float = DEFAULT_BACKOFF_S,
+                   retry_after: float | None = None) -> None:
+    """THE retry sleep — every retry path in this module routes through it.
 
-    Retries HTTP {429, 502, 503, 504} and connection-level errors
-    (refused/reset/timeout); re-raises everything else — and the last
-    transient error once ``retries`` attempts are spent. Safe for every
-    transport call here: counts/aggs/PIT pages are idempotent reads, a
-    retried ``_search/scroll`` request is safe because the scroll cursor
-    only advances on a successful response, and ``_bulk`` re-sends are
-    idempotent under ``_id`` routing (and at-least-once without it, the
-    same contract the official bulk helpers give).
-
-    Sleeps are jittered (uniform in [base/2, base]): when a node stalls,
-    hundreds of executor-side readers/writers see the failure at the same
-    instant, and un-jittered exponential backoff re-synchronizes them into
-    repeating retry storms against the recovering node. A numeric
-    ``Retry-After`` header on a retryable response overrides the computed
-    backoff (capped at ``RETRY_AFTER_CAP_S`` so a misconfigured server
-    can't park an executor for an hour) — the server knows its own
-    recovery horizon better than our schedule does."""
+    Jittered exponential (uniform in [base/2, base] with base doubling per
+    attempt): when a node stalls, hundreds of executor-side readers/writers
+    see the failure at the same instant, and un-jittered exponential
+    backoff re-synchronizes them into repeating retry waves against the
+    recovering node. A numeric ``retry_after`` (the server's own
+    Retry-After) overrides the computed backoff, capped at
+    ``RETRY_AFTER_CAP_S`` so a misconfigured server can't park an executor
+    for an hour — the server knows its recovery horizon better than our
+    schedule does."""
     import random as _random
     import time as _time
+
+    if retry_after is not None:
+        _time.sleep(min(max(retry_after, 0.0), RETRY_AFTER_CAP_S))
+    else:
+        base = backoff * (2 ** attempt)
+        _time.sleep(base * (0.5 + 0.5 * _random.random()))
+
+
+def _with_retries(send, retries: int = DEFAULT_RETRIES,
+                  backoff: float = DEFAULT_BACKOFF_S,
+                  retry_statuses: frozenset = RETRYABLE_STATUSES,
+                  retry_connection_errors: bool = True):
+    """Run ``send()`` retrying transient failures with jittered exponential
+    backoff (:func:`_backoff_sleep`, honoring a numeric ``Retry-After``).
+
+    By default retries HTTP {429, 502, 503, 504} and connection-level
+    errors (refused/reset/timeout); re-raises everything else — and the
+    last transient error once ``retries`` attempts are spent. That default
+    is only safe for IDEMPOTENT requests: counts/aggs, PIT pages (keyed by
+    ``search_after``, which advances only after a page is received), the
+    initial ``_search?scroll`` open (a retry opens a fresh context; the
+    orphan expires with its TTL), and ``_bulk`` re-sends under ``_id``
+    routing (at-least-once without it — the official bulk helpers'
+    contract).
+
+    A scroll CONTINUATION is not idempotent: the server advances the
+    cursor when IT processes the request, so a request that succeeded
+    server-side but whose response was lost (connection reset, gateway
+    502/504 after proxying) must NOT be retried — the retry would return
+    the NEXT page and silently skip one page of documents. For that call,
+    pass ``retry_statuses=frozenset({429})`` (a 429 is rejected before
+    processing, so the cursor provably did not move) and
+    ``retry_connection_errors=False`` — the same reason the official ES
+    clients never retry scroll continuations."""
     import urllib.error
 
     attempt = 0
@@ -332,20 +358,16 @@ def _with_retries(send, retries: int = DEFAULT_RETRIES,
         try:
             return send()
         except urllib.error.HTTPError as exc:  # subclasses URLError: first
-            if exc.code not in RETRYABLE_STATUSES or attempt >= retries:
+            if exc.code not in retry_statuses or attempt >= retries:
                 raise
             try:
                 retry_after = float((exc.headers or {}).get("Retry-After"))
             except (TypeError, ValueError):  # absent or HTTP-date form
                 retry_after = None
         except (urllib.error.URLError, ConnectionError, TimeoutError, OSError):
-            if attempt >= retries:
+            if not retry_connection_errors or attempt >= retries:
                 raise
-        if retry_after is not None:
-            _time.sleep(min(max(retry_after, 0.0), RETRY_AFTER_CAP_S))
-        else:
-            base = backoff * (2 ** attempt)
-            _time.sleep(base * (0.5 + 0.5 * _random.random()))
+        _backoff_sleep(attempt, backoff, retry_after)
         attempt += 1
 
 
@@ -356,13 +378,16 @@ def _es_request(
     timeout: float = 30.0,
     retries: int = DEFAULT_RETRIES,
     backoff: float = DEFAULT_BACKOFF_S,
+    retry_statuses: frozenset = RETRYABLE_STATUSES,
+    retry_connection_errors: bool = True,
 ) -> dict:
     """One JSON request to an ES REST endpoint via stdlib urllib — the
     whole transport layer (no client library, no connector jar). Used
     driver-side for counts/aggregations (one request per composite page)
     and executor-side for the sliced-scroll/PIT scan (one request per
     ``page_size`` documents, never per row). Transient failures retry
-    with exponential backoff (see :func:`_with_retries`); pass
+    with exponential backoff (see :func:`_with_retries` — including when
+    the default retry set is unsafe for a non-idempotent request); pass
     ``retries=0`` for best-effort calls like scroll-context cleanup."""
     import urllib.request
 
@@ -376,7 +401,8 @@ def _es_request(
         with urllib.request.urlopen(req, timeout=timeout) as r:  # noqa: S310
             return json.loads(r.read().decode())
 
-    return _with_retries(_send, retries, backoff)
+    return _with_retries(_send, retries, backoff,
+                         retry_statuses, retry_connection_errors)
 
 
 def _es_post(url: str, body: dict, timeout: float = 30.0) -> dict:
@@ -502,10 +528,24 @@ def fetch_index_schema(base_url: str, index: str):
     ``SurvFrame.from_es`` type themselves from the index the way eland
     does, instead of requiring a hand-written schema."""
     resp = _es_request(f"{base_url}/{index}/_mapping", {}, method="GET")
-    # response is keyed by the CONCRETE index name (aliases/patterns
-    # resolve), so take the single entry's mappings
-    (entry,) = resp.values() if len(resp) == 1 else (resp.get(index, {}),)
-    return mapping_to_schema(entry.get("mappings", {}).get("properties", {}))
+    # response is keyed by CONCRETE index name(s): an alias or wildcard
+    # resolves to every backing index, and there is no sound way to merge
+    # divergent mappings into one scan schema — refuse rather than return
+    # an empty/arbitrary StructType that would silently scan zero columns
+    if len(resp) != 1:
+        raise ValueError(
+            f"_mapping for {index!r} resolved to {sorted(resp)[:5]} "
+            f"({len(resp)} indices); pass a concrete index name or an "
+            "explicit schema"
+        )
+    (entry,) = resp.values()
+    props = entry.get("mappings", {}).get("properties", {})
+    if not props:
+        raise ValueError(
+            f"index {index!r} has no mapped properties; pass an explicit "
+            "schema (a scan typed from this mapping would have no columns)"
+        )
+    return mapping_to_schema(props)
 
 
 def schema_to_mapping(schema) -> dict:
@@ -640,11 +680,20 @@ def scan_slice_pages(
     server-side so the N readers see disjoint, exhaustive document sets),
     sorts by ``_doc`` (the no-scoring fast path), and pages until the
     server returns an empty hit list. Memory is bounded by ``page_size``
-    regardless of slice size. Transient request failures (429/5xx,
-    connection resets) retry with backoff — safe because the scroll cursor
-    only advances on a successful response. The scroll context is
-    best-effort deleted on exit so server state doesn't linger for the
-    full TTL."""
+    regardless of slice size.
+
+    Retry semantics differ by request: the initial ``_search?scroll``
+    open retries the full transient set (idempotent — a retry opens a
+    fresh context, the orphan expires with its TTL), but the CONTINUATION
+    retries ONLY HTTP 429 (rejected before processing, cursor provably
+    unmoved). A continuation the server processed but whose response was
+    lost has already advanced the server-side cursor — retrying it would
+    return the NEXT page and silently skip documents, so connection/
+    timeout/5xx failures there are fatal for the slice (restart the slice
+    scan, or use ``mode='pit'`` where ``search_after`` pages are genuinely
+    idempotent — the same reason the official ES clients never retry
+    scroll continuations). The scroll context is best-effort deleted on
+    exit so server state doesn't linger for the full TTL."""
     body: dict = {"size": page_size, "sort": ["_doc"]}
     if max_slices > 1:  # ES rejects slice.max == 1; a 1-slice scan is plain
         body["slice"] = {"id": slice_id, "max": max_slices}
@@ -671,6 +720,9 @@ def scan_slice_pages(
                 f"{base_url}/_search/scroll",
                 {"scroll": scroll, "scroll_id": scroll_id},
                 timeout=timeout,
+                # non-idempotent: only a 429 leaves the cursor unmoved
+                retry_statuses=frozenset({429}),
+                retry_connection_errors=False,
             )
             scroll_id = resp.get("_scroll_id", scroll_id)
     finally:
@@ -884,9 +936,14 @@ def bulk_write_es(
 
         Safe under ``_id`` routing (a re-sent accepted document upserts,
         no duplicates) and at-least-once without it — the same contract
-        the official elasticsearch-py bulk helpers document."""
-        import time as _time
-
+        the official elasticsearch-py bulk helpers document. The re-send
+        sleep is the SAME jittered backoff as :func:`_with_retries`
+        (:func:`_backoff_sleep`): per-item 429s are exactly the
+        back-pressure signal every concurrent writer sees at once, and an
+        un-jittered schedule would re-synchronize N bulk streams into
+        repeating retry waves against the recovering node. A per-item
+        ``retry_after`` (seconds), where the server supplies one, wins
+        over the computed backoff."""
         if not lines:
             return acked
         pending = lines
@@ -903,12 +960,19 @@ def bulk_write_es(
                 )
             retry_lines: list[str] = []
             fatal: list[dict] = []
+            retry_after: float | None = None
             for i, item in enumerate(items):
-                status = next(iter(item.values())).get("status", 200)
+                result = next(iter(item.values()))
+                status = result.get("status", 200)
                 if status < 300:
                     acked += 1
                 elif status in RETRYABLE_STATUSES:
                     retry_lines.extend(pending[2 * i : 2 * i + 2])
+                    try:  # honor the largest server-stated recovery horizon
+                        ra = float(result["retry_after"])
+                        retry_after = max(retry_after or 0.0, ra)
+                    except (KeyError, TypeError, ValueError):
+                        pass
                 else:
                     fatal.append(item)
             if fatal:
@@ -920,7 +984,7 @@ def bulk_write_es(
                 return acked
             pending = retry_lines
             if attempt < DEFAULT_RETRIES:
-                _time.sleep(DEFAULT_BACKOFF_S * (2 ** attempt))
+                _backoff_sleep(attempt, retry_after=retry_after)
         raise RuntimeError(
             f"ES bulk indexing reported errors after {DEFAULT_RETRIES} "
             f"retries: {len(pending) // 2} documents still rejected"
@@ -965,16 +1029,18 @@ def upload_frame(
     df: DataFrame,
     base_url: str,
     index: str,
-    if_exists: str = "replace",
+    if_exists: str = "fail",
     id_col: str | None = None,
     batch_docs: int = 500,
 ) -> int:
     """One-call ``ed.pandas_to_eland`` twin (reference README.md:65-78):
-    create/replace the index with mappings inferred from the frame's
-    schema (:func:`ensure_index`, ``if_exists`` ≡ ``es_if_exists``), then
-    stream the rows in via the distributed ``_bulk`` writer
-    (:func:`bulk_write_es` — per-partition NDJSON streams, per-item 429
-    retries). Returns the indexed-document count."""
+    create the index with mappings inferred from the frame's schema
+    (:func:`ensure_index`, ``if_exists`` ≡ ``es_if_exists`` — default
+    ``"fail"``, matching ``pandas_to_eland``: destroying an existing index
+    is an explicit ``"replace"`` opt-in, never a default), then stream the
+    rows in via the distributed ``_bulk`` writer (:func:`bulk_write_es` —
+    per-partition NDJSON streams, per-item 429 retries). Returns the
+    indexed-document count."""
     ensure_index(base_url, index, df.schema, if_exists=if_exists)
     return bulk_write_es(df, base_url, index, id_col=id_col, batch_docs=batch_docs)
 

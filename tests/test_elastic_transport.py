@@ -95,12 +95,16 @@ def _surv_docs() -> list[dict]:
 
 
 # corpus key → (index name, documents, scroll page size). "f" is the
-# flaky twin of "docs": same corpus, but every scroll open/continuation
-# serves one transient 503 before succeeding (retry-path coverage).
+# flaky twin of "docs": same corpus, but every scroll OPEN serves one
+# transient 503 and every CONTINUATION one 429 before succeeding — the
+# exact retryable set for each request kind (a continuation 5xx may have
+# advanced the server-side cursor, so only a 429 is safe to retry there).
+# "g" is the poisoned twin: its continuation 503s, which must be FATAL.
 _CORPORA = {
     "s": ("docs", SCROLL_DOCS, _SCROLL_PAGE),
     "t": ("surv", _surv_docs(), 50),
     "f": ("flaky", SCROLL_DOCS, _SCROLL_PAGE),
+    "g": ("flaky5xx", SCROLL_DOCS, _SCROLL_PAGE),
 }
 
 
@@ -146,7 +150,14 @@ class _Stub(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 — mapping fetch + index-exists probe
         if self.path.endswith("/_mapping"):
             index = self.path.split("/")[1]
-            if index in _Stub.created:
+            if index == "both":  # an alias resolving to two backing indices
+                self._reply({
+                    "docs-1": {"mappings": _Stub.DOCS_MAPPING},
+                    "docs-2": {"mappings": _Stub.DOCS_MAPPING},
+                })
+            elif index == "bare":  # exists, but nothing mapped yet
+                self._reply({index: {"mappings": {}}})
+            elif index in _Stub.created:
                 self._reply({index: {"mappings": _Stub.created[index]}})
             elif index == "docs":
                 self._reply({index: {"mappings": _Stub.DOCS_MAPPING}})
@@ -173,7 +184,7 @@ class _Stub(BaseHTTPRequestHandler):
         """(scroll-id prefix, docs, page size) for an index name."""
         if index in _Stub.indexed:  # a bulk-written index, scanned back
             return f"w:{index}:", self._stored(index), _SCROLL_PAGE
-        key = {"surv": "t", "flaky": "f"}.get(index, "s")
+        key = {"surv": "t", "flaky": "f", "flaky5xx": "g"}.get(index, "s")
         _, docs, psize = _CORPORA[key]
         return key, docs, psize
 
@@ -203,6 +214,7 @@ class _Stub(BaseHTTPRequestHandler):
                         _Stub.rejected_once.add(_id)
                         items.append({"index": {
                             "status": 429, "_id": _id,
+                            "retry_after": 0.01,  # per-item recovery hint
                             "error": {"type": "es_rejected_execution_exception"},
                         }})
                         continue
@@ -238,8 +250,12 @@ class _Stub(BaseHTTPRequestHandler):
             else:
                 prefix, rest = sid[0], sid[1:]
                 _, docs, psize = _CORPORA[prefix]
-            # "flaky" continuations each serve ONE transient 503 first
-            if prefix == "f" and self._fail_once(sid):
+            # "flaky" continuations each serve ONE 429 first (the only
+            # status a scroll continuation may retry); "flaky5xx"
+            # continuations 503 — which the client must treat as fatal
+            if prefix == "f" and self._fail_once(sid, status=429):
+                return
+            if prefix == "g" and self._fail_once(sid, status=503):
                 return
             s, mx, off = rest.split(".")
             resp = _scroll_response(prefix, docs, psize, int(s), int(mx), int(off))
@@ -252,14 +268,14 @@ class _Stub(BaseHTTPRequestHandler):
             resp = UNGROUPED
         self._reply(resp)
 
-    def _fail_once(self, key: str) -> bool:
-        """Serve one 503 for ``key``; True if this request was failed."""
+    def _fail_once(self, key: str, status: int = 503) -> bool:
+        """Serve one ``status`` for ``key``; True if this request failed."""
         with _Stub.lock:
             if key in _Stub.failed_once:
                 return False
             _Stub.failed_once.add(key)
             _Stub.transient_served += 1
-        self._reply({"error": {"type": "unavailable"}}, status=503)
+        self._reply({"error": {"type": "unavailable"}}, status=status)
         return True
 
     def _pit_page(self, body: dict) -> dict:
@@ -583,10 +599,10 @@ def test_bulk_write_retries_per_item_429(spark, es_url):
 
 
 def test_scan_retries_transient_scroll_failures(spark, es_url):
-    """The "flaky" index 503s each scroll open/continuation once; the
-    transport's backoff must absorb every failure and still yield the
-    complete corpus exactly once (the scroll cursor only advances on a
-    successful response, so a retried request cannot skip documents)."""
+    """The "flaky" index 503s each scroll OPEN once (idempotent — a retry
+    opens a fresh context) and 429s each CONTINUATION once (rejected
+    before processing, cursor provably unmoved); the transport's backoff
+    must absorb both and still yield the complete corpus exactly once."""
     df = scan_es(
         spark, es_url, "flaky",
         schema="doc_id long, lang string, n_chars long",
@@ -594,6 +610,23 @@ def test_scan_retries_transient_scroll_failures(spark, es_url):
     )
     assert sorted(r["doc_id"] for r in df.collect()) == [0, 1, 2, 3, 4, 5]
     assert _Stub.transient_served >= 2  # retries actually exercised
+
+
+def test_scroll_continuation_5xx_is_fatal(es_url):
+    """A 5xx on a scroll CONTINUATION must raise, not retry: the server
+    may have processed the request and advanced the cursor before the
+    response was lost, so a retry would return the NEXT page and silently
+    skip one page of documents (the reason official ES clients never
+    retry scroll continuations). The "flaky5xx" stub 503s the first
+    continuation — the first page must arrive, then the slice must die."""
+    import urllib.error
+
+    pages = scan_slice_pages(es_url, "flaky5xx", 0, 1, page_size=2)
+    assert [d["doc_id"] for d in next(pages)] == [0, 1]  # open + page 1 fine
+    with pytest.raises(urllib.error.HTTPError):
+        next(pages)
+    # exactly one 503 served and zero continuation retries burned on it
+    assert _Stub.transient_served == 1
 
 
 def test_scroll_response_without_cursor_raises(es_url):
@@ -941,10 +974,42 @@ def test_from_es_self_types_from_mapping(spark, es_url):
         SurvFrame.from_es(spark, es_url, "docs")
 
 
+def test_fetch_index_schema_refuses_ambiguous_or_empty(es_url):
+    """An alias/wildcard `_mapping` response (several backing indices) or a
+    mapping with zero properties must raise — not silently yield an empty
+    StructType whose scan reads zero columns."""
+    from elastic_surv_spark.sources.elastic import fetch_index_schema
+
+    with pytest.raises(ValueError, match="resolved to"):
+        fetch_index_schema(es_url, "both")
+    with pytest.raises(ValueError, match="no mapped properties"):
+        fetch_index_schema(es_url, "bare")
+
+
+def test_backoff_sleep_jitter_and_retry_after(monkeypatch):
+    """THE shared retry sleep: jittered within [base/2, base] (so N
+    executors that saw the same failure instant de-synchronize instead of
+    retry-storming in lockstep), with a server Retry-After overriding the
+    schedule, capped at RETRY_AFTER_CAP_S."""
+    from elastic_surv_spark.sources import elastic as es
+
+    slept: list[float] = []
+    monkeypatch.setattr("time.sleep", lambda s: slept.append(s))
+    for _ in range(25):
+        es._backoff_sleep(2, backoff=0.5)
+    base = 0.5 * 2 ** 2
+    assert all(base / 2 <= s <= base for s in slept)
+    assert len(set(slept)) > 1  # actually jittered, not a constant
+    slept.clear()
+    es._backoff_sleep(0, retry_after=4.0)
+    es._backoff_sleep(0, retry_after=1e9)  # misconfigured server: capped
+    assert slept == [4.0, es.RETRY_AFTER_CAP_S]
+
+
 def test_upload_frame_one_call_parity(spark, es_url):
     """upload_frame ≡ pandas_to_eland: mappings created from the frame,
-    rows landed, replace semantics on re-upload (fresh mapping, upserted
-    docs, exact ack)."""
+    rows landed, and es_if_exists parity — the DEFAULT refuses to touch an
+    existing index (destroying one is an explicit "replace" opt-in)."""
     from elastic_surv_spark.sources.elastic import upload_frame
 
     src = spark.createDataFrame(
@@ -953,8 +1018,15 @@ def test_upload_frame_one_call_parity(spark, es_url):
     assert upload_frame(src, es_url, "up_idx", id_col="doc_id") == 2
     assert _Stub.created["up_idx"]["properties"]["score"] == {"type": "double"}
     assert sorted(_Stub.indexed["up_idx"]) == ["1", "2"]
-    # replace: re-upload of a narrower frame recreates the mapping
-    assert upload_frame(src.drop("score"), es_url, "up_idx", id_col="doc_id") == 2
+    # default = "fail" (pandas_to_eland's es_if_exists contract): a caller
+    # who omits the argument can never destroy an existing index
+    with pytest.raises(RuntimeError, match="already exists"):
+        upload_frame(src, es_url, "up_idx", id_col="doc_id")
+    assert "score" in _Stub.created["up_idx"]["properties"]  # untouched
+    # replace is the explicit opt-in: narrower frame recreates the mapping
+    assert upload_frame(
+        src.drop("score"), es_url, "up_idx", if_exists="replace", id_col="doc_id"
+    ) == 2
     assert "score" not in _Stub.created["up_idx"]["properties"]
     assert sorted(_Stub.indexed["up_idx"]) == ["1", "2"]  # exactly once
 
