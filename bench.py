@@ -100,8 +100,17 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
     would — without this, the first dedup-family member builds the shared
     shingle frame and later members read a cache hit masquerading as a
     cold measurement (the r7 `ngram_jaccard_dupes solo_cold 0.052 s`
-    artifact)."""
-    from elastic_surv_spark.plans.queries import release_shared_caches
+    artifact). For shared-subplan family members the payload additionally
+    carries the DECOMPOSITION: `family_stages` (per-stage wall seconds —
+    e.g. tokenize / exact_pairs / signatures — re-measured from a second
+    released-cache state after the timed runs) and their sum
+    `family_build_s`, so a reader can split `solo_cold` into
+    family-build cost vs the row's own plan (the r8 driver-box 38.8 s
+    simhash cold was ~36 s of family build shared with 3 other rows)."""
+    from elastic_surv_spark.plans.queries import (
+        family_stages,
+        release_shared_caches,
+    )
     from elastic_surv_spark.sources.parquet import TABLES, load_table
 
     spark = get_spark("elastic-surv-spark-solo")
@@ -110,7 +119,7 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:
             pass
-    res: dict[str, dict[str, float]] = {}
+    res: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY.get(name)
         if spec is None:
@@ -139,6 +148,19 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
         }
         if len(runs) > 1:
             res[name]["solo_warm"] = round(min(runs[1:]), 3)
+        stages = family_stages(name)
+        if stages:
+            release_shared_caches()  # re-measure the build from cold
+            decomp: dict[str, float] = {}
+            try:
+                for label, build in stages:
+                    s0 = time.perf_counter()
+                    build(spark, sf_dir)
+                    decomp[label] = round(time.perf_counter() - s0, 3)
+                res[name]["family_stages"] = decomp
+                res[name]["family_build_s"] = round(sum(decomp.values()), 3)
+            except Exception as exc:  # pragma: no cover - defensive
+                print(f"SOLO FAMILY ERROR {name}: {exc}", file=sys.stderr)
     print(json.dumps(res, separators=(",", ":")))
     sys.stdout.flush()
     spark.stop()
@@ -267,9 +289,15 @@ def main() -> None:
     # runs so each run pays the family build cost a fresh board would; the
     # JVM itself stays warm (that bias is shared by all repeats and is the
     # price of not paying 3× startup). A wall-clock budget
-    # (SPARK_GRAFT_BOARD_BUDGET_S, default 600) skips remaining repeats
-    # when a run is slow enough that N repeats risk the driver's patience —
-    # the payload's `runs` length records what actually happened.
+    # (SPARK_GRAFT_BOARD_BUDGET_S, default 900 — board repeats ONLY, solo
+    # attribution has its own SPARK_GRAFT_SOLO_BUDGET_S) skips remaining
+    # repeats when a run is slow enough that N repeats risk the driver's
+    # patience. Budget prediction uses each run's measured WALL time (plan
+    # construction + inter-query GC included), not the sum of per-query
+    # timings — r8's sum-based estimate under-read run cost by ~50% and a
+    # 600 s budget truncated a "median of 3" to 2 samples without saying
+    # so; the payload now carries runs_planned/budget_exhausted so a
+    # truncated median is visible from the JSON alone.
     from statistics import median
 
     from elastic_surv_spark.plans.queries import release_shared_caches
@@ -279,23 +307,28 @@ def main() -> None:
     except ValueError:
         board_runs = 1
     try:
-        board_budget = float(os.environ.get("SPARK_GRAFT_BOARD_BUDGET_S", "600"))
+        board_budget = float(os.environ.get("SPARK_GRAFT_BOARD_BUDGET_S", "900"))
     except ValueError:
-        board_budget = 600.0
+        board_budget = 900.0
     bench_start = time.perf_counter()
     runs: list[dict[str, float]] = []
+    budget_exhausted = False
+    last_wall = 0.0
     for i in range(board_runs):
         if i > 0:
             elapsed = time.perf_counter() - bench_start
-            last_total = sum(runs[-1].values())
-            if elapsed + 1.2 * last_total > board_budget:
+            if elapsed + 1.1 * last_wall > board_budget:
+                budget_exhausted = True
                 print(
                     f"BOARD BUDGET: stopping after {i} run(s) "
-                    f"({elapsed:.0f}s elapsed)", file=sys.stderr,
+                    f"({elapsed:.0f}s elapsed, last run {last_wall:.0f}s wall)",
+                    file=sys.stderr,
                 )
                 break
             release_shared_caches()  # each repeat pays the family builds
+        wall0 = time.perf_counter()
         runs.append(run_board())
+        last_wall = time.perf_counter() - wall0
 
     run_totals = [round(sum(t.values()), 3) for t in runs]
     total = round(median(run_totals), 3) if run_totals else 0.0
@@ -339,8 +372,12 @@ def main() -> None:
         "unit": "sec",
         # value = MEDIAN of these back-to-back board totals (shared-cache
         # releases between runs; warm JVM). queries = per-query medians, so
-        # sum(queries) can differ slightly from value.
+        # sum(queries) can differ slightly from value. runs_planned vs
+        # len(runs) + budget_exhausted make a budget-truncated median
+        # visible from the payload alone (the r8 "median of 2" ambiguity).
         "runs": run_totals,
+        "runs_planned": board_runs,
+        "budget_exhausted": budget_exhausted,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # effective measurement order (ADVICE r6 #4): per-query numbers are

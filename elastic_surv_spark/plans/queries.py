@@ -1390,6 +1390,36 @@ def release_shared_caches() -> None:
         cache.clear()
 
 
+def family_stages(name: str) -> list:
+    """Ordered (label, build(spark, sf_dir)) stages for registry rows that
+    read session-shared subplans — the solo harness's family-cold
+    decomposition (bench.py). Each build MATERIALIZES one shared subplan;
+    run in order from a released-cache state, the per-stage wall times are
+    clean deltas (later builders find earlier stages already cached), and
+    their sum is the family build cost a fresh session pays before the
+    row's own plan runs. Returns [] for rows with no shared subplans.
+
+    Exists because a family member's ``solo_cold`` in a fresh process
+    absorbs the WHOLE family build (one r8 driver-box simhash cold read
+    38.8 s of which ~36 s was tokenize+postings shared with three other
+    rows) — without the decomposition a reader can't split family-build
+    cost from plan cost."""
+    tokenize = ("tokenize", lambda spark, sf_dir: _doc_shingles(spark, sf_dir).count())
+    exact = ("exact_pairs", lambda spark, sf_dir: _exact_dup_pairs(spark, sf_dir).count())
+    sigs = ("signatures", lambda spark, sf_dir: _simhash_shared(spark, sf_dir)[0].count())
+    bpe = ("bpe_train", lambda spark, sf_dir: _bpe_merges_shared(spark, sf_dir))
+    vocab = ("vocab_counts", lambda spark, sf_dir: _vocab_counts(spark, sf_dir).count())
+    return {
+        "ngram_jaccard_dupes": [tokenize, exact],
+        "minhash_lsh_dupes": [tokenize],
+        "simhash_near_dupes": [tokenize, exact, sigs],
+        "simhash_near_dupes_wide": [tokenize, exact, sigs],
+        "doc_bpe_learned_merges": [bpe],
+        "doc_bpe_tokenize_stats": [bpe],
+        "doc_vocab_coverage": [vocab],
+    }.get(name, [])
+
+
 #: sf_dir -> (spark, toks): the persisted (doc_id, _sh) 3-gram shingle
 #: frame over documents — the dedup family's common first pass. Shared by
 #: ngram_jaccard_dupes, minhash_lsh_dupes, and the SimHash verification
