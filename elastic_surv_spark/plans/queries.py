@@ -1380,6 +1380,16 @@ def release_shared_caches() -> None:
         _DOC_SHINGLES, _EXACT_PAIRS, _SIMHASH_SHARED, _VOCAB_COUNTS, _BPE_MERGES,
     ):
         for entry in cache.values():
+            # the release walk assumes every cache entry is the tuple
+            # (owning_session, *unpersistables); a cache with a different
+            # layout must fail HERE (the lifecycle test runs this), not
+            # silently skip its unpersists in a measurement loop
+            if not (isinstance(entry, tuple) and len(entry) >= 2):
+                raise TypeError(
+                    "shared-cache entry must be (session, *unpersistables), "
+                    f"got {type(entry).__name__} of len "
+                    f"{len(entry) if isinstance(entry, tuple) else 'n/a'}"
+                )
             for obj in entry[1:]:  # entry[0] is the owning SparkSession
                 unpersist = getattr(obj, "unpersist", None)
                 if callable(unpersist):

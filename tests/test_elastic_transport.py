@@ -525,6 +525,96 @@ def test_cox_trains_on_es_index(spark, es_url):
     assert 0.0 <= scores["c_index"] <= 1.0
 
 
+@pytest.mark.parametrize("family", ["deephit", "logistic_hazard"])
+def test_discrete_time_models_train_on_es_index(spark, es_url, family):
+    """The discrete-time families close the last reference-flow × ES-source
+    combination: a GBSG2-shaped index → sliced-scroll SurvFrame →
+    order-free hash_split (the 100 TB split path; the label transform's
+    duration grid is fit on the train side inside train()) → DeepHit /
+    LogisticHazard train + score — ≡ reference README.md:65-96 with the
+    non-Cox model families."""
+    import numpy as np
+
+    from elastic_surv_spark.frame import SurvFrame
+    from elastic_surv_spark.models import DeepHitModel, LogisticHazardModel
+    from elastic_surv_spark.models.data import SurvDataset
+
+    frame = SurvFrame.from_es(
+        spark,
+        es_url,
+        "surv",
+        schema=(
+            "doc_id long, time long, cens long, age long, estrec long, "
+            "horTh string, menostat string, pnodes long, progrec long, "
+            "tgrade string, tsize long"
+        ),
+        time_column="time",
+        event_column="cens",
+        slices=2,
+        page_size=50,
+    )
+    ds = SurvDataset(frame, use_hash_split=True)
+    cls = DeepHitModel if family == "deephit" else LogisticHazardModel
+    model = cls(in_features=ds.in_features, epochs=5, patience=5, seed=42)
+    model.train(ds)
+    assert model.cuts is not None and len(model.cuts) > 1  # labtrans fitted
+    scores = model.score(ds)
+    assert set(scores) == {"c_index", "brier_score"}
+    assert np.isfinite(scores["c_index"]) and np.isfinite(scores["brier_score"])
+    assert 0.0 <= scores["c_index"] <= 1.0
+
+
+def test_model_serde_round_trips_through_es(spark, es_url):
+    """Train once, serve from anywhere — demonstrated end to end: a trained
+    model's JSON doc lands in the stub index via upload_frame, a fresh
+    model object is rebuilt from the scanned-back document, and its
+    predictions are BIT-identical to the in-memory model's (the serde.py
+    docstring's claim, now exercised through the ES hop)."""
+    import numpy as np
+
+    from elastic_surv_spark.frame import SurvFrame
+    from elastic_surv_spark.models import (
+        CoxPHModel,
+        model_from_json,
+        model_to_json,
+    )
+    from elastic_surv_spark.models.data import SurvDataset
+    from elastic_surv_spark.sources.elastic import upload_frame
+    from tests.fixtures import gbsg2_like
+
+    frame = SurvFrame.from_pandas(spark, gbsg2_like(120, seed=3), "time", "cens")
+    ds = SurvDataset(frame)
+    model = CoxPHModel(
+        in_features=ds.in_features, epochs=3, patience=3, seed=7
+    ).train(ds)
+    payload = model_to_json(model)
+
+    # the doc keys on doc_id so the stub's slice partitioning can serve it
+    doc = spark.createDataFrame([(0, payload)], "doc_id long, payload string")
+    assert upload_frame(doc, es_url, "models", id_col="doc_id") == 1
+
+    back = scan_es(
+        spark, es_url, "models",
+        schema="doc_id long, payload string", slices=1,
+    ).collect()
+    loaded = model_from_json(back[0]["payload"])
+    assert np.array_equal(loaded.net.get_state(), model.net.get_state())
+    assert np.array_equal(loaded.baseline_cumhaz, model.baseline_cumhaz)
+
+    pdf = ds.test_df.toPandas().reset_index(drop=True)
+    pdf["rid"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf)
+
+    def surv(m):
+        rows = (
+            m.predict(sdf, id_cols=["rid"], features=ds.features)
+            .orderBy("rid").collect()
+        )
+        return np.array([r["surv"] for r in rows], dtype=float)
+
+    assert np.array_equal(surv(model), surv(loaded))
+
+
 def test_bulk_write_es_round_trip(spark, es_url):
     """Write twin of the scan: per-partition NDJSON bulk streams, id
     routing, NULL-field dropping, batch bounding, and an exact ack total."""

@@ -144,6 +144,52 @@ def test_release_shared_caches_unpersists_and_clears():
         assert cache == {}
 
 
+def test_release_shared_caches_rejects_foreign_entry_layout():
+    """A cache entry that is not (session, *unpersistables) must fail
+    LOUDLY at release time — a future cache with a different layout would
+    otherwise silently skip its unpersists inside a measurement loop,
+    resurrecting the r7 cache-hit-as-cold-number artifact."""
+    import pytest
+
+    Q._VOCAB_COUNTS["bad"] = "not-a-tuple"  # type: ignore[assignment]
+    try:
+        with pytest.raises(TypeError, match=r"\(session, \*unpersistables\)"):
+            Q.release_shared_caches()
+    finally:
+        Q._VOCAB_COUNTS.clear()
+    Q._BPE_MERGES["bad"] = (_StubSession(),)  # session alone: no payload slot
+    try:
+        with pytest.raises(TypeError):
+            Q.release_shared_caches()
+    finally:
+        Q._BPE_MERGES.clear()
+    Q.release_shared_caches()  # clean state releases fine
+
+
+def test_family_stages_decomposition_builders(spark):
+    """family_stages (the solo harness's family-cold decomposition) names
+    only registry rows, returns ordered stage builders that actually
+    populate the shared caches, and [] for cache-free rows."""
+    from elastic_surv_spark.plans.queries import REGISTRY, family_stages
+
+    assert family_stages("pricing_summary") == []
+    for name in (
+        "ngram_jaccard_dupes", "minhash_lsh_dupes", "simhash_near_dupes",
+        "simhash_near_dupes_wide", "doc_bpe_learned_merges",
+        "doc_bpe_tokenize_stats", "doc_vocab_coverage",
+    ):
+        assert name in REGISTRY and family_stages(name)
+    Q.release_shared_caches()
+    labels = []
+    for label, build in family_stages("simhash_near_dupes"):
+        build(spark, SF_SMOKE)
+        labels.append(label)
+    assert labels == ["tokenize", "exact_pairs", "signatures"]
+    # every stage landed in its cache — the decomposition measures real work
+    assert Q._DOC_SHINGLES and Q._EXACT_PAIRS and Q._SIMHASH_SHARED
+    Q.release_shared_caches()
+
+
 def test_release_shared_caches_forces_family_rebuild(spark):
     """After a release, the next family call rebuilds (no stale reuse) —
     the property that makes bench board repeats structurally cold."""
