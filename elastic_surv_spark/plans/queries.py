@@ -6469,6 +6469,87 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_semantic_dedup",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           TRUE AS soundness_ok,
+           TRUE AS independence_ok
+    FROM embeddings
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.py): k-means
+    coarse cells, greedy per-cell drop of every vector within cosine tau
+    of an already-kept one — the embedding-space companion to the lexical
+    near-dup family (Abbas et al. 2023; the reference has no embedding
+    surface, north-star per SURVEY §2.12).
+
+    Certification follows the simhash law pattern — corpus-independent
+    invariants verified exactly in-plan by an INDEPENDENT pair source
+    (blocked_cosine_pairs over the cell assignment, the same kernel the
+    lexical rows' verify stage uses), not by trusting the operator's own
+    cosine claims:
+
+    - n_vectors: every corpus row comes back exactly once (no row lost in
+      assignment or the grouped apply) — value-matched by the oracle;
+    - soundness_ok: every DROPPED vector has a KEPT vector in its cell at
+      rounded cosine ≥ tau;
+    - independence_ok: no two KEPT vectors in one cell reach tau (the kept
+      set is the greedy maximal tau-independent set).
+
+    Scale: quantizer fit is a bounded driver-side sample (≤100k rows, the
+    IVF/PQ posture); the corpus shuffles once on the cell id; the greedy
+    is one numpy kernel per cell (cells ≈ √n rows). Recall vs GLOBAL
+    tau-pairs is approximate by design (cells partition the space) —
+    planted near-identical groups co-cluster and collapse in tests.
+    """
+    from elastic_surv_spark.operators.semdedup import semantic_dedup
+    from elastic_surv_spark.operators.similarity import blocked_cosine_pairs
+
+    tau = 0.4
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # localCheckpoint: the law checks read the dedup output four times;
+    # without it each reference re-runs the quantizer + grouped apply.
+    dd = semantic_dedup(e, tau=tau).localCheckpoint()
+    kept = dd.filter(F.col("keep")).select("vec_id")
+    dropped = dd.filter(~F.col("keep")).select("vec_id")
+    # independent pair evidence: within-cell pairs at rounded cosine >= tau
+    pairs = blocked_cosine_pairs(
+        dd.select("vec_id", "cell").join(e, "vec_id"),
+        "vec_id",
+        "embedding",
+        "cell",
+        threshold=tau,
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("vec_id"), F.col("id_b").alias("partner")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("partner"))
+    )
+    kept_partner = edges.join(
+        kept.withColumnRenamed("vec_id", "partner"), "partner", "left_semi"
+    ).select("vec_id")
+    n_total = dd.agg(F.count("*").cast("long").alias("n_vectors"))
+    n_unsound = dropped.join(kept_partner, "vec_id", "left_anti").agg(
+        F.count("*").alias("_unsound")
+    )
+    n_viol = (
+        pairs.join(kept.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi")
+        .join(kept.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi")
+        .agg(F.count("*").alias("_viol"))
+    )
+    return (
+        n_total.crossJoin(n_unsound)
+        .crossJoin(n_viol)
+        .select(
+            "n_vectors",
+            (F.col("_unsound") == 0).alias("soundness_ok"),
+            (F.col("_viol") == 0).alias("independence_ok"),
+        )
+    )
+
+
 def _certification_state() -> tuple[set[str], set[str], dict[str, int]]:
     """(ever_green, latest_green, last_green_round) per query from the
     driver's past CORRECTNESS_r*.json files at the repo root.
