@@ -48,6 +48,57 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str,
+    id_col: str,
+    use_fingerprint: bool = True,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-ingested corpus.
+
+    The production shape of exact dedup: the corpus is append-only, so each
+    ingest only needs (1) within-batch collapse to a min-id representative
+    and (2) an anti-join against the history's keys — never a re-dedup of
+    the full corpus. Returns the batch's surviving representatives
+    ``(key, keep_id, n_batch_dupes)`` where key is ``fingerprint`` (8-byte
+    xxhash64 of the normalized text, the reduced-shuffle default) or the
+    normalized ``text`` itself (``use_fingerprint=False``, the
+    oracle-parity twin — same precedent as ``exact_dedup`` vs
+    ``fingerprint_dedup``).
+
+    Plan: the batch collapses FIRST (map-side-combinable groupBy on the
+    key), then the anti-join runs on the same key — Catalyst reuses the
+    group-by's hash partitioning, so the batch side exchanges once. At
+    100 TB keep the history as a fingerprint table bucketed on the key:
+    the anti-join then shuffles only the (already tiny) new batch, and the
+    history side streams bucket-local with no exchange. History keys never
+    aggregate — a distinct projection is all the join needs.
+    """
+    if use_fingerprint:
+        key_name = "fingerprint"
+
+        def key(col):
+            return F.xxhash64(normalize_text(col)).alias(key_name)
+
+    else:
+        key_name = "text"
+
+        def key(col):
+            return normalize_text(col).alias(key_name)
+
+    collapsed = (
+        batch.select(key(F.col(text_col)), F.col(id_col))
+        .groupBy(key_name)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_batch_dupes"),
+        )
+    )
+    hist_keys = history.select(key(F.col(text_col))).distinct()
+    return collapsed.join(hist_keys, key_name, "left_anti")
+
+
 def fingerprint_dedup(
     df: DataFrame,
     text_col: str,

@@ -6470,6 +6470,48 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_batch",
+    r"""
+    WITH hist AS (
+        SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text
+        FROM documents WHERE doc_id % 10 < 7
+    ), batch AS (
+        SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text, doc_id
+        FROM documents WHERE doc_id % 10 >= 7
+    )
+    SELECT b.text, min(b.doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_batch_dupes
+    FROM batch b LEFT JOIN hist h ON b.text = h.text
+    WHERE h.text IS NULL
+    GROUP BY b.text
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py:incremental_dedup): a
+    new batch (docs with doc_id % 10 >= 7, simulating today's ingest)
+    collapses within itself to min-id representatives, then anti-joins the
+    already-ingested history's normalized texts — the append-only corpus
+    shape where each ingest never re-dedups the full corpus.
+
+    This certified row uses the text-keyed twin for exact oracle parity
+    (same precedent as dedup_exact_documents); the library default shuffles
+    8-byte xxhash64 fingerprints instead, asserted equivalent in tests. At
+    100 TB the history is a bucketed fingerprint table: only the new batch
+    shuffles, the history side streams bucket-local.
+    """
+    from elastic_surv_spark.operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.filter(F.col("doc_id") % 10 >= 7),
+        d.filter(F.col("doc_id") % 10 < 7),
+        "text",
+        "doc_id",
+        use_fingerprint=False,
+    )
+
+
+@query(
     "embedding_semantic_dedup",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -501,3 +501,63 @@ def test_minhash_lsh_planted_pairs_at_threshold(spark):
     ex = {(r.id_a, r.id_b): r.jaccard for r in exact.itertuples()}
     for r in lsh.itertuples():
         assert abs(ex[(r.id_a, r.id_b)] - r.jaccard) < 1e-9
+
+
+def test_incremental_dedup_text_and_fingerprint_agree(spark):
+    from elastic_surv_spark.operators.dedup import incremental_dedup, normalize_text
+
+    history = spark.createDataFrame(
+        [(1, "The  cat sat"), (2, "old doc"), (3, "shared TEXT")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the cat SAT"),      # dup of history (normalized) -> dropped
+            (11, "brand new one"),    # survives
+            (12, "brand  NEW one"),   # within-batch dup of 11 -> collapses
+            (13, "shared text"),      # dup of history -> dropped
+            (14, "another new"),      # survives
+        ],
+        "doc_id long, text string",
+    )
+    txt = incremental_dedup(batch, history, "text", "doc_id", use_fingerprint=False)
+    got = {r.text: (r.keep_id, r.n_batch_dupes) for r in txt.collect()}
+    assert got == {"brand new one": (11, 2), "another new": (14, 1)}
+
+    # fingerprint twin: same survivors/counts, keyed by xxhash64(normalized)
+    fp = incremental_dedup(batch, history, "text", "doc_id", use_fingerprint=True)
+    key_of = {
+        r.text: r.fp
+        for r in batch.select(
+            normalize_text(F.col("text")).alias("text"),
+            F.xxhash64(normalize_text(F.col("text"))).alias("fp"),
+        ).collect()
+    }
+    got_fp = {r.fingerprint: (r.keep_id, r.n_batch_dupes) for r in fp.collect()}
+    assert got_fp == {
+        key_of["brand new one"]: (11, 2),
+        key_of["another new"]: (14, 1),
+    }
+
+
+def test_incremental_dedup_registry_row_matches_full_dedup(spark):
+    """Ingesting history then batch must equal deduping the union: the
+    incremental survivors are exactly the full-corpus representatives whose
+    min-id lives in the batch."""
+    from elastic_surv_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    d = load_table(spark, SF, "documents")
+    hist = d.filter(F.col("doc_id") % 10 < 7)
+    batch = d.filter(F.col("doc_id") % 10 >= 7)
+    inc = incremental_dedup(batch, hist, "text", "doc_id", use_fingerprint=False)
+
+    full = exact_dedup(d, ["text"], "doc_id", normalize=True)
+    hist_texts = exact_dedup(hist, ["text"], "doc_id", normalize=True).select("text")
+    expect = (
+        full.join(hist_texts, "text", "left_anti")
+        .filter(F.col("keep_id") % 10 >= 7)
+        .select("text", "keep_id")
+    )
+    got = {(r.text, r.keep_id) for r in inc.select("text", "keep_id").collect()}
+    want = {(r.text, r.keep_id) for r in expect.collect()}
+    assert got == want and len(got) > 0
