@@ -14,7 +14,10 @@ equivalents, plus the two layout decisions that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -43,6 +46,81 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table, format="parquet")
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 10, relative_error: float = 1e-4
+) -> Column:
+    """Morton (Z-order) key over ``cols``: quantile-coded then bit-interleaved.
+
+    The third 100 TB layout decision next to partitionBy/bucketBy: sorting a
+    table by ONE column gives min/max pruning on that column only; sorting
+    by the interleaved key clusters ALL the listed dimensions at once, so a
+    reader's filter on ANY of them skips most files/row-groups (Delta/
+    Iceberg ``OPTIMIZE ZORDER BY`` — this is the plain-Spark equivalent).
+
+    Each column maps to a ``bits``-bit rank code via its own quantile
+    boundaries (``approxQuantile`` — a bounded driver-side array of
+    2^bits·|cols| doubles, never corpus rows; rank coding keeps skewed
+    columns from collapsing into a few codes the way uniform min/max
+    bucketing would), then codes interleave bit-by-bit into one long.
+    NULLs code to 0 (sort first, same contract as Spark's NULLS FIRST
+    default). ``bits·|cols|`` must fit 63 bits.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(f"zorder_column: {bits} bits x {len(cols)} cols > 63")
+    n_codes = 1 << bits
+    probs = [i / n_codes for i in range(1, n_codes)]
+    bounds = {
+        c: np.asarray(
+            df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+                c, probs, relative_error
+            )
+        )
+        for c in cols
+    }
+    n_cols = len(cols)
+
+    @F.pandas_udf("long")
+    def z(*series: pd.Series) -> pd.Series:
+        codes = []
+        for c, s in zip(cols, series):
+            v = s.to_numpy(dtype=np.float64, na_value=-np.inf)
+            codes.append(np.searchsorted(bounds[c], v, side="right").astype(np.int64))
+        out = np.zeros(len(series[0]), dtype=np.int64)
+        for b in range(bits):
+            for j, code in enumerate(codes):
+                out |= ((code >> b) & 1) << (b * n_cols + j)
+        return pd.Series(out)
+
+    return z(*[F.col(c).cast("double") for c in cols])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 10,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Z-order key of ``cols``.
+
+    ``repartitionByRange`` on the key (range exchange: contiguous z-runs
+    per file, which is what makes per-file min/max stats selective on
+    every listed dimension) + a within-partition sort so row-group stats
+    inside each file are tight too. The key is dropped before the write —
+    layout, not schema.
+    """
+    n_files = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("_z", zorder_column(df, cols, bits=bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def read_csv(

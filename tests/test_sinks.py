@@ -101,3 +101,70 @@ def test_no_ntz_survives_load_table_any_table(spark):
         bad = [f.name for f in df.schema.fields if has_ntz(f.dataType)]
         assert not bad, f"{name}: TIMESTAMP_NTZ survived in {bad}"
         assert df.limit(1).count() >= 0  # the scan actually executes
+
+
+def test_zorder_layout_prunes_every_listed_dimension(spark, tmp_path):
+    """Sorting by ONE column leaves file stats useless on the other column;
+    the z-ordered layout makes min/max stats selective on BOTH — the whole
+    point of the interleaved key. Verified from the written parquet's
+    row-group statistics, i.e. exactly what a scan's filter pushdown reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from elastic_surv_spark.sources.sinks import write_zordered
+
+    n, dom = 200_000, 1 << 20
+    base = spark.range(n).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(dom)).alias("x"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(dom)).alias("y"),
+    )
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    (
+        base.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    write_zordered(base, zord, ["x", "y"], n_files=16)
+
+    def overlap_frac(path: str, col: str, hi: int) -> float:
+        """Fraction of row groups a `col <= hi` filter cannot skip."""
+        groups = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx[col]).statistics
+                total += 1
+                if st is None or st.min is None or st.min <= hi:
+                    groups += 1
+        assert total >= 8, total
+        return groups / total
+
+    y0 = dom // 8
+    # linear-by-x layout: every file spans the full y range -> no pruning
+    assert overlap_frac(linear, "y", y0) == 1.0
+    # z-order: the same y filter skips most of the files
+    assert overlap_frac(zord, "y", y0) <= 0.5
+    # and x filters STILL prune on the z layout (both dimensions cluster)
+    assert overlap_frac(zord, "x", y0) <= 0.5
+    # sanity: the single-column sort prunes its own column best
+    assert overlap_frac(linear, "x", y0) <= 0.3
+
+    # layout only — the data itself round-trips unchanged
+    assert spark.read.parquet(zord).count() == n
+    got = spark.read.parquet(zord).agg(F.sum("x"), F.sum("y")).collect()[0]
+    want = base.agg(F.sum("x"), F.sum("y")).collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_zorder_column_rejects_overflow(spark):
+    import pytest
+
+    from elastic_surv_spark.sources.sinks import zorder_column
+
+    df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    with pytest.raises(ValueError):
+        zorder_column(df, ["a", "b"], bits=32)
