@@ -122,6 +122,63 @@ def km_curve(
     return curve.select("t", "n_risk", "n_event", "n_censored", "survival")
 
 
+def km_curve_by(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    round_to: int | None = 6,
+    max_curve_points: int | None = None,
+) -> DataFrame:
+    """Per-group product-limit curves in ONE pass: ``km_curve`` with every
+    window partitioned by the real cohort key instead of the bounded-curve
+    constant — (group, t, n_risk, n_event, n_censored, survival).
+
+    The "many survival models" shape (one KM per segment/cohort/stratum):
+    a single (group, t) hash-aggregate then group-partitioned cumulative
+    windows — no per-group job scheduling, cohort cardinality is free.
+    ``max_curve_points`` quantizes the shared time domain first (same
+    boundedness contract as ``km_curve``) so each group's curve is capped
+    for continuous times.
+    """
+    if max_curve_points is not None:
+        df = quantize_times(df, time_col, max_curve_points)
+    grouped = df.groupBy(F.col(group_col), F.col(time_col).alias("t")).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_event"),
+    )
+    w_rev = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        grouped.withColumn("n_risk", F.sum("n_total").over(w_rev).cast("long"))
+        .withColumn(
+            "survival",
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1e-300),
+                            F.lit(1.0) - F.col("n_event") / F.col("n_risk"),
+                        )
+                    )
+                ).over(w_fwd)
+            ),
+        )
+        .withColumn("n_censored", (F.col("n_total") - F.col("n_event")).cast("long"))
+    )
+    if round_to is not None:
+        curve = curve.withColumn("survival", F.round(F.col("survival"), round_to))
+    return curve.select(group_col, "t", "n_risk", "n_event", "n_censored", "survival")
+
+
 def km_survival_at(df: DataFrame, time_col: str, event_col: str, t) -> float:
     """S(t) lookup — the last curve point at or before t."""
     curve = km_curve(df, time_col, event_col, round_to=None)

@@ -6470,6 +6470,50 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "km_cohort_curves",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               CAST(user_id % 2 AS INT) AS cohort
+        FROM events GROUP BY user_id
+    ), grouped AS (
+        SELECT cohort, t, count(*) AS n_total, sum(e) AS n_event
+        FROM surv GROUP BY cohort, t
+    ), curve AS (
+        SELECT cohort, t,
+               CAST(sum(n_total) OVER (PARTITION BY cohort ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+               CAST(n_event AS BIGINT) AS n_event,
+               CAST(n_total - n_event AS BIGINT) AS n_censored
+        FROM grouped
+    )
+    SELECT cohort, t, n_risk, n_event, n_censored,
+           round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(n_event AS DOUBLE) / n_risk)))
+                 OVER (PARTITION BY cohort ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+    FROM curve
+    """,
+)
+def km_cohort_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort Kaplan-Meier curves in one pass (metrics/km.py:km_curve_by)
+    — the "many survival models" shape: km_user_lifetimes' framing split
+    into two user cohorts, every window partitioned by the REAL cohort key
+    (no constant-key trick needed — cohort cardinality is the parallelism).
+
+    Scale: one (cohort, t) hash-aggregate + cohort-partitioned cumulative
+    windows; adding cohorts adds partitions, not jobs.
+    """
+    from elastic_surv_spark.metrics.km import km_curve_by
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    ).withColumn("cohort", (F.col("user_id") % 2).cast("int"))
+    return km_curve_by(surv, "t", "e", "cohort")
+
+
+@query(
     "dedup_incremental_batch",
     r"""
     WITH hist AS (

@@ -468,3 +468,30 @@ def test_quantize_times_bin_index_clamped_on_fp_edge(spark):
     out = quantize_times(df, "t", mcp)
     nd = out.select(F.countDistinct("t")).first()[0]
     assert nd <= mcp + 1, nd
+
+
+def test_km_curve_by_matches_per_group_km(spark):
+    """One-pass grouped curves ≡ km_curve run separately per cohort."""
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.metrics.km import km_curve, km_curve_by
+
+    rows = []
+    rng = __import__("numpy").random.default_rng(3)
+    for i in range(300):
+        rows.append((i, float(rng.integers(1, 40)), int(rng.random() < 0.6), i % 3))
+    df = spark.createDataFrame(rows, "id long, t double, e int, cohort int")
+
+    got = km_curve_by(df, "t", "e", "cohort").toPandas()
+    for g in range(3):
+        part = (
+            got[got["cohort"] == g]
+            .drop(columns=["cohort"])
+            .sort_values("t", ignore_index=True)
+        )
+        want = (
+            km_curve(df.filter(F.col("cohort") == g), "t", "e")
+            .toPandas()
+            .sort_values("t", ignore_index=True)
+        )
+        assert part.equals(want), g
