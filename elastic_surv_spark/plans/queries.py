@@ -6470,6 +6470,75 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_auc_user_activity",
+    """
+    WITH surv AS (
+        SELECT user_id,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               CAST(count(*) AS DOUBLE) AS risk
+        FROM events GROUP BY user_id
+    ), bounds AS (
+        SELECT min(t) AS tmin, max(t) AS tmax,
+               min(risk) AS rmin, max(risk) AS rmax
+        FROM surv
+    ), grid AS (
+        SELECT tmin + CAST(floor(i * CAST(tmax - tmin AS DOUBLE) / 9.0) AS BIGINT) AS gt,
+               rmin, rmax
+        FROM bounds, (SELECT unnest(range(1, 9)) AS i)
+    ), cls AS (
+        SELECT g.gt AS t,
+               CASE WHEN g.rmax - g.rmin <= 0 THEN 0
+                    ELSE least(255, CAST(floor((s.risk - g.rmin) / (g.rmax - g.rmin) * 256) AS INT))
+               END AS bin,
+               CASE WHEN s.t <= g.gt AND s.e = 1 THEN 1 ELSE 0 END AS c_case,
+               CASE WHEN s.t > g.gt THEN 1 ELSE 0 END AS c_ctrl
+        FROM surv s, grid g
+        WHERE (s.t <= g.gt AND s.e = 1) OR s.t > g.gt
+    ), counts AS (
+        SELECT t, bin, sum(c_case) AS n_cases, sum(c_ctrl) AS n_controls
+        FROM cls GROUP BY t, bin
+    ), scored AS (
+        SELECT t, n_cases, n_controls,
+               coalesce(sum(n_controls) OVER (
+                   PARTITION BY t ORDER BY bin ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ctrl_below
+        FROM counts
+    )
+    SELECT t,
+           CAST(sum(n_cases) AS BIGINT) AS n_cases,
+           CAST(sum(n_controls) AS BIGINT) AS n_controls,
+           round(CAST(sum(2 * n_cases * ctrl_below + n_cases * n_controls) AS DOUBLE)
+                 / (2.0 * sum(n_cases) * sum(n_controls)), 6) AS auc
+    FROM scored GROUP BY t
+    HAVING sum(n_cases) > 0 AND sum(n_controls) > 0
+    """,
+)
+def td_auc_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative/dynamic time-dependent AUC (metrics/td_auc.py) of an
+    activity risk score (events per user) against user lifetimes, at 8
+    equispaced horizons — WHERE on the horizon the score discriminates,
+    the standard companion to the scalar C-index the reference reports
+    (src/elastic_surv/models/base.py:80).
+
+    Scale: no pairwise join — risk quantizes to 256 fixed-width bins (bin
+    edges from ONE broadcast 1-row min/max aggregate), each horizon
+    reduces to a (horizon, bin) count grid, and the pair count is a
+    cumulative window over ≤256 rows per horizon. Integer counts until
+    the final division (bit-portable; the oracle reproduces it exactly).
+    """
+    from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+        F.count("*").cast("double").alias("risk"),
+    )
+    return cumulative_dynamic_auc(surv, "t", "e", "risk", n_times=8, n_bins=256)
+
+
+@query(
     "km_cohort_curves",
     """
     WITH surv AS (

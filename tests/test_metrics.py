@@ -495,3 +495,71 @@ def test_km_curve_by_matches_per_group_km(spark):
             .sort_values("t", ignore_index=True)
         )
         assert part.equals(want), g
+
+
+def _np_binned_auc(T, E, R, n_times=8, n_bins=256):
+    """Independent numpy reference for cumulative/dynamic binned AUC."""
+    out = {}
+    tmin, tmax = T.min(), T.max()
+    rmin, rmax = float(R.min()), float(R.max())
+    span = rmax - rmin
+    if span <= 0:
+        bins = np.zeros(len(R), dtype=int)
+    else:
+        bins = np.minimum(n_bins - 1, np.floor((R - rmin) / span * n_bins)).astype(int)
+    for i in range(1, n_times + 1):
+        t = tmin + int(np.floor(i * float(tmax - tmin) / (n_times + 1)))
+        case = (T <= t) & (E == 1)
+        ctrl = T > t
+        if case.sum() == 0 or ctrl.sum() == 0:
+            continue
+        num = 0.0
+        for b in np.unique(bins[case]):
+            nc = int((case & (bins == b)).sum())
+            num += 2 * nc * int((ctrl & (bins < b)).sum())
+            num += nc * int((ctrl & (bins == b)).sum())
+        out[t] = (
+            int(case.sum()),
+            int(ctrl.sum()),
+            round(num / (2.0 * case.sum() * ctrl.sum()), 6),
+        )
+    return out
+
+
+def test_td_auc_matches_numpy_reference(spark):
+    from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc
+
+    rng = np.random.default_rng(9)
+    n = 400
+    T = rng.integers(1, 1000, n)
+    E = (rng.random(n) < 0.6).astype(int)
+    # risk correlated with earlier events so AUC > 0.5
+    R = (1000.0 - T) + rng.normal(0, 200, n)
+    df = spark.createDataFrame(
+        [(int(t), int(e), float(r)) for t, e, r in zip(T, E, R)],
+        "t long, e int, risk double",
+    )
+    got = {
+        r.t: (r.n_cases, r.n_controls, r.auc)
+        for r in cumulative_dynamic_auc(df, "t", "e", "risk").collect()
+    }
+    want = _np_binned_auc(T, E, R)
+    assert got == want
+    # the informative score discriminates at every horizon
+    assert all(v[2] > 0.5 for v in got.values())
+
+
+def test_td_auc_perfect_and_constant_scores(spark):
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc
+
+    rows = [(i + 1, 1, float(100 - i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "t long, e int, risk double")
+    # risk strictly decreasing in T: every case out-ranks every control
+    got = cumulative_dynamic_auc(df, "t", "e", "risk", n_bins=4096).collect()
+    assert len(got) > 0 and all(r.auc == 1.0 for r in got)
+    # constant risk: every pair is a tie -> AUC exactly 0.5
+    const = df.select("t", "e", F.lit(1.0).alias("risk"))
+    got2 = cumulative_dynamic_auc(const, "t", "e", "risk").collect()
+    assert len(got2) > 0 and all(r.auc == 0.5 for r in got2)
