@@ -1251,12 +1251,24 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    , jpost AS (SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
+    )
+    -- inverted-index form of the exact all-pairs Jaccard: |A∪B| =
+    -- |A|+|B|-|∩| on distinct shingle lists, and a zero-intersection pair
+    -- can never pass a positive threshold — identical result set; the
+    -- all-pairs list_intersect form is O(n²·|ts|) and wedged the sf0.1
+    -- sweep for hours
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM jinter
+    JOIN jsz sa ON sa.doc_id = id_a
+    JOIN jsz sb ON sb.doc_id = id_b
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     """,
 )
 def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,12 +1298,24 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    , jpost AS (SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
+    )
+    -- inverted-index form of the exact all-pairs Jaccard: |A∪B| =
+    -- |A|+|B|-|∩| on distinct shingle lists, and a zero-intersection pair
+    -- can never pass a positive threshold — identical result set; the
+    -- all-pairs list_intersect form is O(n²·|ts|) and wedged the sf0.1
+    -- sweep for hours
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM jinter
+    JOIN jsz sa ON sa.doc_id = id_a
+    JOIN jsz sb ON sb.doc_id = id_b
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     """,
 )
 def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,13 +1560,22 @@ def _simhash_shared(spark: SparkSession, sf_dir: str):
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                 / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard,
+    , jpost AS (SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
+    )
+    -- inverted-index form of the exact all-pairs Jaccard (see
+    -- ngram_jaccard_dupes) — identical result set, sf0.1-feasible
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard,
            TRUE AS band8_law_ok
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    FROM jinter
+    JOIN jsz sa ON sa.doc_id = id_a
+    JOIN jsz sb ON sb.doc_id = id_b
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     """,
 )
 def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,12 +1652,22 @@ def simhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
     )
+    , jpost AS (SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
+    )
+    -- inverted-index form of the exact all-pairs Jaccard (see
+    -- ngram_jaccard_dupes) — identical count, sf0.1-feasible
     SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
            TRUE AS wide_equals_exact_within_radius3,
            TRUE AS wide_subset_of_exact
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+    FROM jinter
+    JOIN jsz sa ON sa.doc_id = jinter.id_a
+    JOIN jsz sb ON sb.doc_id = jinter.id_b
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     """,
 )
 def simhash_near_dupes_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2261,11 +2304,22 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
+    ), jpost AS (
+        SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (
+        SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
     ), edges AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+        -- inverted-index form of the exact Jaccard pair source (identical
+        -- result set; the all-pairs list_intersect form wedged at sf0.1)
+        SELECT id_a, id_b
+        FROM jinter
+        JOIN jsz sa ON sa.doc_id = id_a
+        JOIN jsz sb ON sb.doc_id = id_b
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     ), bidir AS (
         SELECT id_a AS a, id_b AS b FROM edges
         UNION SELECT id_b, id_a FROM edges
@@ -2309,11 +2363,22 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
+    ), jpost AS (
+        SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (
+        SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
     ), edges AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+        -- inverted-index form of the exact Jaccard pair source (identical
+        -- result set; the all-pairs list_intersect form wedged at sf0.1)
+        SELECT id_a, id_b
+        FROM jinter
+        JOIN jsz sa ON sa.doc_id = id_a
+        JOIN jsz sb ON sb.doc_id = id_b
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     ), bidir AS (
         SELECT id_a AS a, id_b AS b FROM edges
         UNION SELECT id_b, id_a FROM edges
@@ -2351,11 +2416,22 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
+    ), jpost AS (
+        SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (
+        SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
     ), edges AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+        -- inverted-index form of the exact Jaccard pair source (identical
+        -- result set; the all-pairs list_intersect form wedged at sf0.1)
+        SELECT id_a, id_b
+        FROM jinter
+        JOIN jsz sa ON sa.doc_id = id_a
+        JOIN jsz sb ON sb.doc_id = id_b
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     ), bidir AS (
         SELECT id_a AS a, id_b AS b FROM edges
         UNION SELECT id_b, id_a FROM edges
@@ -3099,10 +3175,22 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       for i in range(1, len(w) - 1)]) AS ts
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM survivors0)
         WHERE len(w) >= 3
+    ), jpost AS (
+        SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (
+        SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
     ), near_drop AS (
-        SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+        -- inverted-index form of the exact Jaccard pair source (see
+        -- ngram_jaccard_dupes) — identical drop set, sf0.1-feasible
+        SELECT DISTINCT id_b AS doc_id
+        FROM jinter
+        JOIN jsz sa ON sa.doc_id = jinter.id_a
+        JOIN jsz sb ON sb.doc_id = jinter.id_b
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     ), survivors AS (
         SELECT s.doc_id, s.lang, len(string_split(trim(s.text), ' ')) AS n_tokens
         FROM survivors0 s WHERE s.doc_id NOT IN (SELECT doc_id FROM near_drop)
@@ -5102,11 +5190,22 @@ def nation_monthly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
+    ), jpost AS (
+        SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (
+        SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
     ), edges AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+        -- inverted-index form of the exact Jaccard pair source (identical
+        -- result set; the all-pairs list_intersect form wedged at sf0.1)
+        SELECT id_a, id_b
+        FROM jinter
+        JOIN jsz sa ON sa.doc_id = id_a
+        JOIN jsz sb ON sb.doc_id = id_b
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     ), bidir AS (
         SELECT id_a AS a, id_b AS b FROM edges
         UNION SELECT id_b, id_a FROM edges
@@ -6040,11 +6139,22 @@ def source_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                               for i in range(1, len(w) - 1)]) AS ts
         FROM toks WHERE len(w) >= 3
+    ), jpost AS (
+        SELECT doc_id, unnest(ts) AS g FROM sh
+    ), jsz AS (
+        SELECT doc_id, len(ts) AS n FROM sh
+    ), jinter AS (
+        SELECT p.doc_id AS id_a, q.doc_id AS id_b, count(*) AS i
+        FROM jpost p JOIN jpost q ON p.g = q.g AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
     ), edges AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE
-                    / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.5
+        -- inverted-index form of the exact Jaccard pair source (identical
+        -- result set; the all-pairs list_intersect form wedged at sf0.1)
+        SELECT id_a, id_b
+        FROM jinter
+        JOIN jsz sa ON sa.doc_id = id_a
+        JOIN jsz sb ON sb.doc_id = id_b
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
     )
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
