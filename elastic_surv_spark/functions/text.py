@@ -163,9 +163,18 @@ def quality_score(col: Column) -> Column:
     diversity = distinct_token_ratio(col)
     stop = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
     punct = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
+    # double-round through DECIMAL(28,12): the raw double is the same IEEE
+    # expression tree in both engines, but a true half-tie at the 6th digit
+    # (e.g. the exact rational 0.5142125 — hit by one sf0.1 document, r9
+    # sweep) rounds apart between Spark's exact-binary-expansion HALF_UP
+    # and duckdb's float-multiply round; the 12-digit decimal recovers the
+    # exact rational first, so both engines round the same value
     return F.round(
-        0.3 * length_term + 0.3 * diversity + 0.2 * stop + 0.2 * punct, 6
-    )
+        (0.3 * length_term + 0.3 * diversity + 0.2 * stop + 0.2 * punct).cast(
+            "decimal(28,12)"
+        ),
+        6,
+    ).cast("double")
 
 
 def language_scores(col: Column) -> dict[str, Column]:

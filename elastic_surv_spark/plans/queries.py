@@ -945,22 +945,33 @@ def harrell_cindex_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ipcw_brier_km_grid",
     """
-    WITH surv AS (
+    WITH surv0 AS (
         SELECT user_id,
                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS t,
                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
         FROM events GROUP BY user_id
+    ), qstats AS (
+        SELECT count(DISTINCT t) AS nd, min(t) AS lo, max(t) AS hi FROM surv0
+    ), surv AS (
+        -- same >512-distinct-times life-table quantization as the Spark
+        -- plan's quantize_times (min/max + ceil, bin upper edges, clamped)
+        SELECT user_id, e,
+               CASE WHEN nd <= 512 THEN t
+                    ELSE least(hi, lo + least(512.0, ceil((t - lo) / ((hi - lo) / 512)))
+                                      * ((hi - lo) / 512))
+               END AS t
+        FROM surv0, qstats
     ), ev AS (
         SELECT t, count(*) AS n_total, sum(e) AS d FROM surv GROUP BY t
     ), km AS (
-        SELECT t, exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
-                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        SELECT t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
         FROM (SELECT t, d, sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM ev) x
     ), cv AS (
         SELECT t, count(*) AS n_total, sum(1 - e) AS d FROM surv GROUP BY t
     ), ckm AS (
-        SELECT t, exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
-                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        SELECT t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
         FROM (SELECT t, d, sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM cv) x
     ), stats AS (
         SELECT min(t) AS tmin, max(t) AS tmax FROM surv
@@ -985,7 +996,8 @@ def harrell_cindex_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM surv s, grid g
     )
     SELECT k, round(tau, 6) AS tau,
-           round(sum(term) / (SELECT count(*) FROM surv), 6) AS brier
+           round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)
+                 / (SELECT count(*) FROM surv), 6) AS brier
     FROM terms GROUP BY k, tau
     """,
 )
@@ -1000,29 +1012,36 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.storagelevel import StorageLevel
 
-    # One row per user — tiny relative to events; persist so the three curve
-    # actions below don't each re-aggregate the events scan.
-    surv = (
-        _user_lifetimes(spark, sf_dir, as_seconds=True)
-        .select("t", "e")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    from elastic_surv_spark.metrics.km import quantize_times
+
+    # One row per user — tiny relative to events. Quantize the time domain
+    # ONCE, UPFRONT (≤512 life-table bins; a no-op below 512 distinct
+    # times, e.g. sf0.01), so every downstream t — curve points, the grid
+    # endpoints, the case/control classification, and the G(t⁻) equi-join
+    # keys — lives on the same discretized domain. The first full sf0.1
+    # sweep (r9) caught the alternative: quantizing only INSIDE km_curve
+    # left surv.t raw, so at 1500 distinct times the G(t⁻) join keys
+    # missed the quantized curve points and silently coalesced to 1.0
+    # (exactly the failure the old comment here predicted). The SQL
+    # oracle mirrors the same min/max + ceil arithmetic.
+    surv = quantize_times(
+        _user_lifetimes(spark, sf_dir, as_seconds=True).select("t", "e"),
+        "t",
+        512,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # population survival curve S (the "prediction") and censoring curve G,
     # unioned into ONE collect (one Spark job over the persisted 1-row-per-
-    # user aggregate instead of two); max_curve_points bounds the collect
-    # for continuous times — a no-op below 512 distinct times (as here), so
-    # the SQL oracle's exact curve still matches. (If the cap ever engages,
-    # the G(t⁻) equi-join below needs surv.t quantized with the same
-    # quantize_times call so join keys stay curve points.)
-    s_curve = km_curve(surv, "t", "e", round_to=None, max_curve_points=512).select(
+    # user aggregate instead of two); curves are bounded by the upfront
+    # quantization. round_to=10 collapses exp/ln last-ulp drift between
+    # engines before the curve constants fan out into 15k×20 terms.
+    s_curve = km_curve(surv, "t", "e", round_to=10).select(
         F.lit("s").alias("_which"), "t", "survival"
     )
     g_curve = km_curve(
         surv.withColumn("_cens", 1 - F.col("e").cast("int")),
         "t",
         "_cens",
-        round_to=None,
-        max_curve_points=512,
+        round_to=10,
     ).select(F.lit("g").alias("_which"), "t", "survival")
     both = sorted(
         s_curve.unionByName(g_curve).collect(),
@@ -1086,10 +1105,20 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(t > tau, F.when(g_tau > 0, F.pow(1.0 - s_tau, 2) / g_tau).otherwise(0.0))
         .otherwise(0.0)
     )
+    # DECIMAL(38,18) sum: the per-row term doubles are the SAME IEEE
+    # expression trees in both engines, but a DOUBLE sum is addition-order
+    # dependent — at sf0.1 (15k users) 4 of 20 grid rows rounded apart by
+    # exactly 1e-6 (caught by the first full sf0.1 sweep, r9); the exact
+    # decimal sum is order-free, the registry-wide float-parity recipe.
     return (
         expanded.select("k", tau.alias("tau"), term.alias("term"))
         .groupBy("k", "tau")
-        .agg((F.sum("term") / F.count("*")).alias("brier"))
+        .agg(
+            (
+                F.sum(F.col("term").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("brier")
+        )
         .select("k", F.round("tau", 6).alias("tau"), F.round("brier", 6).alias("brier"))
     )
 
@@ -1339,11 +1368,11 @@ def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w FROM documents
     )
     SELECT doc_id, lang,
-           round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+           CAST(round(CAST((0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
                + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
                + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
-               + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
-             6) AS quality
+               + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0))
+             AS DECIMAL(28,12)), 6) AS DOUBLE) AS quality
     FROM toks
     """,
 )
@@ -2444,15 +2473,15 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT v AS doc_id, min(r) AS comp_id FROM reach GROUP BY v
     ), q AS (
         SELECT doc_id, lang,
-               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+               CAST(round(CAST((0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
                    + 0.3 * (len(list_distinct(string_split(trim(text), ' ')))::DOUBLE
                             / len(string_split(trim(text), ' ')))
                    + 0.2 * least(5.0 * (len(list_filter(string_split(trim(text), ' '),
                                         t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE
                                         / len(string_split(trim(text), ' '))), 1.0)
                    + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
-                                                 / length(text)), 0.0),
-                 6) AS quality
+                                                 / length(text)), 0.0))
+                 AS DECIMAL(28,12)), 6) AS DOUBLE) AS quality
         FROM documents
     )
     SELECT c.comp_id, q.doc_id AS keep_doc_id, q.lang, q.quality
@@ -3156,11 +3185,11 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, text, string_split(trim(text), ' ') AS w FROM documents
     ), quality AS (
         SELECT doc_id, lang, text,
-               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+               CAST(round(CAST((0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
                    + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
                    + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
-                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
-                 6) AS q
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0))
+                 AS DECIMAL(28,12)), 6) AS DOUBLE) AS q
         FROM toks0
     ), filtered AS (
         SELECT doc_id, lang, text FROM quality WHERE q >= 0.5
@@ -5773,11 +5802,11 @@ def customer_order_history_strings(spark: SparkSession, sf_dir: str) -> DataFram
     f"""
     WITH q AS (
         SELECT doc_id,
-               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+               CAST(round(CAST((0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
                    + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
                    + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
-                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
-                 6) AS quality,
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0))
+                 AS DECIMAL(28,12)), 6) AS DOUBLE) AS quality,
                len(w) AS n_tokens
         FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
     ), c AS (
@@ -6076,11 +6105,11 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
         SELECT source, lang, text,
                len(string_split(trim(text), ' ')) AS n_tokens,
-               round(0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+               CAST(round(CAST((0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
                    + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
                    + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
-                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0),
-                 6) AS quality
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0))
+                 AS DECIMAL(28,12)), 6) AS DOUBLE) AS quality
         FROM (SELECT source, lang, text, string_split(trim(text), ' ') AS w FROM documents)
     )
     SELECT source, lang, count(*) AS n_docs,
