@@ -1,0 +1,197 @@
+"""Per-group ("many models") survival training in one grouped-map job.
+
+The reference trains ONE model per process (src/elastic_surv/models/
+base.py:39-59); production risk modeling usually wants one model per
+segment — per region, per product line, per cohort. On Spark that is a
+single ``applyInPandas``: each group's rows land on one task, the task
+runs the SAME numpy trainer the local mode uses (``SurvModel._fit_local``
+— identical math, identical early stopping), and the trained model leaves
+the task as its serde JSON document (models/serde.py), loadable anywhere
+WITHOUT a SparkSession. Training 10 000 segment models is then one
+shuffle + one embarrassingly parallel stage, not 10 000 driver jobs.
+
+Scale contract: one GROUP must fit one task (same contract as every
+grouped-apply kernel here — blocked_cosine_pairs, cell_rerank); group
+COUNT is the parallelism. Groups below ``min_rows`` emit a NULL
+model_json row instead of a degenerate fit.
+
+The discrete-time label transform fits on each group's TRAIN prefix
+(equidistant cuts ≡ models/labels.py `fit`, reference dataset.py:122-132)
+and CoxPH's Breslow baseline hazards are the numpy twin of the
+distributed `_post_fit` (same life-table quantization, same risk-set
+sums) — every piece is the group-local form of an operator certified
+elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from elastic_surv_spark.models.base import SurvModel
+from elastic_surv_spark.models.nn import Adam
+from elastic_surv_spark.models.cox_ph import CoxPHModel
+from elastic_surv_spark.models.deephit import DeepHitModel
+from elastic_surv_spark.models.labels import LabelTransform
+from elastic_surv_spark.models.logistic_hazard import LogisticHazardModel
+from elastic_surv_spark.models.nn import MLP
+from elastic_surv_spark.models.serde import model_to_json
+
+__all__ = ["fit_per_group"]
+
+_FAMILIES: dict[str, type[SurvModel]] = {
+    "logistic_hazard": LogisticHazardModel,
+    "deephit": DeepHitModel,
+    "cox_ph": CoxPHModel,
+}
+
+
+class _LocalSplit:
+    """Duck-typed SurvDataset stand-in for ``SurvModel._fit_local``:
+    deterministic prefix split over rows the caller already ordered."""
+
+    def __init__(self, X: np.ndarray, t: np.ndarray, e: np.ndarray, train_ratio: float):
+        n = len(X)
+        k = min(max(int(n * train_ratio), 1), n - 1) if n > 1 else 1
+        self._train = (X[:k], t[:k], e[:k])
+        self._test = (X[k:], t[k:], e[k:]) if n > 1 else (X, t, e)
+        self.in_features = X.shape[1]
+
+    def train_numpy(self):
+        return self._train
+
+    def test_numpy(self):
+        return self._test
+
+
+def _np_quantize(t: np.ndarray, cap: int) -> np.ndarray:
+    """numpy twin of metrics.km.quantize_times (same min/max + ceil form)."""
+    if len(np.unique(t)) <= cap:
+        return t
+    lo, hi = float(t.min()), float(t.max())
+    width = (hi - lo) / cap
+    k = np.minimum(float(cap), np.ceil((t - lo) / width))
+    return np.minimum(hi, lo + k * width)
+
+
+def _local_breslow(model: CoxPHModel, X: np.ndarray, t: np.ndarray, e: np.ndarray) -> None:
+    """Group-local Breslow baseline hazards ≡ CoxPHModel._post_fit math."""
+    z = model.net.forward(X, training=False).ravel()
+    eg = np.exp(z)
+    tq = _np_quantize(t.astype(float), model.max_curve_points)
+    ts = np.unique(tq)
+    d = np.array([e[tq == u].sum() for u in ts], dtype=float)
+    sum_eg = np.array([eg[tq == u].sum() for u in ts], dtype=float)
+    denom = np.cumsum(sum_eg[::-1])[::-1]  # risk set: every subject with t >= u
+    model.cuts = ts
+    model.baseline_cumhaz = np.cumsum(d / denom)
+
+
+def _np_harrell(t: np.ndarray, e: np.ndarray, risk: np.ndarray) -> float | None:
+    """Exact Harrell C on a small test split (vectorized n² — bounded by
+    the caller's gate); None when no comparable pairs exist."""
+    comp = (t[:, None] < t[None, :]) & (e[:, None] == 1)
+    n_comp = int(comp.sum())
+    if n_comp == 0:
+        return None
+    conc = int((comp & (risk[:, None] > risk[None, :])).sum())
+    tied = int((comp & (risk[:, None] == risk[None, :])).sum())
+    return float((conc + 0.5 * tied) / n_comp)
+
+
+def fit_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    time_col: str,
+    event_col: str,
+    feature_cols: list[str],
+    model: str = "logistic_hazard",
+    train_ratio: float = 0.9,
+    min_rows: int = 8,
+    cindex_max_test: int = 2000,
+    **hparams: Any,
+) -> DataFrame:
+    """One trained survival model per group: ``(group, model_json, n_train,
+    n_test, val_loss, c_index)``.
+
+    ``order_col`` anchors the deterministic prefix split inside each group
+    (reference split semantics, dataset.py:64-68 — Spark has no row
+    order). ``model`` ∈ {logistic_hazard, deephit, cox_ph}; ``hparams``
+    pass through to the family constructor (epochs, lr, num_durations,
+    seed, …). ``c_index`` is the exact Harrell C of the group's test
+    prefix (NULL above ``cindex_max_test`` rows or with no comparable
+    pairs — the n² check is a convenience metric, not the scale path).
+    """
+    if model not in _FAMILIES:
+        raise ValueError(f"unknown model family {model!r}: {sorted(_FAMILIES)}")
+    family = model
+    gtype = df.schema[group_col].dataType.simpleString()
+    schema = (
+        f"{group_col} {gtype}, model_json string, n_train long, "
+        "n_test long, val_loss double, c_index double"
+    )
+    feats = list(feature_cols)
+
+    def train_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        gval = pdf[group_col].iloc[0]
+        pdf = pdf.sort_values(order_col, ignore_index=True)
+        X = pdf[feats].to_numpy(dtype=float)
+        t = pdf[time_col].to_numpy(dtype=float)
+        e = pdf[event_col].to_numpy(dtype=float)
+        n = len(pdf)
+
+        def row(mjson, n_train, n_test, val_loss, cidx):
+            return pd.DataFrame(
+                {
+                    group_col: [gval],
+                    "model_json": [mjson],
+                    "n_train": [n_train],
+                    "n_test": [n_test],
+                    "val_loss": [val_loss],
+                    "c_index": [cidx],
+                }
+            )
+
+        if n < min_rows:
+            return row(None, n, 0, None, None)
+
+        data = _LocalSplit(X, t, e, train_ratio)
+        Xtr, ttr, etr = data.train_numpy()
+        Xte, tte, ete = data.test_numpy()
+
+        m = _FAMILIES[family](in_features=data.in_features, **hparams)
+        if isinstance(m, (LogisticHazardModel, DeepHitModel)):
+            # equidistant cuts on the TRAIN prefix ≡ LabelTransform.fit
+            m.labtrans = LabelTransform(
+                np.linspace(0.0, float(ttr.max()), m.num_durations)
+            )
+            m.cuts = m.labtrans.cuts
+        out = m._out_features(data)  # labtrans already set: no Spark touched
+        m.net = MLP(
+            data.in_features,
+            m.hidden_nodes,
+            out,
+            batch_norm=m.batch_norm,
+            dropout=m.dropout,
+            output_bias=m._output_bias(),
+            seed=m.seed,
+        )
+        m._fit_local(data)
+        if isinstance(m, CoxPHModel):
+            _local_breslow(m, Xtr, ttr, etr)
+
+        val_targets = m._prepare_targets(tte, ete)
+        val_loss = m._epoch(Adam(m.net, lr=0.0), Xte, val_targets, training=False)
+        cidx = None
+        if 0 < len(Xte) <= cindex_max_test:
+            surv = m._surv_from_output(m.net.forward(Xte, training=False))
+            cidx = _np_harrell(tte, ete, -surv.sum(axis=1))
+        return row(model_to_json(m), len(Xtr), len(Xte), float(val_loss), cidx)
+
+    return df.select(group_col, order_col, time_col, event_col, *feats).groupBy(
+        group_col
+    ).applyInPandas(train_group, schema=schema)

@@ -1,0 +1,95 @@
+"""Per-group model training (models/grouped.py): one serde-JSON model per
+segment from a single grouped-map job."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elastic_surv_spark.models.grouped import fit_per_group
+from elastic_surv_spark.models.serde import model_from_json
+
+
+def _segments_frame(spark, n_per=240, n_groups=3, seed=5):
+    """Synthetic segments with group-specific hazards; risk is informative
+    (shorter lifetimes at higher x0) so C > 0.5 is learnable."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    rid = 0
+    for g in range(n_groups):
+        for _ in range(n_per):
+            x0 = rng.normal()
+            x1 = rng.normal()
+            t = float(np.exp(1.5 - 0.8 * x0 + 0.3 * rng.normal()) * (1 + g))
+            e = int(rng.random() < 0.7)
+            rows.append((rid, g, float(x0), float(x1), t, e))
+            rid += 1
+    return spark.createDataFrame(
+        rows, "rid long, seg int, x0 double, x1 double, t double, e int"
+    )
+
+
+@pytest.fixture(scope="module")
+def seg_df(spark):
+    return _segments_frame(spark)
+
+
+def test_fit_per_group_trains_loadable_informative_models(spark, seg_df):
+    res = fit_per_group(
+        seg_df, "seg", "rid", "t", "e", ["x0", "x1"],
+        model="logistic_hazard", epochs=15, patience=5, hidden_nodes=[16],
+    ).collect()
+    assert sorted(r.seg for r in res) == [0, 1, 2]
+    for r in res:
+        assert r.n_train == 216 and r.n_test == 24
+        assert r.model_json is not None and np.isfinite(r.val_loss)
+        # informative risk: the per-segment model discriminates
+        assert r.c_index is not None and r.c_index > 0.5, (r.seg, r.c_index)
+        # the JSON doc loads WITHOUT a SparkSession and predicts sanely
+        m = model_from_json(r.model_json)
+        X = np.array([[0.0, 0.0], [2.0, -1.0]])
+        surv = m._surv_from_output(m.net.forward(X, training=False))
+        assert surv.shape == (2, len(m.cuts))
+        assert np.all(np.diff(surv, axis=1) <= 1e-12)  # monotone curves
+        assert np.all((surv >= 0) & (surv <= 1))
+
+
+def test_fit_per_group_deterministic(spark, seg_df):
+    a = {r.seg: r.model_json for r in fit_per_group(
+        seg_df, "seg", "rid", "t", "e", ["x0", "x1"],
+        model="logistic_hazard", epochs=8, patience=3, hidden_nodes=[8],
+    ).collect()}
+    b = {r.seg: r.model_json for r in fit_per_group(
+        seg_df, "seg", "rid", "t", "e", ["x0", "x1"],
+        model="logistic_hazard", epochs=8, patience=3, hidden_nodes=[8],
+    ).collect()}
+    assert a == b
+
+
+def test_fit_per_group_cox_breslow(spark, seg_df):
+    res = fit_per_group(
+        seg_df.filter("seg = 0"), "seg", "rid", "t", "e", ["x0", "x1"],
+        model="cox_ph", epochs=10, patience=4, hidden_nodes=[8],
+    ).collect()
+    assert len(res) == 1
+    m = model_from_json(res[0].model_json)
+    # Breslow curve fit group-locally: bounded, increasing cumhaz
+    assert 0 < len(m.cuts) <= m.max_curve_points + 1
+    assert np.all(np.diff(m.baseline_cumhaz) >= -1e-15)
+    X = np.array([[0.5, 0.0]])
+    surv = m._surv_from_output(m.net.forward(X, training=False))
+    assert np.all(np.diff(surv, axis=1) <= 1e-12)
+
+
+def test_fit_per_group_small_group_skipped(spark):
+    df = spark.createDataFrame(
+        [(i, 0, float(i), float(i + 1), 1) for i in range(4)],
+        "rid long, seg int, x0 double, t double, e int",
+    )
+    r = fit_per_group(df, "seg", "rid", "t", "e", ["x0"], min_rows=8).collect()[0]
+    assert r.model_json is None and r.n_train == 4 and r.n_test == 0
+
+
+def test_fit_per_group_rejects_unknown_family(spark, seg_df):
+    with pytest.raises(ValueError):
+        fit_per_group(seg_df, "seg", "rid", "t", "e", ["x0"], model="nope")
