@@ -1178,3 +1178,48 @@ def test_document_pipeline_stream_lands_in_es(spark, es_url, tmp_path):
     n_before = len(_Stub.bulk_batches)
     _land(chk)  # restart: same checkpoint + source → nothing new
     assert len(_Stub.bulk_batches) == n_before
+
+
+def test_grouped_models_registry_in_es(spark, es_url):
+    """The per-segment trainer's output frame IS a model registry: one
+    upload_frame call lands every segment's serde JSON doc in the stub
+    index keyed by the segment id, a later job scans them back and serves
+    each segment with BIT-identical predictions — fit_per_group (r9)
+    composed with the r8 train-once-serve-anywhere ES hop."""
+    import numpy as np
+
+    from elastic_surv_spark.models.grouped import fit_per_group
+    from elastic_surv_spark.models.serde import model_from_json
+    from elastic_surv_spark.sources.elastic import upload_frame
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for rid in range(360):
+        g = rid % 3
+        x0 = float(rng.normal())
+        t = float(np.exp(1.0 - 0.7 * x0 + 0.2 * rng.normal()) * (1 + g))
+        rows.append((rid, g, x0, t, int(rng.random() < 0.7)))
+    df = spark.createDataFrame(rows, "rid long, seg int, x0 double, t double, e int")
+
+    fitted = fit_per_group(
+        df, "seg", "rid", "t", "e", ["x0"],
+        model="logistic_hazard", epochs=6, patience=3, hidden_nodes=[8],
+    )
+    local = {r.seg: r.model_json for r in fitted.collect()}
+    assert upload_frame(
+        fitted.withColumnRenamed("seg", "doc_id"), es_url, "segment_models",
+        id_col="doc_id",
+    ) == 3
+
+    back = scan_es(
+        spark, es_url, "segment_models",
+        schema="doc_id long, model_json string", slices=1,
+    ).collect()
+    assert len(back) == 3
+    X = np.array([[-1.0], [0.0], [1.5]])
+    for r in back:
+        served = model_from_json(r["model_json"])
+        original = model_from_json(local[r["doc_id"]])
+        a = served._surv_from_output(served.net.forward(X, training=False))
+        b = original._surv_from_output(original.net.forward(X, training=False))
+        assert np.array_equal(a, b)
