@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cumulative_dynamic_auc"]
+__all__ = ["cumulative_dynamic_auc", "cumulative_dynamic_auc_ipcw"]
 
 
 def cumulative_dynamic_auc(
@@ -130,3 +130,141 @@ def cumulative_dynamic_auc(
     if round_to is not None:
         out = out.withColumn("auc", F.round("auc", round_to))
     return out.select(F.col("_gt").alias("t"), "n_cases", "n_controls", "auc")
+
+
+def cumulative_dynamic_auc_ipcw(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    risk_col: str,
+    n_times: int = 8,
+    n_bins: int = 256,
+    max_curve_points: int = 512,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Uno-style IPCW cumulative/dynamic AUC: every case reweights by
+    1/G(T⁻)² (G = censoring Kaplan-Meier), correcting the unweighted
+    estimator's censoring bias (Uno et al. 2007; scikit-survival's
+    ``cumulative_dynamic_auc`` with default ipcw — published definition,
+    independent implementation).
+
+    Same bin-grid plan as :func:`cumulative_dynamic_auc` — no pairwise
+    join — plus the censoring-curve machinery the IPCW Brier row proved
+    out: the time domain quantizes ONCE upfront (≤``max_curve_points``
+    life-table bins, so every subject time IS a curve point and the
+    G(T⁻) lookup is a broadcast equi-join, never a per-row scan), the
+    bounded G curve collects once at 1e-10 rounding, and every weight
+    sum passes through DECIMAL(38,18) (order-free, engine-portable).
+    Cases with G(T⁻) = 0 carry zero weight (standard exclusion); they
+    still count in the reported ``n_cases``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from elastic_surv_spark.metrics.km import km_curve, quantize_times
+
+    spark = df.sparkSession
+    step = n_times + 1
+    base = df.select(
+        F.col(time_col).cast("double").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+        F.col(risk_col).cast("double").alias("_r"),
+    )
+    base = quantize_times(base, "_t", max_curve_points).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # bounded censoring curve; lag gives G(t-) per curve point
+    g_rows = sorted(
+        km_curve(
+            base.withColumn("_cens", 1 - F.col("_e")), "_t", "_cens", round_to=10
+        ).collect(),
+        key=lambda r: float(r["t"]),  # km_curve outputs the time as "t"
+    )
+    gprev = spark.createDataFrame(
+        [
+            (float(g_rows[i]["t"]), float(g_rows[i - 1]["survival"]) if i > 0 else 1.0)
+            for i in range(len(g_rows))
+        ],
+        "_t double, _g_tminus double",
+    )
+    bounds = base.agg(
+        F.min("_t").alias("_tmin"),
+        F.max("_t").alias("_tmax"),
+        F.min("_r").alias("_rmin"),
+        F.max("_r").alias("_rmax"),
+    )
+    grid = bounds.select(
+        "_rmin",
+        "_rmax",
+        F.explode(F.sequence(F.lit(1), F.lit(n_times))).alias("_i"),
+        "_tmin",
+        "_tmax",
+    ).select(
+        "_rmin",
+        "_rmax",
+        (
+            F.col("_tmin")
+            + F.col("_i") * (F.col("_tmax") - F.col("_tmin")) / F.lit(float(step))
+        ).alias("_gt"),
+    )
+    r_span = F.col("_rmax") - F.col("_rmin")
+    bin_col = F.when(r_span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("_r") - F.col("_rmin")) / r_span * F.lit(n_bins)),
+        )
+    )
+    is_case = (F.col("_t") <= F.col("_gt")) & (F.col("_e") == 1)
+    cls = (
+        base.join(F.broadcast(gprev), "_t", "left")
+        .withColumn("_g", F.coalesce("_g_tminus", F.lit(1.0)))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "_gt",
+            bin_col.cast("int").alias("_bin"),
+            is_case.cast("long").alias("_case"),
+            (F.col("_t") > F.col("_gt")).cast("long").alias("_control"),
+            F.when(
+                is_case & (F.col("_g") > 0),
+                F.lit(1.0) / (F.col("_g") * F.col("_g")),
+            )
+            .otherwise(0.0)
+            .alias("_w"),
+        )
+        .filter((F.col("_case") == 1) | (F.col("_control") == 1))
+    )
+    counts = cls.groupBy("_gt", "_bin").agg(
+        F.sum("_case").alias("n_cases"),
+        F.sum("_control").alias("n_controls"),
+        F.sum(F.col("_w").cast("decimal(38,18)")).cast("double").alias("_wsum"),
+    )
+    w = (
+        Window.partitionBy("_gt")
+        .orderBy(F.asc("_bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = counts.withColumn(
+        "_ctrl_below", F.coalesce(F.sum("n_controls").over(w), F.lit(0))
+    ).withColumn(
+        "_contrib",
+        F.lit(2.0) * F.col("_wsum") * F.col("_ctrl_below")
+        + F.col("_wsum") * F.col("n_controls"),
+    )
+    out = (
+        scored.groupBy("_gt")
+        .agg(
+            F.sum("n_cases").cast("long").alias("n_cases"),
+            F.sum("n_controls").cast("long").alias("n_controls"),
+            F.sum(F.col("_contrib").cast("decimal(38,18)")).cast("double").alias("_num"),
+            F.sum(F.col("_wsum").cast("decimal(38,18)")).cast("double").alias("_wtot"),
+        )
+        .filter((F.col("_wtot") > 0) & (F.col("n_controls") > 0))
+        .withColumn(
+            "auc",
+            F.col("_num") / (F.lit(2.0) * F.col("_wtot") * F.col("n_controls")),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("auc", F.round("auc", round_to))
+    return out.select(
+        F.col("_gt").alias("t"), "n_cases", "n_controls", "auc"
+    )

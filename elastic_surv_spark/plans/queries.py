@@ -6678,6 +6678,98 @@ def td_auc_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_auc_ipcw_user_activity",
+    """
+    WITH surv0 AS (
+        SELECT user_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               CAST(count(*) AS DOUBLE) AS risk
+        FROM events GROUP BY user_id
+    ), qstats AS (
+        SELECT count(DISTINCT t) AS nd, min(t) AS lo, max(t) AS hi FROM surv0
+    ), surv AS (
+        SELECT user_id, e, risk,
+               CASE WHEN nd <= 512 THEN t
+                    ELSE least(hi, lo + least(512.0, ceil((t - lo) / ((hi - lo) / 512)))
+                                      * ((hi - lo) / 512))
+               END AS t
+        FROM surv0, qstats
+    ), cv AS (
+        SELECT t, count(*) AS n_total, sum(1 - e) AS d FROM surv GROUP BY t
+    ), ckm AS (
+        SELECT t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
+        FROM (SELECT t, d, sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM cv) x
+    ), bounds AS (
+        SELECT min(t) AS tmin, max(t) AS tmax, min(risk) AS rmin, max(risk) AS rmax
+        FROM surv
+    ), grid AS (
+        SELECT tmin + i * (tmax - tmin) / 9.0 AS gt, rmin, rmax
+        FROM bounds, (SELECT unnest(range(1, 9)) AS i)
+    ), weighted AS (
+        SELECT s.t, s.e, s.risk,
+               coalesce((SELECT c.s FROM ckm c WHERE c.t < s.t
+                         ORDER BY c.t DESC LIMIT 1), 1.0) AS g
+        FROM surv s
+    ), cls AS (
+        SELECT g2.gt,
+               CASE WHEN g2.rmax - g2.rmin <= 0 THEN 0
+                    ELSE least(255, CAST(floor((s.risk - g2.rmin) / (g2.rmax - g2.rmin) * 256) AS INT))
+               END AS bin,
+               CASE WHEN s.t <= g2.gt AND s.e = 1 THEN 1 ELSE 0 END AS c_case,
+               CASE WHEN s.t > g2.gt THEN 1 ELSE 0 END AS c_ctrl,
+               CASE WHEN s.t <= g2.gt AND s.e = 1 AND s.g > 0
+                    THEN 1.0 / (s.g * s.g) ELSE 0.0 END AS w
+        FROM weighted s, grid g2
+        WHERE (s.t <= g2.gt AND s.e = 1) OR s.t > g2.gt
+    ), counts AS (
+        SELECT gt, bin, sum(c_case) AS n_cases, sum(c_ctrl) AS n_controls,
+               CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS wsum
+        FROM cls GROUP BY gt, bin
+    ), scored AS (
+        SELECT gt, n_cases, n_controls, wsum,
+               coalesce(sum(n_controls) OVER (
+                   PARTITION BY gt ORDER BY bin ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ctrl_below
+        FROM counts
+    )
+    SELECT gt AS t,
+           CAST(sum(n_cases) AS BIGINT) AS n_cases,
+           CAST(sum(n_controls) AS BIGINT) AS n_controls,
+           round(CAST(sum(CAST(2.0 * wsum * ctrl_below + wsum * n_controls AS DECIMAL(38,18))) AS DOUBLE)
+                 / (2.0 * CAST(sum(CAST(wsum AS DECIMAL(38,18))) AS DOUBLE) * sum(n_controls)), 6) AS auc
+    FROM scored GROUP BY gt
+    HAVING CAST(sum(CAST(wsum AS DECIMAL(38,18))) AS DOUBLE) > 0
+       AND sum(n_controls) > 0
+    """,
+)
+def td_auc_ipcw_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uno-style IPCW time-dependent AUC (metrics/td_auc.py:
+    cumulative_dynamic_auc_ipcw): td_auc_user_activity's framing with
+    every case reweighted by 1/G(T⁻)² from the censoring Kaplan-Meier —
+    the censoring-bias-corrected estimator (scikit-survival's default).
+
+    Scale: the td-AUC bin grid (no pairwise join) + the IPCW Brier row's
+    curve machinery — upfront ≤512-bin time quantization in BOTH engines
+    so the G(T⁻) lookup is a broadcast equi-join on curve points, the
+    bounded G curve collected once at 1e-10 rounding, and every weight
+    sum order-free through DECIMAL(38,18).
+    """
+    from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc_ipcw
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000.0)
+        ).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+        F.count("*").cast("double").alias("risk"),
+    )
+    return cumulative_dynamic_auc_ipcw(surv, "t", "e", "risk", n_times=8, n_bins=256)
+
+
+@query(
     "km_cohort_curves",
     """
     WITH surv AS (
