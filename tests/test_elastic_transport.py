@@ -1223,3 +1223,38 @@ def test_grouped_models_registry_in_es(spark, es_url):
         a = served._surv_from_output(served.net.forward(X, training=False))
         b = original._surv_from_output(original.net.forward(X, training=False))
         assert np.array_equal(a, b)
+
+
+def test_per_segment_training_from_es_index(spark, es_url):
+    """Segments scanned straight off the stub index train one model each in
+    a single grouped-map job — the grouped trainer (r9) composed with the
+    jar-free sliced-scroll source: ES index → scan_es → fit_per_group →
+    per-segment serde docs, no intermediate landing."""
+    import numpy as np
+
+    from elastic_surv_spark.models.grouped import fit_per_group
+    from elastic_surv_spark.models.serde import model_from_json
+
+    # the GBSG2-shaped stub index: segment on tumor grade (a real categorical)
+    df = scan_es(
+        spark, es_url, "surv",
+        schema=(
+            "doc_id long, time long, cens long, age long, pnodes long, "
+            "progrec long, tgrade string"
+        ),
+        slices=2,
+        page_size=50,
+    )
+    res = fit_per_group(
+        df, "tgrade", "doc_id", "time", "cens", ["age", "pnodes", "progrec"],
+        model="logistic_hazard", epochs=5, patience=3, hidden_nodes=[8],
+        min_rows=8,
+    ).collect()
+    assert len(res) == df.select("tgrade").distinct().count()
+    trained = [r for r in res if r.model_json is not None]
+    assert trained, [r.tgrade for r in res]
+    for r in trained:
+        m = model_from_json(r.model_json)
+        X = np.zeros((1, 3))
+        surv = m._surv_from_output(m.net.forward(X, training=False))
+        assert surv.shape[1] == len(m.cuts) and np.isfinite(surv).all()
