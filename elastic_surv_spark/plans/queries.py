@@ -6678,6 +6678,84 @@ def td_auc_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dcal_km_user_lifetimes",
+    """
+    WITH surv0 AS (
+        SELECT user_id,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), qstats AS (
+        SELECT count(DISTINCT t) AS nd, min(t) AS lo, max(t) AS hi FROM surv0
+    ), surv AS (
+        SELECT user_id, e,
+               CASE WHEN nd <= 512 THEN t
+                    ELSE least(hi, lo + least(512.0, ceil((t - lo) / ((hi - lo) / 512)))
+                                      * ((hi - lo) / 512))
+               END AS t
+        FROM surv0, qstats
+    ), ev AS (
+        SELECT t, count(*) AS n_total, sum(e) AS d FROM surv GROUP BY t
+    ), km AS (
+        SELECT t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
+        FROM (SELECT t, d, sum(n_total) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM ev) x
+    ), scored AS (
+        SELECT s.e,
+               coalesce((SELECT k.s FROM km k WHERE k.t = s.t), 1.0) AS p
+        FROM surv s
+    ), uncens AS (
+        SELECT least(9, CAST(floor(p * 10) AS INT)) AS bin, 1.0 AS mass
+        FROM scored WHERE e = 1
+    ), cens AS (
+        SELECT CAST(b.bin AS INT) AS bin,
+               CASE WHEN s.p <= 0 THEN CASE WHEN b.bin = 0 THEN 1.0 ELSE 0.0 END
+                    ELSE greatest(0.0, least((CAST(b.bin AS DOUBLE) + 1) / 10.0, s.p)
+                                       - CAST(b.bin AS DOUBLE) / 10.0) / s.p
+               END AS mass
+        FROM scored s, (SELECT unnest(range(0, 10)) AS bin) b
+        WHERE s.e = 0
+    ), masses AS (
+        SELECT bin,
+               round(CAST(sum(CAST(mass AS DECIMAL(38,18))) AS DOUBLE), 6) AS mass
+        FROM (SELECT * FROM uncens UNION ALL SELECT * FROM cens)
+        GROUP BY bin
+    )
+    SELECT CAST(b.bin AS BIGINT) AS bin,
+           coalesce(m.mass, 0.0) AS mass,
+           CAST((SELECT count(*) FROM surv) AS DOUBLE) / 10.0 AS expected,
+           round(pow(coalesce(m.mass, 0.0) - CAST((SELECT count(*) FROM surv) AS DOUBLE) / 10.0, 2)
+                 / (CAST((SELECT count(*) FROM surv) AS DOUBLE) / 10.0), 6) AS chi2_term
+    FROM (SELECT unnest(range(0, 10)) AS bin) b
+    LEFT JOIN masses m ON m.bin = b.bin
+    """,
+)
+def dcal_km_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-calibration (metrics/calibration.py) of the population-KM
+    predictor over user lifetimes: per-decile observed mass of
+    S(T_i) (censored subjects spread 1/p density below their p_c, the
+    Haider et al. 2020 handling) against the uniform expectation, with
+    per-bin chi-square terms — the calibration leg of survival-model
+    evaluation the reference's score() lacks.
+
+    Scale: the IPCW rows' posture — upfront ≤512-bin time quantization in
+    BOTH engines, bounded curve collect at 1e-10, DECIMAL-exact mass
+    sums, chi-square from the rounded masses; the censored expansion is
+    subjects × 10 map-side rows.
+    """
+    from elastic_surv_spark.metrics.calibration import d_calibration_km
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1000000.0)
+        ).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    return d_calibration_km(surv, "t", "e", n_bins=10)
+
+
+@query(
     "td_auc_ipcw_user_activity",
     """
     WITH surv0 AS (

@@ -655,3 +655,47 @@ def test_td_auc_ipcw_equals_unweighted_without_censoring(spark):
         # the weighted estimator degenerates to an unweighted AUC in [0,1]
         assert 0.0 <= auc <= 1.0
     assert all(r.auc > 0.5 for r in got)
+
+
+def test_d_calibration_km_mass_and_numpy_mirror(spark):
+    from elastic_surv_spark.metrics.calibration import d_calibration_km
+
+    rng = np.random.default_rng(13)
+    n = 400
+    T = rng.integers(1, 200, n).astype(float)
+    E = (rng.random(n) < 0.6).astype(int)
+    df = spark.createDataFrame(
+        [(float(t), int(e)) for t, e in zip(T, E)], "t double, e int"
+    )
+    got = {r.bin: (r.mass, r.expected, r.chi2_term)
+           for r in d_calibration_km(df, "t", "e").collect()}
+    assert sorted(got) == list(range(10))
+    # masses partition the cohort: they sum to n (rounding at 1e-6)
+    assert abs(sum(m for m, _, _ in got.values()) - n) < 1e-4
+    assert all(e == n / 10.0 for _, e, _ in got.values())
+
+    # independent numpy mirror (KM at 1e-10, censored 1/p spreading)
+    ts, ss = np_km(T, E)
+    ss = np.round(ss, 10)
+    def s_at(x):
+        i = np.searchsorted(ts, x, side="right") - 1
+        return ss[i] if i >= 0 else 1.0
+    masses = np.zeros(10)
+    for t, e in zip(T, E):
+        p = s_at(t)
+        if e == 1:
+            masses[min(9, int(np.floor(p * 10)))] += 1.0
+        elif p <= 0:
+            masses[0] += 1.0
+        else:
+            for b in range(10):
+                masses[b] += max(0.0, min((b + 1) / 10.0, p) - b / 10.0) / p
+    for b in range(10):
+        assert abs(got[b][0] - round(masses[b], 6)) < 2e-6, b
+        want_chi = round((round(masses[b], 6) - n / 10.0) ** 2 / (n / 10.0), 6)
+        assert abs(got[b][2] - want_chi) < 2e-6, b
+
+    # the KM predictor is the empirical distribution: near-uniform deciles
+    # (chi2 far below the 0.05 critical value for 9 dof, 16.92)
+    chi2 = sum(c for _, _, c in got.values())
+    assert chi2 < 16.92, chi2
