@@ -59,7 +59,6 @@ def ingest_batch_incremental(
     from elastic_surv_spark.operators.dedup import normalize_text
 
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     hist = _read_history(spark, history_path, batch_id)
 
     keep = (
@@ -86,8 +85,12 @@ def ingest_batch_incremental(
             "_batch_id": F.lit(int(batch_id)),
         }
     )
+    # dynamic overwrite scoped to THIS write (DataFrameWriter option, not a
+    # session conf mutation that would leak into later writes on the stream's
+    # session): only the partitions present in `survivors` are replaced
     (
         survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("_batch_id")
         .parquet(history_path)
     )
