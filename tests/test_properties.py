@@ -157,3 +157,90 @@ def test_es_mapping_round_trip_lossless_types(flat, nested):
     got = {f.name: f.dataType for f in back.fields}
     assert got == want
     assert [f.name for f in back.fields] == sorted(want)  # normalized order
+
+
+_corpus_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(texts=_corpus_texts, split=st.integers(1, 24))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_incremental_dedup_equals_full_dedup_restricted_to_batch(spark, texts, split):
+    """Sequential-ingest invariant: history-then-batch incremental dedup
+    must equal full-corpus exact dedup restricted to representatives whose
+    min-id lives in the batch — for ANY corpus and ANY split point
+    (duplicate-heavy tiny alphabets maximize cross-split collisions)."""
+    from elastic_surv_spark.operators.dedup import exact_dedup, incremental_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    split = min(split, len(rows))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = df.filter(f"doc_id < {split}")
+    batch = df.filter(f"doc_id >= {split}")
+
+    inc = {
+        (r.text, r.keep_id, r.n_batch_dupes)
+        for r in incremental_dedup(
+            batch, hist, "text", "doc_id", use_fingerprint=False
+        ).collect()
+    }
+    full = exact_dedup(df, ["text"], "doc_id", normalize=True)
+    hist_texts = exact_dedup(hist, ["text"], "doc_id", normalize=True).select("text")
+    batch_only = full.join(hist_texts, "text", "left_anti").filter(
+        f"keep_id >= {split}"
+    )
+    want = {
+        (r.text, r.keep_id, r.n_dupes) for r in batch_only.collect()
+    }
+    assert inc == want
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(4, 30),
+    dim=st.integers(2, 6),
+    tau=st.floats(0.2, 0.95),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_semantic_dedup_laws_hold_on_any_corpus(spark, seed, n, dim, tau):
+    """The SemDeDup laws are corpus-independent: for ANY vectors, cells,
+    and tau — soundness (every dropped row has a kept cellmate at rounded
+    cosine >= tau) and independence (no two kept cellmates reach tau)."""
+    from elastic_surv_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, tau=tau, n_cells=3, seed=1).collect()
+    assert sorted(r.vec_id for r in out) == list(range(n))
+    vecs = {i: np.asarray(v, dtype=float) for i, v in rows}
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for rows_in_cell in by_cell.values():
+        kept = [r.vec_id for r in rows_in_cell if r.keep]
+        for r in rows_in_cell:
+            if r.keep:
+                continue
+            assert any(cos(r.vec_id, k) >= tau for k in kept), r.vec_id
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert cos(a, b) < tau, (a, b)
