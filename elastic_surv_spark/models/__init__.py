@@ -10,3 +10,4 @@ from elastic_surv_spark.models.serde import (  # noqa: F401
     model_to_json,
     save_model,
 )
+from elastic_surv_spark.models.grouped import fit_per_group  # noqa: F401
