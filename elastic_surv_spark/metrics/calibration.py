@@ -55,11 +55,20 @@ def d_calibration_km(
         F.col(time_col).cast("double").alias("_t"),
         F.col(event_col).cast("int").alias("_e"),
     )
+    # persist covers ONLY the two eager prep jobs (count + curve collect)
+    # and is released in the finally — a metric call must not leak cached
+    # partitions into a long-lived session running the full registry
+    # (ADVICE r9). The returned plan reads base exactly once (the single
+    # explode pass below), so dropping the cache costs one recompute of
+    # the caller's projection.
     base = quantize_times(base, "_t", max_curve_points).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n = base.count()
-    s_rows = km_curve(base, "_t", "_e", round_to=10).collect()
+    try:
+        n = base.count()
+        s_rows = km_curve(base, "_t", "_e", round_to=10).collect()
+    finally:
+        base.unpersist()
     smap = spark.createDataFrame(
         [(float(r["t"]), float(r["survival"])) for r in s_rows],
         "_t double, _p double",
@@ -68,38 +77,51 @@ def d_calibration_km(
     scored = base.join(F.broadcast(smap), "_t", "left").withColumn(
         "_p", F.coalesce("_p", F.lit(1.0))
     )
-    uncensored = scored.filter(F.col("_e") == 1).select(
-        F.least(
-            F.lit(n_bins - 1), F.floor(F.col("_p") * F.lit(n_bins))
-        ).cast("int").alias("bin"),
-        F.lit(1.0).alias("_mass"),
-    )
-    # censored: 1/p density on [0, p] -> per-bin overlap mass, map-side
-    b = F.col("bin").cast("double")
-    lo = b / F.lit(float(n_bins))
-    hi = (b + 1) / F.lit(float(n_bins))
-    censored = (
-        scored.filter(F.col("_e") == 0)
-        .select(
-            "_p",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
-        )
-        .select(
-            F.col("bin").cast("int").alias("bin"),
+    # ONE map-side pass emits every subject's per-bin mass rows: an
+    # uncensored subject is a single (bin, 1.0); a censored subject at p
+    # spreads 1/p density over the bins below p (Haider's handling; p = 0
+    # puts the whole mass in bin 0) — an n_bins-element transform+explode
+    # instead of the earlier two filtered scans of base.
+    def _censored_mass(bi):
+        lo = bi.cast("double") / F.lit(float(n_bins))
+        hi = (bi.cast("double") + 1) / F.lit(float(n_bins))
+        return (
             F.when(
                 F.col("_p") <= 0,
-                F.when(F.col("bin") == 0, 1.0).otherwise(0.0),
+                F.when(bi == F.lit(0), F.lit(1.0)).otherwise(F.lit(0.0)),
             )
             .otherwise(
                 F.greatest(F.lit(0.0), F.least(hi, F.col("_p")) - lo)
                 / F.col("_p")
             )
-            .alias("_mass"),
         )
-    )
+
+    per_bin = scored.select(
+        F.explode(
+            F.when(
+                F.col("_e") == 1,
+                F.array(
+                    F.struct(
+                        F.least(
+                            F.lit(n_bins - 1), F.floor(F.col("_p") * F.lit(n_bins))
+                        ).cast("int").alias("bin"),
+                        F.lit(1.0).alias("_mass"),
+                    )
+                ),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bins - 1)),
+                    lambda bi: F.struct(
+                        bi.cast("int").alias("bin"),
+                        _censored_mass(bi).alias("_mass"),
+                    ),
+                )
+            )
+        ).alias("bm")
+    ).select(F.col("bm.bin").alias("bin"), F.col("bm._mass").alias("_mass"))
     bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     masses = (
-        uncensored.unionByName(censored)
+        per_bin
         .groupBy("bin")
         .agg(
             F.round(

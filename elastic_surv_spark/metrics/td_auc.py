@@ -70,7 +70,13 @@ def cumulative_dynamic_auc(
                 / F.lit(float(step))
             )
         ).alias("_gt"),
-    )
+    ).distinct()
+    # ^ the floor coarsens horizons to the time column's granularity, so when
+    # tmax - tmin < n_times + 1 several grid rows collide on one _gt; without
+    # the distinct each subject would be classified once PER duplicate row and
+    # the groupBy would inflate n_cases/n_controls by the collision factor
+    # (auc itself cancels it — the counts wouldn't). _rmin/_rmax are constant,
+    # so the row-level distinct dedups exactly on _gt.
     # map-side classify + bin: subjects × n_times rows, integer statuses
     r_span = F.col("_rmax") - F.col("_rmin")
     bin_col = F.when(r_span <= 0, F.lit(0)).otherwise(
@@ -143,10 +149,12 @@ def cumulative_dynamic_auc_ipcw(
     round_to: int | None = 6,
 ) -> DataFrame:
     """Uno-style IPCW cumulative/dynamic AUC: every case reweights by
-    1/G(T⁻)² (G = censoring Kaplan-Meier), correcting the unweighted
+    1/G(T⁻) (G = censoring Kaplan-Meier), correcting the unweighted
     estimator's censoring bias (Uno et al. 2007; scikit-survival's
     ``cumulative_dynamic_auc`` with default ipcw — published definition,
-    independent implementation).
+    independent implementation). The case weight is LINEAR in 1/G — the
+    squared form 1/G² belongs to Uno's concordance statistic, not the
+    dynamic AUC (ADVICE r9).
 
     Same bin-grid plan as :func:`cumulative_dynamic_auc` — no pairwise
     join — plus the censoring-curve machinery the IPCW Brier row proved
@@ -169,16 +177,34 @@ def cumulative_dynamic_auc_ipcw(
         F.col(event_col).cast("int").alias("_e"),
         F.col(risk_col).cast("double").alias("_r"),
     )
+    # The persist covers ONLY the eager prep jobs below (censoring curve,
+    # bounds) and is released in the finally — a metric call must not leak
+    # cached partitions into a long-lived session that runs the whole
+    # registry (ADVICE r9). The returned plan reads base exactly once, so
+    # dropping the cache costs one recompute of the caller's projection.
     base = quantize_times(base, "_t", max_curve_points).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # bounded censoring curve; lag gives G(t-) per curve point
-    g_rows = sorted(
-        km_curve(
-            base.withColumn("_cens", 1 - F.col("_e")), "_t", "_cens", round_to=10
-        ).collect(),
-        key=lambda r: float(r["t"]),  # km_curve outputs the time as "t"
-    )
+    try:
+        # bounded censoring curve; lag gives G(t-) per curve point
+        g_rows = sorted(
+            km_curve(
+                base.withColumn("_cens", 1 - F.col("_e")), "_t", "_cens", round_to=10
+            ).collect(),
+            key=lambda r: float(r["t"]),  # km_curve outputs the time as "t"
+        )
+        b = base.agg(
+            F.min("_t").alias("_tmin"),
+            F.max("_t").alias("_tmax"),
+            F.min("_r").alias("_rmin"),
+            F.max("_r").alias("_rmax"),
+        ).first()
+    finally:
+        base.unpersist()
+    if b is None or b["_tmin"] is None:
+        return spark.createDataFrame(
+            [], "t double, n_cases long, n_controls long, auc double"
+        )
     gprev = spark.createDataFrame(
         [
             (float(g_rows[i]["t"]), float(g_rows[i - 1]["survival"]) if i > 0 else 1.0)
@@ -186,33 +212,23 @@ def cumulative_dynamic_auc_ipcw(
         ],
         "_t double, _g_tminus double",
     )
-    bounds = base.agg(
-        F.min("_t").alias("_tmin"),
-        F.max("_t").alias("_tmax"),
-        F.min("_r").alias("_rmin"),
-        F.max("_r").alias("_rmax"),
+    tmin, tmax = float(b["_tmin"]), float(b["_tmax"])
+    rmin, rmax = float(b["_rmin"]), float(b["_rmax"])
+    # horizons as driver-side literals (the bounds row is already eager for
+    # the unpersist above); dict.fromkeys dedups a degenerate tmin == tmax
+    # span without reordering
+    horizons = list(
+        dict.fromkeys(tmin + i * (tmax - tmin) / step for i in range(1, n_times + 1))
     )
-    grid = bounds.select(
-        "_rmin",
-        "_rmax",
-        F.explode(F.sequence(F.lit(1), F.lit(n_times))).alias("_i"),
-        "_tmin",
-        "_tmax",
-    ).select(
-        "_rmin",
-        "_rmax",
-        (
-            F.col("_tmin")
-            + F.col("_i") * (F.col("_tmax") - F.col("_tmin")) / F.lit(float(step))
-        ).alias("_gt"),
-    )
-    r_span = F.col("_rmax") - F.col("_rmin")
-    bin_col = F.when(r_span <= 0, F.lit(0)).otherwise(
-        F.least(
+    grid = spark.createDataFrame([(h,) for h in horizons], "_gt double")
+    r_span = rmax - rmin
+    if r_span <= 0:
+        bin_col = F.lit(0)
+    else:
+        bin_col = F.least(
             F.lit(n_bins - 1),
-            F.floor((F.col("_r") - F.col("_rmin")) / r_span * F.lit(n_bins)),
+            F.floor((F.col("_r") - F.lit(rmin)) / F.lit(r_span) * F.lit(n_bins)),
         )
-    )
     is_case = (F.col("_t") <= F.col("_gt")) & (F.col("_e") == 1)
     cls = (
         base.join(F.broadcast(gprev), "_t", "left")
@@ -223,10 +239,7 @@ def cumulative_dynamic_auc_ipcw(
             bin_col.cast("int").alias("_bin"),
             is_case.cast("long").alias("_case"),
             (F.col("_t") > F.col("_gt")).cast("long").alias("_control"),
-            F.when(
-                is_case & (F.col("_g") > 0),
-                F.lit(1.0) / (F.col("_g") * F.col("_g")),
-            )
+            F.when(is_case & (F.col("_g") > 0), F.lit(1.0) / F.col("_g"))
             .otherwise(0.0)
             .alias("_w"),
         )

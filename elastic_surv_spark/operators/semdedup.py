@@ -64,6 +64,10 @@ def semantic_dedup(
     from elastic_surv_spark.operators.pq import fit_coarse_centroids
     from elastic_surv_spark.sources.parquet import spread_partitions
 
+    # the grouped-apply output schema carries the CALLER's id type (long,
+    # string, decimal, …) — same derivation as models/grouped.py's group
+    # column; a hardcoded `long` made string ids fail the apply (ADVICE r9)
+    id_type = corpus.schema[id_col].dataType.simpleString()
     n = corpus.count()
     n_cells = n_cells or max(2, int(n**0.5 / 2))
     base = spread_partitions(corpus).select(F.col(id_col), F.col(vec_col))
@@ -95,7 +99,10 @@ def semantic_dedup(
         norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 vs everything
         Xn = X / norms
         keep = np.ones(m, dtype=bool)
-        kept_by = np.full(m, -1, dtype=np.int64)
+        # object dtype: kept_by holds id VALUES of the caller's id type
+        # (long, string, …) with None on kept rows — Arrow coerces to the
+        # derived schema type
+        kept_by = np.full(m, None, dtype=object)
         kept_cos = np.full(m, np.nan)
         kept_rows: list[int] = []
         for i in range(m):
@@ -113,13 +120,13 @@ def semantic_dedup(
                 id_col: ids,
                 "cell": cell,
                 "keep": keep,
-                "kept_by": np.where(keep, None, kept_by),
+                "kept_by": kept_by,
                 "kept_by_cosine": kept_cos,
             }
         )
 
     return assigned.groupBy("cell").applyInPandas(
         cell_dedup,
-        schema=f"{id_col} long, cell int, keep boolean, "
-        "kept_by long, kept_by_cosine double",
+        schema=f"{id_col} {id_type}, cell int, keep boolean, "
+        f"kept_by {id_type}, kept_by_cosine double",
     )

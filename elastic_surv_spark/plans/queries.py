@@ -6622,7 +6622,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(risk) AS rmin, max(risk) AS rmax
         FROM surv
     ), grid AS (
-        SELECT tmin + CAST(floor(i * CAST(tmax - tmin AS DOUBLE) / 9.0) AS BIGINT) AS gt,
+        SELECT DISTINCT tmin + CAST(floor(i * CAST(tmax - tmin AS DOUBLE) / 9.0) AS BIGINT) AS gt,
                rmin, rmax
         FROM bounds, (SELECT unnest(range(1, 9)) AS i)
     ), cls AS (
@@ -6798,7 +6798,7 @@ def dcal_km_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN s.t <= g2.gt AND s.e = 1 THEN 1 ELSE 0 END AS c_case,
                CASE WHEN s.t > g2.gt THEN 1 ELSE 0 END AS c_ctrl,
                CASE WHEN s.t <= g2.gt AND s.e = 1 AND s.g > 0
-                    THEN 1.0 / (s.g * s.g) ELSE 0.0 END AS w
+                    THEN 1.0 / s.g ELSE 0.0 END AS w
         FROM weighted s, grid g2
         WHERE (s.t <= g2.gt AND s.e = 1) OR s.t > g2.gt
     ), counts AS (
@@ -6825,8 +6825,9 @@ def dcal_km_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def td_auc_ipcw_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uno-style IPCW time-dependent AUC (metrics/td_auc.py:
     cumulative_dynamic_auc_ipcw): td_auc_user_activity's framing with
-    every case reweighted by 1/G(T⁻)² from the censoring Kaplan-Meier —
-    the censoring-bias-corrected estimator (scikit-survival's default).
+    every case reweighted by 1/G(T⁻) from the censoring Kaplan-Meier —
+    the censoring-bias-corrected estimator (scikit-survival's default;
+    linear weights per Uno's dynamic AUC, not the concordance 1/G²).
 
     Scale: the td-AUC bin grid (no pairwise join) + the IPCW Brier row's
     curve machinery — upfront ≤512-bin time quantization in BOTH engines

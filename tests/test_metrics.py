@@ -565,6 +565,24 @@ def test_td_auc_perfect_and_constant_scores(spark):
     assert len(got2) > 0 and all(r.auc == 0.5 for r in got2)
 
 
+def test_td_auc_short_span_horizons_collide_without_inflation(spark):
+    # tmax - tmin < n_times + 1: the floored horizon offsets collide, and
+    # before the grid dedup each subject was classified once PER duplicate
+    # horizon row — n_cases/n_controls inflated by the collision factor
+    # (ADVICE r9). With the dedup, every horizon's counts are bounded by n.
+    from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc
+
+    rows = [(1 + i % 5, 1, float(10 - i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "t long, e int, risk double")
+    got = cumulative_dynamic_auc(df, "t", "e", "risk", n_times=8).collect()
+    ts = [r.t for r in got]
+    assert len(ts) == len(set(ts))  # one output row per distinct horizon
+    for r in got:
+        assert r.n_cases + r.n_controls <= 50, r
+    # perfectly anti-concordant risk still reads AUC 1.0 at every horizon
+    assert all(r.auc == 1.0 for r in got)
+
+
 def test_td_auc_ipcw_matches_numpy_reference(spark):
     from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc_ipcw
 
@@ -582,8 +600,9 @@ def test_td_auc_ipcw_matches_numpy_reference(spark):
         for r in cumulative_dynamic_auc_ipcw(df, "t", "e", "risk").collect()
     }
 
-    # independent numpy mirror: censoring KM at 1e-10, lagged G, 1/G^2
-    # case weights, 256 fixed-width risk bins, 8 horizons
+    # independent numpy mirror: censoring KM at 1e-10, lagged G, LINEAR
+    # 1/G case weights (Uno's dynamic-AUC form — 1/G^2 is the concordance
+    # statistic's weight), 256 fixed-width risk bins, 8 horizons
     def km(t, ev):
         ts = np.unique(t)
         s, out = 1.0, {}
@@ -598,7 +617,7 @@ def test_td_auc_ipcw_matches_numpy_reference(spark):
     def g_minus(x):
         i = np.searchsorted(gts, x, side="left") - 1
         return gvals[i] if i >= 0 else 1.0
-    W = np.array([1.0 / g_minus(t) ** 2 if g_minus(t) > 0 else 0.0 for t in T])
+    W = np.array([1.0 / g_minus(t) if g_minus(t) > 0 else 0.0 for t in T])
     rmin, rmax = R.min(), R.max()
     bins = np.minimum(255, np.floor((R - rmin) / (rmax - rmin) * 256)).astype(int)
     tmin, tmax = T.min(), T.max()

@@ -105,6 +105,27 @@ def test_semantic_dedup_registry_summary(spark):
     assert r.independence_ok is True
 
 
+def test_semantic_dedup_string_ids(spark):
+    # the grouped-apply schema derives the id type from the input (ADVICE
+    # r9: a hardcoded `long` failed string/decimal ids); greedy order is
+    # lexicographic for string ids
+    df = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0, 0.0, 0.0]),
+            ("doc-b", [1.0, 1e-4, 0.0, 0.0]),
+            ("doc-c", [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(df, tau=0.9, n_cells=2).collect()}
+    assert set(out) == {"doc-a", "doc-b", "doc-c"}
+    assert out["doc-c"].keep is True
+    if out["doc-a"].cell == out["doc-b"].cell:
+        assert out["doc-a"].keep is True and out["doc-b"].keep is False
+        assert out["doc-b"].kept_by == "doc-a"
+        assert out["doc-b"].kept_by_cosine >= 0.9
+
+
 def test_semantic_dedup_zero_vector_survives(spark):
     # zero vectors define cosine 0 against everything: never dropped, never
     # block others
