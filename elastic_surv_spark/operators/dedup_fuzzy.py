@@ -15,6 +15,10 @@ North-star operators (SURVEY §2.12). Three tiers, same semantics target
 - ``simhash64`` — 64-bit SimHash signatures (Charikar); near-dups = small
   Hamming distance, found by 16-bit chunk banding (pigeonhole: distance ≤ 3
   ⇒ some chunk equal).
+
+``incremental_near_dedup`` (r10) is the append-only-ingest shape: a new
+batch joins the history's persisted :func:`band_index` table instead of
+re-signing the corpus, and exact verification touches only candidate docs.
 """
 
 from __future__ import annotations
@@ -216,6 +220,48 @@ def minhash_signatures(
     )
 
 
+def band_index(
+    df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    tokenized: DataFrame | None = None,
+) -> DataFrame:
+    """LSH band-index rows ``(id, band, key)`` — k minhashes banded into
+    ``bands`` 8-byte keys (hash of r = k/bands minhashes each).
+
+    This IS the table-resident near-dup state for incremental ingest: persist
+    it keyed on (band, key) — bucketed at scale — and a new batch's banded
+    signatures join it to propose candidates without touching the corpus
+    text. Same banding as :func:`minhash_lsh_pairs` (which consumes this),
+    so an index built once serves both the one-shot and incremental paths.
+    """
+    rows_per_band = k // bands
+    if tokenized is None:
+        tokenized = _tokenized(df, id_col, text_col, n)
+    flat = _minhash_flat(tokenized, id_col, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"_m{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return flat.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band"), F.col("bk.key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -237,28 +283,12 @@ def minhash_lsh_pairs(
     ``tokenized`` optionally supplies a prebuilt (id, _sh) frame (the
     :func:`_tokenized` shape) shared with the rest of the dedup family.
     """
-    rows_per_band = k // bands
     if tokenized is None:
         tokenized = _tokenized(df, id_col, text_col, n)
-    flat = _minhash_flat(tokenized, id_col, k)
-    band_cols = [
-        F.xxhash64(
-            F.lit(b),
-            *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"_band_{b}")
-        for b in range(bands)
-    ]
-    banded = flat.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"_band_{b}").alias("key")) for b in range(bands)])
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
-
     # Band join carries only (id, band, key) — 24-byte rows; shingle arrays
     # re-join afterwards (from the tokenized barrier) for the (few)
     # surviving candidate pairs, so signature and array stay decoupled.
+    exploded = band_index(None, id_col, text_col, n, k, bands, tokenized=tokenized)
     left = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
     right = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
@@ -268,6 +298,108 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _verified_jaccard_pairs(cand, tokenized, id_col, threshold, round_to)
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    history: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    round_to: int = 6,
+    history_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup decision table for a NEW ingest batch against an ingested
+    corpus: one row per batch doc — ``(id, dup_of_history, dup_in_batch,
+    keep)`` with ``keep = NOT dup_of_history AND NOT dup_in_batch``.
+
+    The production shape of MinHash-LSH dedup (the near-dup twin of
+    ``operators/dedup.py:incremental_dedup``): the corpus is append-only, so
+    each ingest proposes candidates by joining the batch's banded signatures
+    against the HISTORY'S BAND INDEX (``history_bands``, the persisted
+    :func:`band_index` table — pass it to skip re-signing the corpus), then
+    verifies ONLY the surviving candidates with exact shingle Jaccard
+    against the few matched history docs (semi-join prunes the history
+    tokenize to candidate ids). Within-batch duplicates use the
+    deterministic earlier-id rule: a batch doc is ``dup_in_batch`` iff SOME
+    smaller-id batch doc is within the threshold (SQL-expressible EXISTS
+    semantics, not a greedy chain).
+
+    Shuffle: O(batch × bands) band keys against the (bucketed) index +
+    O(candidates) verification postings — the history is never re-scanned
+    beyond the candidate semi-join. Batch and history ids must be disjoint
+    (append-only corpus ids are). Docs too short to shingle (< n words)
+    carry no signature, match nothing, and survive.
+
+    Recall matches :func:`minhash_lsh_pairs`: a true pair is missed only
+    when all bands miss (P ≈ (1-j^r)^b), so against an exact-Jaccard oracle
+    the decision table is exact whenever every qualifying pair's jaccard
+    clears the banding's effective recall floor (this corpus: j ≥ 0.89).
+    """
+    tok_b = _tokenized(batch, id_col, text_col, n)
+    bands_b = band_index(None, id_col, text_col, n, k, bands, tokenized=tok_b)
+
+    flags = []
+    if history is not None or history_bands is not None:
+        if history_bands is None:
+            history_bands = band_index(history, id_col, text_col, n, k, bands)
+        cross_cand = (
+            bands_b.select(F.col(id_col).alias("id_b"), "band", "key")
+            .join(
+                history_bands.select(F.col(id_col).alias("id_a"), "band", "key"),
+                ["band", "key"],
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        if history is not None:
+            # verification tokenizes ONLY candidate history docs
+            cand_hist = history.join(
+                cross_cand.select(F.col("id_a").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+            tok_h = _tokenized(cand_hist, id_col, text_col, n)
+            cross = _verified_jaccard_pairs(
+                cross_cand, tok_b.unionByName(tok_h), id_col, threshold, round_to
+            )
+        else:
+            raise ValueError(
+                "history_bands without history: candidate verification needs "
+                "the history docs — pass the corpus frame too"
+            )
+        flags.append(
+            cross.select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("dup_of_history", F.lit(True))
+        )
+    within_cand = (
+        bands_b.select(F.col(id_col).alias("id_a"), "band", "key")
+        .join(bands_b.select(F.col(id_col).alias("id_b"), "band", "key"), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    within = _verified_jaccard_pairs(within_cand, tok_b, id_col, threshold, round_to)
+    flags.append(
+        within.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+
+    out = batch.select(id_col)
+    for f in flags:
+        out = out.join(f, id_col, "left")
+    if history is None and history_bands is None:
+        out = out.withColumn("dup_of_history", F.lit(False))
+    return out.select(
+        F.col(id_col),
+        F.coalesce("dup_of_history", F.lit(False)).alias("dup_of_history"),
+        F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+    ).withColumn("keep", ~F.col("dup_of_history") & ~F.col("dup_in_batch"))
 
 
 def simhash64(

@@ -6935,6 +6935,85 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dedup_incremental_batch",
+    # Exact-Jaccard oracle in the inverted-index postings form (the
+    # all-pairs list_intersect form wedged the sf0.1 sweep — see
+    # ngram_jaccard_dupes). Oracle equality holds because every qualifying
+    # pair on this corpus clears the 8×2 banding's recall floor (same
+    # argument as minhash_lsh_dupes: miss P ≈ (1-j²)⁸ ≤ 4e-6 at j ≥ 0.89).
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM toks WHERE len(w) >= 3
+    ), post AS (SELECT doc_id, unnest(ts) AS g FROM sh
+    ), sz AS (SELECT doc_id, len(ts) AS n FROM sh
+    ), xinter AS (
+        SELECT p.doc_id AS id_b, q.doc_id AS id_a, count(*) AS i
+        FROM post p JOIN post q ON p.g = q.g
+        WHERE p.doc_id % 10 >= 7 AND q.doc_id % 10 < 7
+        GROUP BY 1, 2
+    ), hist_dup AS (
+        SELECT DISTINCT x.id_b AS doc_id FROM xinter x
+        JOIN sz sa ON sa.doc_id = x.id_a
+        JOIN sz sb ON sb.doc_id = x.id_b
+        WHERE round(x.i::DOUBLE / (sa.n + sb.n - x.i), 6) >= 0.5
+    ), winter AS (
+        SELECT p.doc_id AS id_b, q.doc_id AS id_a, count(*) AS i
+        FROM post p JOIN post q ON p.g = q.g
+        WHERE p.doc_id % 10 >= 7 AND q.doc_id % 10 >= 7 AND q.doc_id < p.doc_id
+        GROUP BY 1, 2
+    ), batch_dup AS (
+        SELECT DISTINCT w.id_b AS doc_id FROM winter w
+        JOIN sz sa ON sa.doc_id = w.id_a
+        JOIN sz sb ON sb.doc_id = w.id_b
+        WHERE round(w.i::DOUBLE / (sa.n + sb.n - w.i), 6) >= 0.5
+    )
+    SELECT b.doc_id,
+           (hd.doc_id IS NOT NULL) AS dup_of_history,
+           (bd.doc_id IS NOT NULL) AS dup_in_batch,
+           (hd.doc_id IS NULL AND bd.doc_id IS NULL) AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7) b
+    LEFT JOIN hist_dup hd ON b.doc_id = hd.doc_id
+    LEFT JOIN batch_dup bd ON b.doc_id = bd.doc_id
+    """,
+)
+def near_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (operators/dedup_fuzzy.py:
+    incremental_near_dedup): a new batch (doc_id % 10 >= 7, the same
+    today's-ingest split as dedup_incremental_batch) joins its banded
+    MinHash signatures against the history's band index, verifies only the
+    surviving candidates with exact 3-shingle Jaccard, and emits the full
+    decision table — (doc_id, dup_of_history, dup_in_batch, keep) with the
+    deterministic earlier-id rule within the batch.
+
+    Scale: the history's near-dup state is the table-resident band index
+    (band_index — at 100 TB a bucketed (band, key) table the new batch
+    joins without re-signing the corpus); verification tokenizes ONLY the
+    candidate history docs (semi-join pruned). The streaming twin
+    (streaming/ingest.py:near_ingest_batch_incremental) commits survivors
+    + their band rows per epoch with the exclude-own-epoch exactly-once
+    construction.
+    """
+    from elastic_surv_spark.operators.dedup_fuzzy import incremental_near_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_near_dedup(
+        d.filter(F.col("doc_id") % 10 >= 7),
+        d.filter(F.col("doc_id") % 10 < 7),
+        "doc_id",
+        "text",
+        n=3,
+        k=16,
+        bands=8,
+        threshold=0.5,
+    )
+
+
+@query(
     "embedding_semantic_dedup",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,

@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "ingest_batch_incremental",
     "run_incremental_ingest",
+    "near_ingest_batch_incremental",
+    "run_incremental_near_ingest",
     "compact_history",
     "latest_committed_batch",
 ]
@@ -241,6 +243,119 @@ def compact_history(
     stage_fs, stage_path = _fs_and_path(spark, staging)
     stage_fs.delete(stage_path, True)
     return len(fold_ids)
+
+
+def near_ingest_batch_incremental(
+    batch_df: DataFrame,
+    batch_id: int,
+    history_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> None:
+    """Commit one micro-batch's NEAR-dup survivors (foreachBatch body).
+
+    The MinHash-LSH twin of :func:`ingest_batch_incremental`: the history
+    root holds two epoch-partitioned tables — ``docs/`` (the kept corpus)
+    and ``bands/`` (its :func:`~elastic_surv_spark.operators.dedup_fuzzy.
+    band_index`, the table-resident near-dup state). A batch's banded
+    signatures join the band index to propose candidates, exact Jaccard
+    verifies only those, and survivors land under this epoch's partition in
+    BOTH tables with the same dynamic-overwrite + exclude-own-epoch
+    construction — so a replayed micro-batch recomputes the identical
+    survivor set and overwrites its own partitions byte-identically
+    (exactly-once, state in the table, not the stream). The epoch's band
+    rows are derived by reading back the just-committed docs partition, so
+    the two tables can never disagree.
+
+    At 100 TB: keep both tables bucketed — ``bands`` on (band, key) so the
+    candidate join shuffles only the new batch, ``docs`` on the id so the
+    verification semi-join prunes to candidate docs. ``compact_history``
+    applies to both tables unchanged (same ``_batch_id`` layout).
+    """
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        band_index,
+        incremental_near_dedup,
+    )
+
+    spark = batch_df.sparkSession
+    root = history_root.rstrip("/")
+    docs_path, bands_path = f"{root}/docs", f"{root}/bands"
+    hist_docs = _read_history(spark, docs_path, batch_id)
+    hist_bands = _read_history(spark, bands_path, batch_id)
+    if hist_docs is not None and hist_bands is not None:
+        hist_bands = hist_bands.select(id_col, "band", "key")
+    else:
+        # a half-initialized root (bands table lost) falls back to
+        # re-signing the history docs inside the operator
+        hist_bands = None
+
+    decisions = incremental_near_dedup(
+        batch_df,
+        hist_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        history_bands=hist_bands,
+    )
+    survivors = batch_df.join(
+        decisions.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    ).withColumn("_batch_id", F.lit(int(batch_id)))
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(docs_path)
+    )
+    # epoch band rows derive from the COMMITTED docs partition (read-back),
+    # so a replay regenerates them from the same bytes it just wrote
+    committed = spark.read.parquet(docs_path).filter(
+        F.col("_batch_id") == int(batch_id)
+    )
+    (
+        band_index(committed, id_col, text_col, n, k, bands)
+        .withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(bands_path)
+    )
+
+
+def run_incremental_near_ingest(
+    stream_df: DataFrame,
+    history_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> None:
+    """Drive a bounded document stream through the near-dup ingest sink."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        near_ingest_batch_incremental(
+            batch_df, batch_id, history_root, text_col, id_col, n, k, bands, threshold
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_incremental_ingest(
