@@ -1,0 +1,179 @@
+"""Model-based document quality filtering (fastText-style, public technique).
+
+The heuristic ``functions/text.py:quality_score`` mixes fixed length/
+stopword/punctuation signals; production LLM pipelines complement it with a
+LEARNED filter: a linear classifier over hashed bag-of-token features
+(Joulin et al. 2016, "Bag of Tricks for Efficient Text Classification" —
+public paper; independent implementation). This module provides both
+halves Spark-first:
+
+- :func:`fit_quality_classifier` — seeded, deterministic logistic
+  regression on a BOUNDED sample (same driver-side-fit posture as the
+  IVF/PQ quantizers in ``operators/pq.py``: a linear text filter needs a
+  representative labeled sample, never the corpus). The sample is drawn
+  with a deterministic ``xxhash64`` top-k (no full sort, no RNG order
+  dependence).
+- :func:`apply_quality_model` — the 100 TB path: one map-only Arrow pass
+  (``mapInPandas``) scoring every document, no shuffle, no driver data.
+
+Engine-exact scoring (the registry float-parity recipe): weights quantize
+to MILLI units (integers, 1e-3 resolution — far below any filter's
+decision noise), so the per-doc logit numerator Σ w_milli[bucket(token)]
+is an exact integer and the logit ``z = bias + swc / (1000·n_tokens)`` is
+one IEEE division + addition — bit-identical in any engine. The token →
+bucket map is the classic 31-polynomial rolling hash over code points mod
+2³² (Java ``String.hashCode`` shape), expressible in ANSI-ish SQL via a
+list fold — which is what makes the APPLY path oracle-certifiable
+(``doc_quality_model_scores``), unlike an opaque binary classifier.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_bucket",
+    "pseudo_weights",
+    "apply_quality_model",
+    "fit_quality_classifier",
+]
+
+_MASK32 = 0xFFFFFFFF
+
+
+def token_bucket(token: str, n_buckets: int) -> int:
+    """31-polynomial rolling hash over code points, mod 2³², mod buckets —
+    the hashing-trick bucket for one token. Mirrors the SQL fold
+    ``list_reduce([codepoints], (a, b) -> (a*31 + b) % 2^32) % n_buckets``
+    exactly (fold-from-first ≡ fold-from-0 because 0·31 + c₁ = c₁)."""
+    h = 0
+    for ch in token:
+        h = (h * 31 + ord(ch)) & _MASK32
+    return h % n_buckets
+
+
+def pseudo_weights(n_buckets: int = 64) -> np.ndarray:
+    """Fixed deterministic weight vector in [-1, 1] (Knuth-hash spread,
+    milli-exact): the certification weights for the apply path — both
+    engines regenerate them from the same arithmetic, no weight literal
+    shipping needed."""
+    j = np.arange(n_buckets, dtype=np.int64)
+    return ((j * 2654435761) % 2001 - 1000) / 1000.0
+
+
+def apply_quality_model(
+    df: DataFrame,
+    weights: np.ndarray,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Score every document under a linear hashed-bag-of-tokens model:
+    ``(id, n_tokens, score, keep)`` with ``score = σ(bias + w·x)``,
+    ``x_j = count(bucket j) / n_tokens`` and ``keep ⟺ logit ≥ 0``.
+
+    Map-only Arrow pass — at 100 TB this fuses into the scan with zero
+    shuffle. Weights quantize to milli units so the logit numerator is an
+    exact integer sum (order-free, engine-portable; see module docstring).
+    Documents with no non-whitespace token are dropped (no features to
+    score). ``keep`` derives from the logit sign, not the rounded score,
+    so the decision is exact.
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    n_buckets = len(w)
+    milli = np.round(w * 1000.0).astype(np.int64)
+    bias = float(bias)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens long, score double, keep boolean"
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            ids, ns, scores, keeps = [], [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = txt.split() if isinstance(txt, str) else []
+                n = len(toks)
+                if n == 0:
+                    continue
+                swc = 0
+                for t in toks:
+                    j = cache.get(t)
+                    if j is None:
+                        j = token_bucket(t, n_buckets)
+                        cache[t] = j
+                    swc += int(milli[j])
+                z = bias + swc / (1000.0 * n)
+                ids.append(doc_id)
+                ns.append(n)
+                scores.append(round(1.0 / (1.0 + math.exp(-z)), round_to))
+                keeps.append(z >= 0.0)
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": ns, "score": scores, "keep": keeps}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(score_batches, schema=schema)
+
+
+def _features(texts: list[str], n_buckets: int) -> np.ndarray:
+    X = np.zeros((len(texts), n_buckets), dtype=np.float64)
+    cache: dict[str, int] = {}
+    for i, txt in enumerate(texts):
+        toks = txt.split() if isinstance(txt, str) else []
+        if not toks:
+            continue
+        for t in toks:
+            j = cache.get(t)
+            if j is None:
+                j = token_bucket(t, n_buckets)
+                cache[t] = j
+            X[i, j] += 1.0
+        X[i] /= len(toks)
+    return X
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    sample: int = 100_000,
+    epochs: int = 300,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> tuple[np.ndarray, float]:
+    """Fit the logistic filter on a bounded labeled sample; returns
+    ``(weights, bias)`` for :func:`apply_quality_model`.
+
+    Deterministic end to end: the ≤``sample``-row subset is the xxhash64
+    top-k of the ids (TakeOrdered — map-side heaps, no full sort, no
+    RNG/row-order dependence), the init is zeros, and full-batch gradient
+    descent on the convex loss needs no shuffling. Milli-quantization at
+    apply time costs nothing a 1e-3-resolution linear filter can measure.
+    """
+    rows = (
+        df.select(F.col(text_col), F.col(label_col).cast("double").alias("_y"))
+        .sort(F.xxhash64(F.col(id_col)))
+        .limit(int(sample))
+        .collect()
+    )
+    texts = [r[text_col] for r in rows]
+    y = np.array([float(r["_y"]) for r in rows])
+    X = _features(texts, n_buckets)
+    m = max(len(texts), 1)
+    w = np.zeros(n_buckets)
+    b = 0.0
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / m + l2 * w)
+        b -= lr * float(g.mean())
+    return w, b

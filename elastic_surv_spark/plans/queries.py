@@ -1385,6 +1385,60 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
 
 
+@query(
+    "doc_quality_model_scores",
+    # The apply path of the LEARNED quality filter under fixed
+    # certification weights: both engines regenerate the same milli-integer
+    # weight vector arithmetically, fold the same 31-polynomial token hash,
+    # and the logit numerator is an exact integer sum — so the score is one
+    # IEEE division + sigmoid away from bit-parity (keep derives from the
+    # logit SIGN, exp-free).
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), tokc AS (
+        SELECT doc_id, t FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        WHERE t <> ''
+    ), nt AS (
+        SELECT doc_id, count(*) AS n FROM tokc GROUP BY doc_id
+    ), tb AS (
+        SELECT doc_id,
+               list_reduce([CAST(unicode(t[i]) AS BIGINT)
+                            for i in range(1, len(t) + 1)],
+                           (a, b) -> (a * 31 + b) % 4294967296) % 64 AS j
+        FROM tokc
+    ), swc AS (
+        SELECT doc_id, sum((j * 2654435761) % 2001 - 1000) AS s
+        FROM tb GROUP BY doc_id
+    )
+    SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(CAST(s.s AS DOUBLE) / (1000.0 * n.n)))), 6) AS score,
+           (s.s >= 0) AS keep
+    FROM nt n JOIN swc s ON n.doc_id = s.doc_id
+    """,
+)
+def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, apply path (operators/quality_model.py
+    — fastText-style hashed bag-of-tokens logistic filter, Joulin et al.
+    2016): every document scored in ONE map-only Arrow pass under the fixed
+    certification weight vector (pseudo_weights — regenerated identically
+    by both engines, so the oracle certifies the whole apply plumbing:
+    tokenize → 31-poly bucket hash → exact milli-integer dot product →
+    logit). Training (fit_quality_classifier: bounded deterministic sample
+    + seedless convex GD) is pytest-certified — planted-noise AUC > 0.8.
+
+    Scale: zero shuffle — the scoring fuses into the documents scan; the
+    64-bucket weight vector rides in the task closure.
+    """
+    from elastic_surv_spark.operators.quality_model import (
+        apply_quality_model,
+        pseudo_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return apply_quality_model(d, pseudo_weights(64), bias=0.0)
+
+
 def _shared_frames(cache: dict, max_entries: int, spark, key, build):
     """Session-scoped persisted-frame cache with a single lifecycle rule
     shared by every module-level cache here (_DOC_SHINGLES, _VOCAB_COUNTS,

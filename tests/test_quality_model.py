@@ -1,0 +1,113 @@
+"""Model-based quality filter (operators/quality_model.py): python-mirror
+exactness of the apply path, determinism of the bounded-sample trainer, and
+planted-noise separation (the r9 brief's AUC > 0.8 gate)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from elastic_surv_spark.operators.quality_model import (
+    apply_quality_model,
+    fit_quality_classifier,
+    pseudo_weights,
+    token_bucket,
+)
+
+CLEAN_VOCAB = (
+    "the quick brown fox jumps over lazy dog spark catalyst optimizer "
+    "parquet shuffle partition broadcast join filter aggregate window "
+    "stream batch table column schema query plan"
+).split()
+
+
+def _clean_doc(rng, n=20):
+    return " ".join(rng.choice(CLEAN_VOCAB) for _ in range(n))
+
+
+def _noisy_doc(rng, n=20):
+    return " ".join(format(rng.getrandbits(40), "x") for _ in range(n))
+
+
+def _corpus(seed=3, n_clean=120, n_noisy=120):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_clean):
+        rows.append((i, _clean_doc(rng), 1))
+    for i in range(n_noisy):
+        rows.append((n_clean + i, _noisy_doc(rng), 0))
+    return rows
+
+
+def test_apply_matches_python_mirror(spark):
+    w = pseudo_weights(64)
+    milli = np.round(w * 1000).astype(np.int64)
+    rows = [(1, "alpha beta gamma"), (2, "alpha  alpha"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in apply_quality_model(df, w).collect()}
+    # zero-token docs are dropped
+    assert set(got) == {1, 2}
+    for doc_id, text in rows[:2]:
+        toks = text.split()
+        swc = sum(int(milli[token_bucket(t, 64)]) for t in toks)
+        z = swc / (1000.0 * len(toks))
+        assert got[doc_id].n_tokens == len(toks)
+        assert got[doc_id].score == round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert got[doc_id].keep == (z >= 0.0)
+
+
+def test_token_bucket_is_the_sql_fold():
+    # fold-from-first-element (DuckDB list_reduce) == fold-from-0 (python),
+    # and the 31-poly stays in 32 bits
+    for t in ["a", "ab", "spark", "日本語", "x" * 100]:
+        codes = [ord(c) for c in t]
+        h = codes[0]
+        for c in codes[1:]:
+            h = (h * 31 + c) % 2**32
+        assert token_bucket(t, 64) == h % 64
+
+
+def test_fit_separates_planted_noise_auc(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter("doc_id % 2 = 0")
+    test = df.filter("doc_id % 2 = 1")
+    w, b = fit_quality_classifier(train, "label", n_buckets=64)
+    scored = {r.doc_id: r.score for r in apply_quality_model(test, w, b).collect()}
+    labels = {i: y for i, _, y in rows}
+    pos = sorted(s for i, s in scored.items() if labels[i] == 1)
+    neg = sorted(s for i, s in scored.items() if labels[i] == 0)
+    assert pos and neg
+    # exact rank AUC
+    wins = sum(
+        (s > t) + 0.5 * (s == t) for s in pos for t in neg
+    )
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.8, auc
+    # the learned filter keeps most clean docs and drops most noise
+    kept = {r.doc_id: r.keep for r in apply_quality_model(test, w, b).collect()}
+    clean_kept = sum(kept[i] for i in kept if labels[i] == 1) / len(pos)
+    noise_kept = sum(kept[i] for i in kept if labels[i] == 0) / len(neg)
+    assert clean_kept > noise_kept
+
+
+def test_fit_is_deterministic(spark):
+    rows = _corpus(seed=9, n_clean=40, n_noisy=40)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w1, b1 = fit_quality_classifier(df, "label", n_buckets=32, epochs=50)
+    w2, b2 = fit_quality_classifier(df, "label", n_buckets=32, epochs=50)
+    assert b1 == b2
+    assert np.array_equal(w1, w2)
+
+
+def test_fit_bounded_sample_is_deterministic_subset(spark):
+    rows = _corpus(seed=5, n_clean=60, n_noisy=60)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    # sample smaller than the corpus: still deterministic (xxhash64 top-k)
+    w1, b1 = fit_quality_classifier(df, "label", n_buckets=32, sample=50, epochs=50)
+    w2, b2 = fit_quality_classifier(df, "label", n_buckets=32, sample=50, epochs=50)
+    assert b1 == b2 and np.array_equal(w1, w2)
