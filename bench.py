@@ -250,6 +250,24 @@ def main() -> None:
     if first and first in REGISTRY:
         order.sort(key=lambda kv: kv[0] != first)
 
+    from elastic_surv_spark.plans.queries import release_shared_caches
+
+    # Untimed throwaway of the first board query (r9 What's-wrong #3): the
+    # table/codegen warmups above never exercise the Python-worker/Arrow
+    # pipeline, so the first TIMED query used to absorb ~15 s of one-time
+    # JVM+Python cost (llm_data_pipeline_e2e read 23.0 s in-bench vs its
+    # own 5.6 s solo cold). Running that exact plan once before the clock
+    # pays the process-level cost; the shared family caches it builds are
+    # released so run 1 still pays the family build a fresh session would.
+    if order:
+        try:
+            order[0][1].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+        release_shared_caches()
+
     errors: dict[str, str] = {}
 
     def run_board() -> dict[str, float]:
@@ -300,8 +318,6 @@ def main() -> None:
     # truncated median is visible from the JSON alone.
     from statistics import median
 
-    from elastic_surv_spark.plans.queries import release_shared_caches
-
     try:
         board_runs = max(1, int(os.environ.get("SPARK_GRAFT_BOARD_RUNS", "3")))
     except ValueError:
@@ -314,10 +330,31 @@ def main() -> None:
     runs: list[dict[str, float]] = []
     budget_exhausted = False
     last_wall = 0.0
+    runs_planned = board_runs
     for i in range(board_runs):
         if i > 0:
             elapsed = time.perf_counter() - bench_start
+            if i == 1 and last_wall > 0:
+                # Honest re-plan from run 1's MEASURED wall (r9 task #5):
+                # either the full request fits the budget or the smaller
+                # plan is announced NOW, so a 2-run board reads as
+                # "planned 2, delivered 2" instead of a truncated median.
+                feasible = 1 + int(
+                    max(board_budget - elapsed, 0.0) // (1.1 * last_wall)
+                )
+                runs_planned = max(1, min(board_runs, feasible))
+                if runs_planned < board_runs:
+                    print(
+                        f"BOARD PLAN: {runs_planned}/{board_runs} run(s) fit "
+                        f"the {board_budget:.0f}s budget (run 1 wall "
+                        f"{last_wall:.0f}s)",
+                        file=sys.stderr,
+                    )
+            if i >= runs_planned:
+                break
             if elapsed + 1.1 * last_wall > board_budget:
+                # a mid-board slowdown below even the announced plan IS a
+                # truncation — keep it visible
                 budget_exhausted = True
                 print(
                     f"BOARD BUDGET: stopping after {i} run(s) "
@@ -376,7 +413,11 @@ def main() -> None:
         # len(runs) + budget_exhausted make a budget-truncated median
         # visible from the payload alone (the r8 "median of 2" ambiguity).
         "runs": run_totals,
-        "runs_planned": board_runs,
+        # runs_planned = the plan ANNOUNCED after run 1's measured wall
+        # (== len(runs) unless a mid-board slowdown truncated it);
+        # runs_requested = the configured N before budget fitting.
+        "runs_planned": runs_planned,
+        "runs_requested": board_runs,
         "budget_exhausted": budget_exhausted,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
