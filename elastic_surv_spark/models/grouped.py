@@ -40,7 +40,7 @@ from elastic_surv_spark.models.logistic_hazard import LogisticHazardModel
 from elastic_surv_spark.models.nn import MLP
 from elastic_surv_spark.models.serde import model_to_json
 
-__all__ = ["fit_per_group"]
+__all__ = ["fit_per_group", "fit_one_local"]
 
 _FAMILIES: dict[str, type[SurvModel]] = {
     "logistic_hazard": LogisticHazardModel,
@@ -102,6 +102,59 @@ def _np_harrell(t: np.ndarray, e: np.ndarray, risk: np.ndarray) -> float | None:
     return float((conc + 0.5 * tied) / n_comp)
 
 
+def fit_one_local(
+    family: str,
+    X: np.ndarray,
+    t: np.ndarray,
+    e: np.ndarray,
+    train_ratio: float = 0.9,
+    cindex_max_test: int = 2000,
+    **hparams: Any,
+) -> tuple[SurvModel, int, int, float, float | None]:
+    """Train ONE (family, hyperparams) config on a group's arrays — the
+    task-local kernel shared by :func:`fit_per_group` and the per-segment
+    successive-halving loop (models/grouped_hyperband.py). Returns
+    ``(model, n_train, n_test, val_loss, c_index)``; ``c_index`` is None
+    above ``cindex_max_test`` test rows or with no comparable pairs.
+    Deterministic given the seed in ``hparams`` (same math as the
+    reference's local trainer, src/elastic_surv/models/base.py:39-59).
+    """
+    if family not in _FAMILIES:
+        raise ValueError(f"unknown model family {family!r}: {sorted(_FAMILIES)}")
+    data = _LocalSplit(X, t, e, train_ratio)
+    Xtr, ttr, etr = data.train_numpy()
+    Xte, tte, ete = data.test_numpy()
+
+    m = _FAMILIES[family](in_features=data.in_features, **hparams)
+    if isinstance(m, (LogisticHazardModel, DeepHitModel)):
+        # equidistant cuts on the TRAIN prefix ≡ LabelTransform.fit
+        m.labtrans = LabelTransform(
+            np.linspace(0.0, float(ttr.max()), m.num_durations)
+        )
+        m.cuts = m.labtrans.cuts
+    out = m._out_features(data)  # labtrans already set: no Spark touched
+    m.net = MLP(
+        data.in_features,
+        m.hidden_nodes,
+        out,
+        batch_norm=m.batch_norm,
+        dropout=m.dropout,
+        output_bias=m._output_bias(),
+        seed=m.seed,
+    )
+    m._fit_local(data)
+    if isinstance(m, CoxPHModel):
+        _local_breslow(m, Xtr, ttr, etr)
+
+    val_targets = m._prepare_targets(tte, ete)
+    val_loss = m._epoch(Adam(m.net, lr=0.0), Xte, val_targets, training=False)
+    cidx = None
+    if 0 < len(Xte) <= cindex_max_test:
+        surv = m._surv_from_output(m.net.forward(Xte, training=False))
+        cidx = _np_harrell(tte, ete, -surv.sum(axis=1))
+    return m, len(Xtr), len(Xte), float(val_loss), cidx
+
+
 def fit_per_group(
     df: DataFrame,
     group_col: str,
@@ -159,38 +212,10 @@ def fit_per_group(
         if n < min_rows:
             return row(None, n, 0, None, None)
 
-        data = _LocalSplit(X, t, e, train_ratio)
-        Xtr, ttr, etr = data.train_numpy()
-        Xte, tte, ete = data.test_numpy()
-
-        m = _FAMILIES[family](in_features=data.in_features, **hparams)
-        if isinstance(m, (LogisticHazardModel, DeepHitModel)):
-            # equidistant cuts on the TRAIN prefix ≡ LabelTransform.fit
-            m.labtrans = LabelTransform(
-                np.linspace(0.0, float(ttr.max()), m.num_durations)
-            )
-            m.cuts = m.labtrans.cuts
-        out = m._out_features(data)  # labtrans already set: no Spark touched
-        m.net = MLP(
-            data.in_features,
-            m.hidden_nodes,
-            out,
-            batch_norm=m.batch_norm,
-            dropout=m.dropout,
-            output_bias=m._output_bias(),
-            seed=m.seed,
+        m, n_train, n_test, val_loss, cidx = fit_one_local(
+            family, X, t, e, train_ratio, cindex_max_test, **hparams
         )
-        m._fit_local(data)
-        if isinstance(m, CoxPHModel):
-            _local_breslow(m, Xtr, ttr, etr)
-
-        val_targets = m._prepare_targets(tte, ete)
-        val_loss = m._epoch(Adam(m.net, lr=0.0), Xte, val_targets, training=False)
-        cidx = None
-        if 0 < len(Xte) <= cindex_max_test:
-            surv = m._surv_from_output(m.net.forward(Xte, training=False))
-            cidx = _np_harrell(tte, ete, -surv.sum(axis=1))
-        return row(model_to_json(m), len(Xtr), len(Xte), float(val_loss), cidx)
+        return row(model_to_json(m), n_train, n_test, val_loss, cidx)
 
     return df.select(group_col, order_col, time_col, event_col, *feats).groupBy(
         group_col

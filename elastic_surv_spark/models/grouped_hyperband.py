@@ -1,0 +1,232 @@
+"""Per-segment Hyperband: successive halving whose rungs are grouped-map jobs.
+
+Composes the "many models" per-segment trainer (models/grouped.py — one
+``applyInPandas`` task per segment running the local-mode numpy trainer)
+with the reference's Hyperband rung math (optimizer.py ≡ reference
+src/elastic_surv/optimizer.py:127-165, Li et al. 2018): every rung trains
+each segment's SURVIVING configs at the rung's epoch budget in a single
+grouped-map job, scores them with the group-local exact Harrell C (the
+cross-family-comparable metric — a likelihood-scale val_loss is not), and
+keeps the top ``ceil(k/eta)`` PER SEGMENT — so different segments promote
+different configs, and the winning (family, hyperparams) is selected per
+segment, not globally. The final stage retrains each segment's winner at
+``output_epochs`` and emits its serde JSON (loadable without Spark).
+
+Scale contract: same as fit_per_group — one GROUP fits one task, group
+count × surviving configs is the parallelism; rung scores collected to the
+driver are bounded at segments × configs rows (the halving bookkeeping,
+not row data). Segments whose single survivor is decided stop training in
+later rungs (they re-enter only for the final full-budget fit).
+
+Deterministic end to end: seeded config sampling (the optimizer's dedup
+discipline), seeded trainers, and a (score desc, config index asc)
+promotion order so ties break to the earlier draw.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.models.grouped import _FAMILIES, fit_one_local
+from elastic_surv_spark.models.serde import model_to_json
+
+__all__ = ["successive_halving_per_segment", "sample_configs"]
+
+
+def sample_configs(
+    families: Sequence[str], n_configs: int, seed: int = 42
+) -> list[tuple[str, dict[str, Any]]]:
+    """Seeded, deduped (family, hyperparams) draws — the optimizer's
+    sampling discipline (optimizer.py:83-96) over family NAMES so the list
+    broadcasts into grouped-map closures as plain data."""
+    for f in families:
+        if f not in _FAMILIES:
+            raise ValueError(f"unknown model family {f!r}: {sorted(_FAMILIES)}")
+    rng = np.random.default_rng(seed)
+    out: list[tuple[str, dict[str, Any]]] = []
+    seen: set[str] = set()
+    attempts = 0
+    while len(out) < n_configs and attempts < n_configs * 20:
+        attempts += 1
+        fam = families[int(rng.integers(0, len(families)))]
+        params = _FAMILIES[fam].sample_hyperparameters(rng)
+        key = fam + json.dumps(params, sort_keys=True, default=float)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((fam, params))
+    return out
+
+
+def _clean(params: dict[str, Any]) -> dict[str, Any]:
+    kwargs = dict(params)
+    if "batch_norm" in kwargs:  # sampled as {0, 1} (optimizer.py:107)
+        kwargs["batch_norm"] = bool(kwargs["batch_norm"])
+    return kwargs
+
+
+def successive_halving_per_segment(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    time_col: str,
+    event_col: str,
+    feature_cols: list[str],
+    configs: list[tuple[str, dict[str, Any]]] | None = None,
+    families: Sequence[str] = ("logistic_hazard", "cox_ph"),
+    n_configs: int = 4,
+    eta: int = 3,
+    rung_epochs: int = 2,
+    output_epochs: int = 40,
+    seed: int = 42,
+    train_ratio: float = 0.9,
+    min_rows: int = 8,
+    cindex_max_test: int = 2000,
+) -> DataFrame:
+    """One selected-and-trained model per segment: ``(group, config_idx,
+    family, params_json, model_json, n_train, n_test, val_loss, c_index)``.
+
+    ``configs`` pins the candidate list explicitly (tests, reproducibility);
+    otherwise ``n_configs`` draws come from :func:`sample_configs` over
+    ``families``. Rung *i* trains survivors at ``rung_epochs · eta^i``
+    epochs; promotion keeps ``ceil(k/eta)`` per segment until one survives.
+    Segments with fewer than ``min_rows`` rows emit a NULL-model row
+    (config_idx -1), matching fit_per_group's degenerate-fit guard.
+    """
+    if eta < 2:
+        raise ValueError("eta must be >= 2 for halving to converge")
+    if configs is None:
+        configs = sample_configs(families, n_configs, seed)
+    if not configs:
+        raise ValueError("no configs to select from")
+    gtype = df.schema[group_col].dataType.simpleString()
+    feats = list(feature_cols)
+    base = df.select(group_col, order_col, time_col, event_col, *feats)
+
+    def _arrays(pdf: pd.DataFrame):
+        pdf = pdf.sort_values(order_col, ignore_index=True)
+        return (
+            pdf[feats].to_numpy(dtype=float),
+            pdf[time_col].to_numpy(dtype=float),
+            pdf[event_col].to_numpy(dtype=float),
+        )
+
+    # ---- rung loop: grouped-map per rung, bounded driver bookkeeping ---- #
+    def rung_udf(alive: dict, epochs: int):
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            gval = pdf[group_col].iloc[0]
+            if len(pdf) < min_rows:
+                return pd.DataFrame({group_col: [], "config_idx": [], "score": []})
+            X, t, e = _arrays(pdf)
+            rows = []
+            for idx in alive.get(gval, ()):
+                fam, params = configs[idx]
+                _, _, _, val_loss, cidx = fit_one_local(
+                    fam,
+                    X,
+                    t,
+                    e,
+                    train_ratio,
+                    cindex_max_test,
+                    epochs=max(int(epochs), 1),
+                    seed=seed,
+                    **_clean(params),
+                )
+                # group-local exact Harrell C: comparable ACROSS families
+                # (val_loss is each family's own likelihood scale); groups
+                # with no comparable pairs score the uninformative 0.5
+                rows.append((gval, idx, 0.5 if cidx is None else float(cidx)))
+            return pd.DataFrame(rows, columns=[group_col, "config_idx", "score"])
+
+        return run
+
+    groups = [r[0] for r in base.select(group_col).distinct().collect()]
+    alive: dict[Any, list[int]] = {g: list(range(len(configs))) for g in groups}
+    rung = 0
+    while any(len(v) > 1 for v in alive.values()):
+        active = [g for g, v in alive.items() if len(v) > 1]  # non-empty here
+        epochs = rung_epochs * eta**rung
+        scores = (
+            base.filter(F.col(group_col).isin(active))
+            .groupBy(group_col)
+            .applyInPandas(
+                rung_udf(alive, epochs),
+                schema=f"{group_col} {gtype}, config_idx int, score double",
+            )
+            .collect()  # bounded: active segments × surviving configs
+        )
+        by_group: dict[Any, list[tuple[float, int]]] = {}
+        for r in scores:
+            by_group.setdefault(r[group_col], []).append(
+                (float(r["score"]), int(r["config_idx"]))
+            )
+        for g in active:
+            ranked = sorted(by_group.get(g, []), key=lambda sc: (-sc[0], sc[1]))
+            if not ranked:  # below min_rows: decided as degenerate
+                alive[g] = []
+                continue
+            keep = max(1, math.ceil(len(ranked) / eta))
+            alive[g] = [idx for _, idx in ranked[:keep]]
+        rung += 1
+
+    # ---- final: retrain each segment's winner at the output budget ---- #
+    winners = {g: (v[0] if v else -1) for g, v in alive.items()}
+    schema = (
+        f"{group_col} {gtype}, config_idx int, family string, "
+        "params_json string, model_json string, n_train long, n_test long, "
+        "val_loss double, c_index double"
+    )
+
+    def final_udf(pdf: pd.DataFrame) -> pd.DataFrame:
+        gval = pdf[group_col].iloc[0]
+        idx = winners.get(gval, -1)
+
+        def row(ci, fam, pjson, mjson, n_train, n_test, vl, cx):
+            return pd.DataFrame(
+                {
+                    group_col: [gval],
+                    "config_idx": [ci],
+                    "family": [fam],
+                    "params_json": [pjson],
+                    "model_json": [mjson],
+                    "n_train": [n_train],
+                    "n_test": [n_test],
+                    "val_loss": [vl],
+                    "c_index": [cx],
+                }
+            )
+
+        if idx < 0 or len(pdf) < min_rows:
+            return row(-1, None, None, None, len(pdf), 0, None, None)
+        fam, params = configs[idx]
+        X, t, e = _arrays(pdf)
+        m, n_train, n_test, val_loss, cidx = fit_one_local(
+            fam,
+            X,
+            t,
+            e,
+            train_ratio,
+            cindex_max_test,
+            epochs=output_epochs,
+            seed=seed,
+            **_clean(params),
+        )
+        return row(
+            idx,
+            fam,
+            json.dumps(params, sort_keys=True, default=float),
+            model_to_json(m),
+            n_train,
+            n_test,
+            float(val_loss),
+            cidx,
+        )
+
+    return base.groupBy(group_col).applyInPandas(final_udf, schema=schema)
