@@ -41,7 +41,139 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["semantic_dedup"]
+__all__ = ["semantic_dedup", "semantic_dedup_incremental", "assign_cells"]
+
+
+def assign_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> Column:
+    """Nearest-centroid cell id column: one Arrow argmin pass with the
+    (small) centroid matrix broadcast as a numpy closure — the shared
+    assignment step of the one-shot and incremental dedup paths."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _assign(embs: pd.Series) -> pd.Series:
+        X = np.stack(embs.to_numpy()).astype(np.float64)
+        d2 = (
+            (X * X).sum(1, keepdims=True)
+            - 2.0 * (X @ cents.T)
+            + (cents * cents).sum(1)
+        )
+        return pd.Series(d2.argmin(1).astype(np.int32))
+
+    return _assign(F.col(vec_col))
+
+
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    kept: DataFrame | None,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Greedy semantic dedup of a NEW batch against an already-kept corpus:
+    ``(id, cell, keep, kept_by, kept_by_cosine)`` — one decision row per
+    BATCH vector.
+
+    The incremental-ingest shape of :func:`semantic_dedup` (the append-only
+    twin the exact and MinHash ingests already have): the quantizer is
+    FIXED (fit once, persisted — cells must be stable across epochs or the
+    kept-set's independence guarantee dissolves), ``kept`` is the
+    table-resident state ``(id, vec, cell)`` of every vector retained so
+    far, and each cell's task seeds its greedy scan with the cell's kept
+    vectors (all retained by construction) before scanning the batch rows
+    in id order. A batch vector is dropped iff an already-kept vector OR an
+    earlier surviving batch-mate in its cell reaches rounded cosine tau.
+
+    Shuffle: batch ∪ (kept semi-joined to the batch's touched cells) on the
+    cell id — at scale keep the kept table partitioned by cell so only the
+    touched cells' partitions scan. Ids must be unique across batch+kept.
+    """
+    id_type = batch.schema[id_col].dataType.simpleString()
+    assigned_b = batch.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_cells(batch, centroids, vec_col).alias("cell"),
+        F.lit(False).alias("_hist"),
+    )
+    if kept is not None:
+        assigned_k = kept.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.lit(True).alias("_hist"),
+        )
+        # only cells the batch touches need their kept vectors shipped
+        touched = assigned_b.select("cell").distinct()
+        union = assigned_b.unionByName(
+            assigned_k.join(touched, "cell", "left_semi")
+        )
+    else:
+        union = assigned_b
+
+    def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell_val = int(pdf["cell"].iloc[0])
+        # deterministic anchor order: kept vectors by id, then batch rows by id
+        hist = pdf[pdf["_hist"]].sort_values(id_col, ignore_index=True)
+        new = pdf[~pdf["_hist"]].sort_values(id_col, ignore_index=True)
+        m = len(new)
+        if m == 0:
+            return pd.DataFrame(
+                {
+                    id_col: [],
+                    "cell": pd.Series([], dtype="int32"),
+                    "keep": pd.Series([], dtype=bool),
+                    "kept_by": [],
+                    "kept_by_cosine": pd.Series([], dtype=float),
+                }
+            )
+
+        def normed(vals):
+            X = np.stack(vals).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 vs everything
+            return X / norms
+
+        Xn = normed(new[vec_col].to_numpy())
+        anchor_ids = list(hist[id_col])
+        A = (
+            normed(hist[vec_col].to_numpy())
+            if len(hist)
+            else np.zeros((0, Xn.shape[1]))
+        )
+        ids = new[id_col].to_numpy()
+        keep = np.ones(m, dtype=bool)
+        kept_by = np.full(m, None, dtype=object)
+        kept_cos = np.full(m, np.nan)
+        for i in range(m):
+            if len(anchor_ids):
+                sims = np.round(A @ Xn[i], round_to)
+                j = int(np.argmax(sims))  # first occurrence = earliest anchor
+                if sims[j] >= tau:
+                    keep[i] = False
+                    kept_by[i] = anchor_ids[j]
+                    kept_cos[i] = sims[j]
+                    continue
+            anchor_ids.append(ids[i])
+            A = np.vstack([A, Xn[i]])
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(m, cell_val, dtype=np.int32),
+                "keep": keep,
+                "kept_by": kept_by,
+                "kept_by_cosine": kept_cos,
+            }
+        )
+
+    return union.groupBy("cell").applyInPandas(
+        cell_dedup,
+        schema=f"{id_col} {id_type}, cell int, keep boolean, "
+        f"kept_by {id_type}, kept_by_cosine double",
+    )
 
 
 def semantic_dedup(

@@ -48,6 +48,8 @@ __all__ = [
     "run_incremental_ingest",
     "near_ingest_batch_incremental",
     "run_incremental_near_ingest",
+    "semdedup_ingest_batch_incremental",
+    "run_incremental_semdedup_ingest",
     "compact_history",
     "latest_committed_batch",
 ]
@@ -65,10 +67,8 @@ COMPACTED_BATCH_ID = -1
 _NO_HISTORY_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
 
-def _read_history(
-    spark: SparkSession, history_path: str, exclude_batch_id: int
-) -> DataFrame | None:
-    """History scan for the anti-join, or None when no history exists yet.
+def _read_table_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Parquet scan, or None when no committed data exists yet.
 
     ONLY the two no-committed-data-yet AnalysisExceptions map to "first
     batch". Every other read failure (corrupt footer, permission hiccup,
@@ -78,7 +78,7 @@ def _read_history(
     duplicate-free by construction (ADVICE r9).
     """
     try:
-        hist = spark.read.parquet(history_path)
+        return spark.read.parquet(path)
     except AnalysisException as exc:
         cond = None
         get_cond = getattr(exc, "getCondition", None) or getattr(
@@ -95,6 +95,16 @@ def _read_history(
         ):
             return None
         raise
+
+
+def _read_history(
+    spark: SparkSession, history_path: str, exclude_batch_id: int
+) -> DataFrame | None:
+    """Epoch-excluded history scan (the exactly-once replay guard), or None
+    when no history exists yet — error semantics per _read_table_or_none."""
+    hist = _read_table_or_none(spark, history_path)
+    if hist is None:
+        return None
     return hist.filter(F.col("_batch_id") != exclude_batch_id)
 
 
@@ -326,6 +336,109 @@ def near_ingest_batch_incremental(
         .partitionBy("_batch_id")
         .parquet(bands_path)
     )
+
+
+def semdedup_ingest_batch_incremental(
+    batch_df: DataFrame,
+    batch_id: int,
+    history_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    n_cells: int = 4,
+    seed: int = 42,
+    fit_sample: int = 100_000,
+) -> None:
+    """Commit one micro-batch's SEMANTIC-dedup survivors (foreachBatch body).
+
+    The SemDeDup twin of the exact and MinHash ingests: the history root
+    holds ``centroids/`` (the coarse quantizer, written ONCE from the first
+    non-empty batch — cells must stay stable across epochs or the kept
+    set's independence guarantee dissolves) and ``kept/`` (the retained
+    vectors with their cell, epoch-partitioned). Each batch assigns cells
+    with the broadcast quantizer, greedy-dedups its vectors against the
+    touched cells' kept set (operators/semdedup.py:
+    semantic_dedup_incremental), and commits survivors under its epoch with
+    the exclude-own-epoch dynamic overwrite — a replay re-reads the same
+    persisted centroids and the same prior kept set, so it rewrites its
+    partition byte-identically (exactly-once).
+
+    At 100 TB: the kept table additionally partitioned/bucketed by cell so
+    only the batch's touched cells scan; the quantizer fit stays bounded at
+    ``fit_sample`` rows (operators/pq.py posture).
+    """
+    import numpy as np
+
+    from elastic_surv_spark.operators.pq import fit_coarse_centroids
+    from elastic_surv_spark.operators.semdedup import (
+        assign_cells,
+        semantic_dedup_incremental,
+    )
+
+    spark = batch_df.sparkSession
+    root = history_root.rstrip("/")
+    cent_path, kept_path = f"{root}/centroids", f"{root}/kept"
+
+    cent_df = _read_table_or_none(spark, cent_path)
+    if cent_df is None:
+        if batch_df.isEmpty():
+            return  # nothing to fit or commit
+        cents = fit_coarse_centroids(
+            batch_df.select(vec_col), vec_col, n_cells, fit_sample, seed
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+    else:
+        rows = sorted(cent_df.collect(), key=lambda r: int(r["cell"]))
+        cents = np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    kept = _read_history(spark, kept_path, batch_id)
+    decisions = semantic_dedup_incremental(
+        batch_df, kept, cents, id_col=id_col, vec_col=vec_col, tau=tau
+    )
+    survivors = (
+        batch_df.join(
+            decisions.filter(F.col("keep")).select(id_col, "cell"), id_col
+        )
+        .withColumn("_batch_id", F.lit(int(batch_id)))
+    )
+    (
+        survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(kept_path)
+    )
+
+
+def run_incremental_semdedup_ingest(
+    stream_df: DataFrame,
+    history_root: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    n_cells: int = 4,
+    seed: int = 42,
+) -> None:
+    """Drive a bounded embedding stream through the SemDeDup ingest sink."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        semdedup_ingest_batch_incremental(
+            batch_df, batch_id, history_root, id_col, vec_col, tau, n_cells, seed
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_incremental_near_ingest(
