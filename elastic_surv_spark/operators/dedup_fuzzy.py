@@ -311,10 +311,16 @@ def incremental_near_dedup(
     threshold: float = 0.5,
     round_to: int = 6,
     history_bands: DataFrame | None = None,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup decision table for a NEW ingest batch against an ingested
     corpus: one row per batch doc — ``(id, dup_of_history, dup_in_batch,
     keep)`` with ``keep = NOT dup_of_history AND NOT dup_in_batch``.
+
+    ``tokenized`` optionally supplies a prebuilt (id, _sh) frame covering
+    BOTH sides (the :func:`_tokenized` shape, e.g. the session-shared
+    corpus frame) — each side then reads its semi-joined slice instead of
+    re-running the shingle expression.
 
     The production shape of MinHash-LSH dedup (the near-dup twin of
     ``operators/dedup.py:incremental_dedup``): the corpus is append-only, so
@@ -339,13 +345,20 @@ def incremental_near_dedup(
     the decision table is exact whenever every qualifying pair's jaccard
     clears the banding's effective recall floor (this corpus: j ≥ 0.89).
     """
-    tok_b = _tokenized(batch, id_col, text_col, n)
+    def _tok_slice(side: DataFrame) -> DataFrame:
+        if tokenized is not None:
+            return tokenized.join(side.select(id_col), id_col, "left_semi")
+        return _tokenized(side, id_col, text_col, n)
+
+    tok_b = _tok_slice(batch)
     bands_b = band_index(None, id_col, text_col, n, k, bands, tokenized=tok_b)
 
     flags = []
     if history is not None or history_bands is not None:
         if history_bands is None:
-            history_bands = band_index(history, id_col, text_col, n, k, bands)
+            history_bands = band_index(
+                None, id_col, text_col, n, k, bands, tokenized=_tok_slice(history)
+            )
         cross_cand = (
             bands_b.select(F.col(id_col).alias("id_b"), "band", "key")
             .join(
@@ -362,7 +375,7 @@ def incremental_near_dedup(
                 id_col,
                 "left_semi",
             )
-            tok_h = _tokenized(cand_hist, id_col, text_col, n)
+            tok_h = _tok_slice(cand_hist)
             cross = _verified_jaccard_pairs(
                 cross_cand, tok_b.unionByName(tok_h), id_col, threshold, round_to
             )

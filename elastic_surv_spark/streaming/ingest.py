@@ -195,6 +195,7 @@ def compact_history(
     spark: SparkSession,
     history_path: str,
     committed_batch_id: int,
+    key_cols: tuple[str, ...] = ("fingerprint",),
 ) -> int:
     """Fold every epoch partition with ``_batch_id < committed_batch_id``
     into the single consolidated ``_batch_id=-1`` partition. Returns how
@@ -207,15 +208,20 @@ def compact_history(
     a replayed live epoch still sees the identical prior history — the
     exactly-once construction is preserved.
 
+    ``key_cols`` is the table's uniqueness key — ``fingerprint`` for the
+    exact-ingest history, the id column for the near-dup ``docs/`` and
+    SemDeDup ``kept/`` tables, ``(id, band)`` for the band index: any
+    epoch-partitioned ingest table compacts with the same pass.
+
     Crash-safe by self-healing, not atomicity (plain parquet has no
     transaction): the consolidated rows are staged to a sibling directory,
     promoted into ``_batch_id=-1`` with a dynamic partition overwrite, and
     only then are the source epoch directories deleted. A crash between
-    promote and delete leaves the same fingerprints in ``-1`` AND the old
-    epochs — dedup answers stay correct (the anti-join reads fingerprints
-    distinct) and the next compaction's ``dropDuplicates`` collapses the
-    overlap. The consolidated partition is range-sorted on ``fingerprint``
-    so the anti-join's 8-byte key scan prunes on parquet row-group min/max.
+    promote and delete leaves the same keys in ``-1`` AND the old epochs —
+    dedup answers stay correct (the anti-join reads keys distinct) and the
+    next compaction's ``dropDuplicates`` collapses the overlap. The
+    consolidated partition is range-sorted on the key so the dedup scan
+    prunes on parquet row-group min/max.
     """
     hist = spark.read.parquet(history_path)
     old = hist.filter(F.col("_batch_id") < committed_batch_id)
@@ -229,11 +235,12 @@ def compact_history(
 
     staging = f"{history_path.rstrip('/')}.compact.tmp"
     par = max(spark.sparkContext.defaultParallelism // 4, 1)
+    keys = list(key_cols)
     (
         old.drop("_batch_id")
-        .dropDuplicates(["fingerprint"])  # heals a prior promote-then-crash
-        .repartitionByRange(par, "fingerprint")
-        .sortWithinPartitions("fingerprint")
+        .dropDuplicates(keys)  # heals a prior promote-then-crash
+        .repartitionByRange(par, *keys)
+        .sortWithinPartitions(*keys)
         .write.mode("overwrite")
         .parquet(staging)
     )
@@ -421,13 +428,23 @@ def run_incremental_semdedup_ingest(
     tau: float = 0.4,
     n_cells: int = 4,
     seed: int = 42,
+    compact_every: int | None = None,
 ) -> None:
-    """Drive a bounded embedding stream through the SemDeDup ingest sink."""
+    """Drive a bounded embedding stream through the SemDeDup ingest sink.
+
+    ``compact_every=k`` folds the kept table's committed epochs (key = the
+    id column) after every k-th micro-batch.
+    """
+    root = history_root.rstrip("/")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         semdedup_ingest_batch_incremental(
             batch_df, batch_id, history_root, id_col, vec_col, tau, n_cells, seed
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_history(
+                batch_df.sparkSession, f"{root}/kept", batch_id, key_cols=(id_col,)
+            )
 
     q = (
         stream_df.writeStream.outputMode("append")
@@ -451,13 +468,26 @@ def run_incremental_near_ingest(
     k: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    compact_every: int | None = None,
 ) -> None:
-    """Drive a bounded document stream through the near-dup ingest sink."""
+    """Drive a bounded document stream through the near-dup ingest sink.
+
+    ``compact_every=k`` folds both epoch-partitioned tables (docs on the
+    id, bands on (id, band)) after every k-th micro-batch — same replay-
+    safe frontier argument as :func:`run_incremental_ingest`.
+    """
+    root = history_root.rstrip("/")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         near_ingest_batch_incremental(
             batch_df, batch_id, history_root, text_col, id_col, n, k, bands, threshold
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            spark = batch_df.sparkSession
+            compact_history(spark, f"{root}/docs", batch_id, key_cols=(id_col,))
+            compact_history(
+                spark, f"{root}/bands", batch_id, key_cols=(id_col, "band")
+            )
 
     q = (
         stream_df.writeStream.outputMode("append")

@@ -146,6 +146,47 @@ def test_near_ingest_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(f"{root}/docs").collect())) == docs_before
 
 
+def _hist_partitions(tmp_path, name):
+    return sorted(
+        p.name for p in (tmp_path / name).iterdir() if p.name.startswith("_batch_id=")
+    )
+
+
+def test_near_ingest_compaction_preserves_results(spark, tmp_path):
+    """compact_history generalizes to the near-dup tables: docs fold on the
+    id, bands on (id, band); dedup decisions after compaction are identical
+    and partition counts stay bounded."""
+    from elastic_surv_spark.streaming.ingest import compact_history
+
+    root = str(tmp_path / "near_hist")
+    frames = [spark.createDataFrame(rows, SCHEMA) for rows in STREAM_BATCHES]
+    for i, b in enumerate(frames):
+        near_ingest_batch_incremental(b, i, root)
+    docs_before = sorted(r.doc_id for r in spark.read.parquet(f"{root}/docs").collect())
+    bands_before = sorted(
+        map(tuple, spark.read.parquet(f"{root}/bands").select("doc_id", "band", "key").collect())
+    )
+
+    assert compact_history(spark, f"{root}/docs", 2, key_cols=("doc_id",)) == 2
+    assert compact_history(spark, f"{root}/bands", 2, key_cols=("doc_id", "band")) == 2
+    assert _hist_partitions(tmp_path, "near_hist/docs") == ["_batch_id=-1", "_batch_id=2"]
+    assert sorted(r.doc_id for r in spark.read.parquet(f"{root}/docs").collect()) == docs_before
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{root}/bands").select("doc_id", "band", "key").collect()))
+        == bands_before
+    )
+
+    # the live epoch still replays idempotently against the compacted state
+    near_ingest_batch_incremental(frames[2], 2, root)
+    assert sorted(r.doc_id for r in spark.read.parquet(f"{root}/docs").collect()) == docs_before
+
+    # the next batch dedups identically against the compacted band index
+    nxt = spark.createDataFrame([(30, BASE + " today again"), (31, BASE)], SCHEMA)
+    near_ingest_batch_incremental(nxt, 3, root)
+    got = sorted(r.doc_id for r in spark.read.parquet(f"{root}/docs").collect())
+    assert got == docs_before  # both are near-dups of the kept BASE doc
+
+
 def test_run_incremental_near_ingest_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     root = str(tmp_path / "near_hist")

@@ -117,6 +117,27 @@ def test_semdedup_incremental_operator_first_batch(spark):
     assert got[3].keep is True
 
 
+def test_semdedup_ingest_compaction_preserves_results(spark, tmp_path):
+    from elastic_surv_spark.streaming.ingest import compact_history
+
+    root = str(tmp_path / "sem_hist")
+    _run_batches(spark, root)
+    kept_before = sorted(r.vec_id for r in spark.read.parquet(f"{root}/kept").collect())
+    assert compact_history(spark, f"{root}/kept", 2, key_cols=("vec_id",)) == 2
+    assert sorted(r.vec_id for r in spark.read.parquet(f"{root}/kept").collect()) == kept_before
+    parts = sorted(
+        p.name
+        for p in (tmp_path / "sem_hist" / "kept").iterdir()
+        if p.name.startswith("_batch_id=")
+    )
+    assert parts == ["_batch_id=-1", "_batch_id=2"]
+    # the live epoch still replays idempotently against the compacted state
+    semdedup_ingest_batch_incremental(
+        spark.createDataFrame(BATCHES[2], SCHEMA), 2, root, tau=TAU, n_cells=2
+    )
+    assert sorted(r.vec_id for r in spark.read.parquet(f"{root}/kept").collect()) == kept_before
+
+
 def test_run_incremental_semdedup_stream(spark, tmp_path):
     src = str(tmp_path / "src")
     root = str(tmp_path / "sem_hist")
