@@ -1439,6 +1439,78 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_quality_model(d, pseudo_weights(64), bias=0.0)
 
 
+@query(
+    "quality_filter_agreement",
+    # Filter-ensembling audit: the heuristic and the learned filter rarely
+    # agree perfectly — the 2×2 agreement matrix is the standard first look
+    # before composing them (AND for precision, OR for recall). Both legs
+    # reuse their own certified formulas (doc_quality_scores /
+    # doc_quality_model_scores), so the only new surface is the join+cube.
+    f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents
+    ), h AS (
+        SELECT doc_id,
+               (CAST(round(CAST((0.3 * least(length(text)::DOUBLE / 500.0, 1.0)
+                   + 0.3 * (len(list_distinct(w))::DOUBLE / len(w))
+                   + 0.2 * least(5.0 * (len(list_filter(w, t -> list_contains({_SQL_STOP_EN}, t)))::DOUBLE / len(w)), 1.0)
+                   + 0.2 * greatest(1.0 - 4.0 * (length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)), 0.0))
+                 AS DECIMAL(28,12)), 6) AS DOUBLE) >= 0.5) AS heuristic_keep
+        FROM toks
+    ), tokc AS (
+        SELECT doc_id, t FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        WHERE t <> ''
+    ), nt AS (
+        SELECT doc_id FROM tokc GROUP BY doc_id
+    ), tb AS (
+        SELECT doc_id,
+               list_reduce([CAST(unicode(t[i]) AS BIGINT)
+                            for i in range(1, len(t) + 1)],
+                           (a, b) -> (a * 31 + b) % 4294967296) % 64 AS j
+        FROM tokc
+    ), swc AS (
+        SELECT doc_id, sum((j * 2654435761) % 2001 - 1000) AS s
+        FROM tb GROUP BY doc_id
+    )
+    SELECT h.heuristic_keep, (s.s >= 0) AS model_keep,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM h JOIN nt USING (doc_id) JOIN swc s USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix between the heuristic quality filter
+    (functions/text.py:quality_score ≥ 0.5) and the learned model filter
+    (operators/quality_model.py, fixed certification weights): per
+    (heuristic_keep, model_keep) document counts over docs both filters
+    can score — the filter-ensembling audit a production pipeline runs
+    before choosing AND/OR composition.
+
+    Scale: two map-only scoring passes (one JVM codegen, one Arrow) joined
+    on the id and reduced to ≤4 rows — no data-sized shuffle beyond the
+    id join, which at 100 TB co-locates when both passes read the same
+    bucketed table.
+    """
+    from elastic_surv_spark.functions.text import quality_score
+    from elastic_surv_spark.operators.quality_model import (
+        apply_quality_model,
+        pseudo_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", (quality_score(F.col("text")) >= 0.5).alias("heuristic_keep")
+    )
+    m = apply_quality_model(d, pseudo_weights(64), bias=0.0).select(
+        "doc_id", F.col("keep").alias("model_keep")
+    )
+    return (
+        h.join(m, "doc_id")
+        .groupBy("heuristic_keep", "model_keep")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def _shared_frames(cache: dict, max_entries: int, spark, key, build):
     """Session-scoped persisted-frame cache with a single lifecycle rule
     shared by every module-level cache here (_DOC_SHINGLES, _VOCAB_COUNTS,
@@ -7066,8 +7138,9 @@ def near_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         # measured NOT to use the session-shared shingle frame: slicing the
         # persisted corpus frame needs three id semi-join exchanges, while
-        # the direct form pushes the doc_id % 10 split INTO the parquet
-        # scans (solo_cold 5.7 s direct vs 9.2 s shared on this box)
+        # the direct form applies the doc_id % 10 split scan-side inside
+        # the same codegen stage (solo_cold 5.0 s direct vs 9.2 s shared
+        # on this box)
     )
 
 
