@@ -1034,19 +1034,26 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user aggregate instead of two); curves are bounded by the upfront
     # quantization. round_to=10 collapses exp/ln last-ulp drift between
     # engines before the curve constants fan out into 15k×20 terms.
-    s_curve = km_curve(surv, "t", "e", round_to=10).select(
-        F.lit("s").alias("_which"), "t", "survival"
-    )
-    g_curve = km_curve(
-        surv.withColumn("_cens", 1 - F.col("e").cast("int")),
-        "t",
-        "_cens",
-        round_to=10,
-    ).select(F.lit("g").alias("_which"), "t", "survival")
-    both = sorted(
-        s_curve.unionByName(g_curve).collect(),
-        key=lambda r: (r["_which"], float(r["t"])),
-    )
+    # The persist covers ONLY this eager curve job and is released in the
+    # finally (the metric-family no-cache-leak rule, ADVICE r9): the
+    # returned plan reads surv exactly once, so dropping the cache costs
+    # one recompute of the per-user aggregate.
+    try:
+        s_curve = km_curve(surv, "t", "e", round_to=10).select(
+            F.lit("s").alias("_which"), "t", "survival"
+        )
+        g_curve = km_curve(
+            surv.withColumn("_cens", 1 - F.col("e").cast("int")),
+            "t",
+            "_cens",
+            round_to=10,
+        ).select(F.lit("g").alias("_which"), "t", "survival")
+        both = sorted(
+            s_curve.unionByName(g_curve).collect(),
+            key=lambda r: (r["_which"], float(r["t"])),
+        )
+    finally:
+        surv.unpersist()
     s_rows = [r for r in both if r["_which"] == "s"]
     g_rows = [r for r in both if r["_which"] == "g"]
     s_ts = [float(r["t"]) for r in s_rows]
