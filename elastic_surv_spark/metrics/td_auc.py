@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cumulative_dynamic_auc", "cumulative_dynamic_auc_ipcw"]
+__all__ = [
+    "cumulative_dynamic_auc",
+    "cumulative_dynamic_auc_by",
+    "cumulative_dynamic_auc_ipcw",
+]
 
 
 def cumulative_dynamic_auc(
@@ -136,6 +140,125 @@ def cumulative_dynamic_auc(
     if round_to is not None:
         out = out.withColumn("auc", F.round("auc", round_to))
     return out.select(F.col("_gt").alias("t"), "n_cases", "n_controls", "auc")
+
+
+def cumulative_dynamic_auc_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+    risk_col: str,
+    n_times: int = 8,
+    n_bins: int = 256,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group cumulative/dynamic AUC in ONE plan: ``(group, t, n_cases,
+    n_controls, auc)`` at ``n_times`` per-group equispaced interior
+    horizons — the horizon-resolved discrimination readout for a
+    SEGMENTED model population (the metric twin of ``km_curve_by`` and
+    ``fit_per_group``: train one model per segment, read one AUC curve per
+    segment).
+
+    Same pairwise-join-free shape as :func:`cumulative_dynamic_auc`, with
+    the group threaded through every key: per-group bounds come from one
+    hash-aggregate (grid = groups × n_times rows, broadcast back), the
+    classification is map-side after a broadcast equi-join on the group,
+    counts reduce on (group, horizon, bin), and the cumulative window is
+    bounded at ≤ ``n_bins`` rows per (group, horizon). Work is
+    O(n·horizons) + one bounded aggregate regardless of group count —
+    never a per-group driver loop. Risk bins are per-group (each group's
+    own min/max), so AUC values match running the ungrouped operator on
+    each group's slice exactly.
+    """
+    g = F.col(group_col)
+    bounds = df.groupBy(group_col).agg(
+        F.min(time_col).alias("_tmin"),
+        F.max(time_col).alias("_tmax"),
+        F.min(risk_col).cast("double").alias("_rmin"),
+        F.max(risk_col).cast("double").alias("_rmax"),
+    )
+    step = n_times + 1
+    grid = bounds.select(
+        g,
+        "_rmin",
+        "_rmax",
+        F.explode(F.sequence(F.lit(1), F.lit(n_times))).alias("_i"),
+        "_tmin",
+        "_tmax",
+    ).select(
+        g,
+        "_rmin",
+        "_rmax",
+        (
+            F.col("_tmin")
+            + F.floor(
+                F.col("_i")
+                * (F.col("_tmax") - F.col("_tmin")).cast("double")
+                / F.lit(float(step))
+            )
+        ).alias("_gt"),
+    ).distinct()
+    # ^ same collision dedup as the ungrouped form (short per-group spans)
+    r_span = F.col("_rmax") - F.col("_rmin")
+    bin_col = F.when(r_span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col(risk_col).cast("double") - F.col("_rmin"))
+                / r_span
+                * F.lit(n_bins)
+            ),
+        )
+    )
+    cls = (
+        df.select(group_col, time_col, event_col, risk_col)
+        .join(F.broadcast(grid), group_col)
+        .select(
+            g,
+            F.col("_gt"),
+            bin_col.cast("int").alias("_bin"),
+            (
+                (F.col(time_col) <= F.col("_gt"))
+                & (F.col(event_col).cast("int") == 1)
+            ).cast("long").alias("_case"),
+            (F.col(time_col) > F.col("_gt")).cast("long").alias("_control"),
+        )
+        .filter((F.col("_case") == 1) | (F.col("_control") == 1))
+    )
+    counts = cls.groupBy(group_col, "_gt", "_bin").agg(
+        F.sum("_case").alias("n_cases"),
+        F.sum("_control").alias("n_controls"),
+    )
+    w = (
+        Window.partitionBy(group_col, "_gt")
+        .orderBy(F.asc("_bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = counts.withColumn(
+        "_ctrl_below", F.coalesce(F.sum("n_controls").over(w), F.lit(0))
+    )
+    out = (
+        scored.groupBy(group_col, "_gt")
+        .agg(
+            F.sum("n_cases").cast("long").alias("n_cases"),
+            F.sum("n_controls").cast("long").alias("n_controls"),
+            F.sum(
+                F.lit(2) * F.col("n_cases") * F.col("_ctrl_below")
+                + F.col("n_cases") * F.col("n_controls")
+            ).alias("_num"),
+        )
+        .filter((F.col("n_cases") > 0) & (F.col("n_controls") > 0))
+        .withColumn(
+            "auc",
+            F.col("_num").cast("double")
+            / (F.lit(2.0) * F.col("n_cases") * F.col("n_controls")),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("auc", F.round("auc", round_to))
+    return out.select(
+        g, F.col("_gt").alias("t"), "n_cases", "n_controls", "auc"
+    )
 
 
 def cumulative_dynamic_auc_ipcw(

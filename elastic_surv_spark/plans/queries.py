@@ -6889,6 +6889,78 @@ def dcal_km_user_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "td_auc_cohorts",
+    """
+    WITH surv AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               CAST(count(*) AS DOUBLE) AS risk
+        FROM events GROUP BY user_id
+    ), bounds AS (
+        SELECT cohort, min(t) AS tmin, max(t) AS tmax,
+               min(risk) AS rmin, max(risk) AS rmax
+        FROM surv GROUP BY cohort
+    ), grid AS (
+        SELECT DISTINCT cohort,
+               tmin + CAST(floor(i * CAST(tmax - tmin AS DOUBLE) / 9.0) AS BIGINT) AS gt,
+               rmin, rmax
+        FROM bounds, (SELECT unnest(range(1, 9)) AS i)
+    ), cls AS (
+        SELECT s.cohort, g.gt AS t,
+               CASE WHEN g.rmax - g.rmin <= 0 THEN 0
+                    ELSE least(255, CAST(floor((s.risk - g.rmin) / (g.rmax - g.rmin) * 256) AS INT))
+               END AS bin,
+               CASE WHEN s.t <= g.gt AND s.e = 1 THEN 1 ELSE 0 END AS c_case,
+               CASE WHEN s.t > g.gt THEN 1 ELSE 0 END AS c_ctrl
+        FROM surv s JOIN grid g ON s.cohort = g.cohort
+        WHERE (s.t <= g.gt AND s.e = 1) OR s.t > g.gt
+    ), counts AS (
+        SELECT cohort, t, bin, sum(c_case) AS n_cases, sum(c_ctrl) AS n_controls
+        FROM cls GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT cohort, t, n_cases, n_controls,
+               coalesce(sum(n_controls) OVER (
+                   PARTITION BY cohort, t ORDER BY bin ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ctrl_below
+        FROM counts
+    )
+    SELECT cohort, t,
+           CAST(sum(n_cases) AS BIGINT) AS n_cases,
+           CAST(sum(n_controls) AS BIGINT) AS n_controls,
+           round(CAST(sum(2 * n_cases * ctrl_below + n_cases * n_controls) AS DOUBLE)
+                 / (2.0 * sum(n_cases) * sum(n_controls)), 6) AS auc
+    FROM scored GROUP BY cohort, t
+    HAVING sum(n_cases) > 0 AND sum(n_controls) > 0
+    """,
+)
+def td_auc_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort time-dependent AUC in one plan (metrics/td_auc.py:
+    cumulative_dynamic_auc_by): the horizon-resolved discrimination readout
+    for a SEGMENTED model population — the metric twin of km_cohort_curves
+    and per-segment training (one model per segment ⇒ one AUC curve per
+    segment).
+
+    Scale: the ungrouped row's no-pairwise-join shape with the cohort
+    threaded through every key — per-cohort bounds in one hash-aggregate,
+    the groups × horizons grid broadcast back, counts reduced on (cohort,
+    horizon, bin), window bounded at ≤256 rows per (cohort, horizon). No
+    per-group driver loop at any group count.
+    """
+    from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc_by
+
+    e = _t(spark, sf_dir, "events")
+    surv = e.groupBy("user_id").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("t"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+        F.count("*").cast("double").alias("risk"),
+    ).withColumn("cohort", (F.col("user_id") % 2).cast("int"))
+    return cumulative_dynamic_auc_by(
+        surv, "cohort", "t", "e", "risk", n_times=8, n_bins=256
+    )
+
+
+@query(
     "td_auc_ipcw_user_activity",
     """
     WITH surv0 AS (

@@ -583,6 +583,36 @@ def test_td_auc_short_span_horizons_collide_without_inflation(spark):
     assert all(r.auc == 1.0 for r in got)
 
 
+def test_td_auc_by_group_equals_ungrouped_per_slice(spark):
+    # the grouped operator's per-group output is EXACTLY the ungrouped
+    # operator run on that group's slice (per-group bounds/bins/horizons)
+    from elastic_surv_spark.metrics.td_auc import (
+        cumulative_dynamic_auc,
+        cumulative_dynamic_auc_by,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for grp, n, spread in (("a", 120, 400), ("b", 90, 37)):
+        T = rng.integers(1, spread, n).astype(float)
+        E = (rng.random(n) < 0.6).astype(int)
+        R = (spread - T) + rng.normal(0, spread / 4, n)
+        rows += [(grp, float(t), int(e), float(r)) for t, e, r in zip(T, E, R)]
+    df = spark.createDataFrame(rows, "g string, t double, e int, risk double")
+    got = {
+        (r.g, r.t): (r.n_cases, r.n_controls, r.auc)
+        for r in cumulative_dynamic_auc_by(df, "g", "t", "e", "risk").collect()
+    }
+    want = {}
+    for grp in ("a", "b"):
+        for r in cumulative_dynamic_auc(
+            df.filter(f"g = '{grp}'"), "t", "e", "risk"
+        ).collect():
+            want[(grp, r.t)] = (r.n_cases, r.n_controls, r.auc)
+    assert got == want
+    assert len({g for g, _ in got}) == 2
+
+
 def test_td_auc_ipcw_matches_numpy_reference(spark):
     from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc_ipcw
 
