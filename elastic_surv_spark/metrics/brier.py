@@ -121,6 +121,125 @@ def integrated_brier_score(
     return area / (taus[-1] - taus[0])
 
 
+def ipcw_brier_km_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+    n_grid: int = 20,
+    max_curve_points: int = 512,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group IPCW Brier of each group's OWN KM predictor over an
+    ``n_grid``-point per-group time grid: ``(group, k, tau, brier)``.
+
+    Unlike the population row (which collects two bounded curves to the
+    driver), the grouped form stays FULLY in-plan — at a million segments
+    there are no driver-side curves to collect:
+
+    - S and G are ``km_curve_by`` outputs (one hash-aggregate + bounded
+      group-partitioned windows each; the shared time domain quantizes
+      once upfront so every subject time IS a curve point);
+    - G(T⁻) is a lag over the group-partitioned censoring curve, attached
+      to subjects by a (group, t) equi-join;
+    - S(τ)/G(τ) resolve by an in-plan as-of lookup: grid rows join curve
+      points at ``t ≤ τ`` and a (group, k) row_number keeps the latest —
+      join volume is curve_points × n_grid PER GROUP, bounded by the
+      quantization cap regardless of group size;
+    - per-τ means use DECIMAL(38,18) sums (order-free, engine-portable).
+
+    Terms with G ≤ 0 drop (standard IPCW convention), matching the
+    population row's formula exactly — a single-group input reproduces
+    ``ipcw_brier_km_grid``'s values.
+    """
+    from pyspark.sql.window import Window
+
+    from elastic_surv_spark.metrics.km import km_curve_by, quantize_times
+
+    g = group_col
+    base = df.select(
+        F.col(g),
+        F.col(time_col).cast("double").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    )
+    base = quantize_times(base, "_t", max_curve_points)
+    s_curve = km_curve_by(base, "_t", "_e", g, round_to=10).select(
+        F.col(g), F.col("t"), F.col("survival").alias("_s")
+    )
+    g_curve = km_curve_by(
+        base.withColumn("_c", 1 - F.col("_e")), "_t", "_c", g, round_to=10
+    ).select(F.col(g), F.col("t"), F.col("survival").alias("_gs"))
+    w_lag = Window.partitionBy(g).orderBy(F.asc("t"))
+    gprev = g_curve.select(
+        F.col(g),
+        F.col("t").alias("_t"),
+        F.lag("_gs", 1, 1.0).over(w_lag).alias("_g_tminus"),
+    )
+    bounds = base.groupBy(g).agg(
+        F.min("_t").alias("_tmin"), F.max("_t").alias("_tmax")
+    )
+    grid = bounds.select(
+        F.col(g),
+        F.explode(F.sequence(F.lit(0), F.lit(n_grid - 1))).alias("k"),
+        "_tmin",
+        "_tmax",
+    ).select(
+        F.col(g),
+        "k",
+        (
+            F.col("_tmin")
+            + F.col("k") * (F.col("_tmax") - F.col("_tmin")) / F.lit(float(n_grid - 1))
+        ).alias("tau"),
+    )
+
+    def lookup(curve: DataFrame, val: str, out: str) -> DataFrame:
+        c = curve.select(
+            F.col(g).alias("_lg"), F.col("t").alias("_lt"), F.col(val).alias(out)
+        )
+        wk = Window.partitionBy(g, "k").orderBy(F.desc("_lt"))
+        return (
+            grid.join(
+                c, (F.col(g) == F.col("_lg")) & (F.col("_lt") <= F.col("tau")), "left"
+            )
+            .withColumn("_rn", F.row_number().over(wk))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(g), "k", "tau", F.coalesce(out, F.lit(1.0)).alias(out))
+        )
+
+    grid_vals = lookup(s_curve, "_s", "_s_tau").join(
+        lookup(g_curve, "_gs", "_g_tau").drop("tau"), [g, "k"]
+    )
+    rows = base.join(gprev, [g, "_t"], "left").withColumn(
+        "_g_tminus", F.coalesce("_g_tminus", F.lit(1.0))
+    )
+    expanded = rows.join(grid_vals, g)
+    t, e, tau = F.col("_t"), F.col("_e"), F.col("tau")
+    s_tau, g_tminus, g_tau = F.col("_s_tau"), F.col("_g_tminus"), F.col("_g_tau")
+    term = (
+        F.when(
+            (t <= tau) & (e == 1),
+            F.when(g_tminus > 0, F.pow(s_tau, 2) / g_tminus).otherwise(0.0),
+        )
+        .when(t > tau, F.when(g_tau > 0, F.pow(1.0 - s_tau, 2) / g_tau).otherwise(0.0))
+        .otherwise(0.0)
+    )
+    out = (
+        expanded.select(F.col(g), "k", tau.alias("tau"), term.alias("_term"))
+        .groupBy(g, "k", "tau")
+        .agg(
+            (
+                F.sum(F.col("_term").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("brier")
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("tau", F.round("tau", round_to)).withColumn(
+            "brier", F.round("brier", round_to)
+        )
+    return out.select(g, "k", "tau", "brier")
+
+
 def surv_from_curve(cuts: list[float], surv_col: str):
     """surv_at factory for per-subject survival-array predictions over cuts."""
 

@@ -1130,6 +1130,89 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ipcw_brier_cohorts",
+    """
+    WITH surv0 AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), qstats AS (
+        SELECT count(DISTINCT t) AS nd, min(t) AS lo, max(t) AS hi FROM surv0
+    ), surv AS (
+        SELECT cohort, e,
+               CASE WHEN nd <= 512 THEN t
+                    ELSE least(hi, lo + least(512.0, ceil((t - lo) / ((hi - lo) / 512)))
+                                      * ((hi - lo) / 512))
+               END AS t
+        FROM surv0, qstats
+    ), ev AS (
+        SELECT cohort, t, count(*) AS n_total, sum(e) AS d FROM surv GROUP BY 1, 2
+    ), km AS (
+        SELECT cohort, t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (PARTITION BY cohort ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
+        FROM (SELECT cohort, t, d, sum(n_total) OVER (PARTITION BY cohort ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM ev) x
+    ), cv AS (
+        SELECT cohort, t, count(*) AS n_total, sum(1 - e) AS d FROM surv GROUP BY 1, 2
+    ), ckm AS (
+        SELECT cohort, t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (PARTITION BY cohort ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
+        FROM (SELECT cohort, t, d, sum(n_total) OVER (PARTITION BY cohort ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM cv) x
+    ), gprev AS (
+        SELECT cohort, t, coalesce(lag(s) OVER (PARTITION BY cohort ORDER BY t), 1.0) AS g_tminus
+        FROM ckm
+    ), stats AS (
+        SELECT cohort, min(t) AS tmin, max(t) AS tmax FROM surv GROUP BY cohort
+    ), grid AS (
+        SELECT cohort, k, tmin + k * (tmax - tmin) / 19.0 AS tau
+        FROM generate_series(0, 19) gs(k), stats
+    ), terms AS (
+        SELECT g.cohort, g.k, g.tau,
+               CASE
+                 WHEN s.t <= g.tau AND s.e = 1 THEN
+                   CASE WHEN p.g_tminus > 0
+                        THEN pow(COALESCE((SELECT k2.s FROM km k2 WHERE k2.cohort = g.cohort AND k2.t <= g.tau ORDER BY k2.t DESC LIMIT 1), 1.0), 2)
+                             / p.g_tminus
+                        ELSE 0.0 END
+                 WHEN s.t > g.tau THEN
+                   CASE WHEN COALESCE((SELECT c.s FROM ckm c WHERE c.cohort = g.cohort AND c.t <= g.tau ORDER BY c.t DESC LIMIT 1), 1.0) > 0
+                        THEN pow(1.0 - COALESCE((SELECT k2.s FROM km k2 WHERE k2.cohort = g.cohort AND k2.t <= g.tau ORDER BY k2.t DESC LIMIT 1), 1.0), 2)
+                             / COALESCE((SELECT c.s FROM ckm c WHERE c.cohort = g.cohort AND c.t <= g.tau ORDER BY c.t DESC LIMIT 1), 1.0)
+                        ELSE 0.0 END
+                 ELSE 0.0
+               END AS term
+        FROM surv s
+        JOIN grid g ON s.cohort = g.cohort
+        JOIN gprev p ON p.cohort = s.cohort AND p.t = s.t
+    )
+    SELECT cohort, k, round(tau, 6) AS tau,
+           round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)
+                 / count(*), 6) AS brier
+    FROM terms GROUP BY cohort, k, tau
+    """,
+)
+def ipcw_brier_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort IPCW Brier of each cohort's own KM predictor
+    (metrics/brier.py:ipcw_brier_km_by) — the accuracy leg of the
+    segmented-model metric family (per-cohort KM, per-cohort td-AUC, and
+    now per-cohort Brier).
+
+    Scale: unlike the population row (which collects two bounded curves),
+    the grouped form is FULLY in-plan — per-cohort S/G from km_curve_by,
+    G(T⁻) as a group-partitioned lag equi-joined back on (cohort, t),
+    S(τ)/G(τ) via an in-plan as-of lookup bounded at curve_points × grid
+    per cohort, DECIMAL-exact per-τ sums. At a million segments there are
+    no driver-side curves anywhere.
+    """
+    from elastic_surv_spark.metrics.brier import ipcw_brier_km_by
+
+    surv = _user_lifetimes(spark, sf_dir, as_seconds=True).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"), "t", "e"
+    )
+    return ipcw_brier_km_by(surv, "cohort", "t", "e", n_grid=20)
+
+
 # --------------------------------------------------------------------------- #
 # Dedup & similarity (north-star, SURVEY §2.12)
 # --------------------------------------------------------------------------- #

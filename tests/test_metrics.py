@@ -583,6 +583,57 @@ def test_td_auc_short_span_horizons_collide_without_inflation(spark):
     assert all(r.auc == 1.0 for r in got)
 
 
+def test_ipcw_brier_by_single_group_equals_population_row(spark):
+    # the fully-in-plan grouped Brier reproduces the oracle-certified
+    # population row EXACTLY when every subject shares one group — same
+    # quantization, curve rounding, grid, term formula, and DECIMAL sums
+    from elastic_surv_spark.metrics.brier import ipcw_brier_km_by
+    from elastic_surv_spark.plans.queries import REGISTRY, _user_lifetimes
+
+    sf = "/root/testdata/sf0.01"
+    want = {
+        (r.k, r.tau): r.brier
+        for r in REGISTRY["ipcw_brier_km_grid"].fn(spark, sf).collect()
+    }
+    surv = _user_lifetimes(spark, sf, as_seconds=True).select("t", "e")
+    got = {
+        (r.k, r.tau): r.brier
+        for r in ipcw_brier_km_by(
+            surv.selectExpr("0 AS g", "t", "e"), "g", "t", "e", n_grid=20
+        ).collect()
+    }
+    assert got == want and len(got) == 20
+
+
+def test_ipcw_brier_by_groups_are_independent(spark):
+    # a group's rows never leak into another group's curves or grid
+    import numpy as np
+
+    from elastic_surv_spark.metrics.brier import ipcw_brier_km_by
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for grp, n, spread in ((0, 150, 300), (1, 80, 40)):
+        T = rng.integers(1, spread, n).astype(float)
+        E = (rng.random(n) < 0.7).astype(int)
+        rows += [(grp, float(t), int(e)) for t, e in zip(T, E)]
+    df = spark.createDataFrame(rows, "g int, t double, e int")
+    both = {
+        (r.g, r.k): (r.tau, r.brier)
+        for r in ipcw_brier_km_by(df, "g", "t", "e", n_grid=10).collect()
+    }
+    solo = {}
+    for grp in (0, 1):
+        for r in ipcw_brier_km_by(
+            df.filter(f"g = {grp}"), "g", "t", "e", n_grid=10
+        ).collect():
+            solo[(r.g, r.k)] = (r.tau, r.brier)
+    assert both == solo
+    assert len(both) == 20
+    # Brier of a KM predictor is bounded and nontrivial on censored data
+    assert all(0.0 <= b <= 1.0 for _, b in both.values())
+
+
 def test_td_auc_by_group_equals_ungrouped_per_slice(spark):
     # the grouped operator's per-group output is EXACTLY the ungrouped
     # operator run on that group's slice (per-group bounds/bins/horizons)
