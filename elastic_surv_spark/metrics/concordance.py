@@ -284,6 +284,60 @@ def harrell_cindex_counts(
     )
 
 
+def harrell_cindex_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+    risk_col: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group EXACT Harrell C in one grouped-map job: ``(group,
+    n_comparable, n_concordant, n_tied, c_index)`` — the discrimination
+    leg of the segmented-model metric family (per-cohort KM / td-AUC /
+    Brier / now C).
+
+    Each group's counts come from the same O(m log m) Fenwick time-sweep
+    the bucketed single-population path uses for its class-1 buckets
+    (``_local_harrell`` — exact, tie-correct), run as ONE ``applyInPandas``
+    task per group: a single shuffle on the group key, then embarrassingly
+    parallel sweeps. Scale contract: one GROUP fits one task (the
+    segmented-population shape — many bounded segments); a single giant
+    group belongs to the ungrouped size-gated ``harrell_cindex_counts``.
+    ``c_index`` is NULL for groups with no comparable pair.
+    """
+    gtype = df.schema[group_col].dataType.simpleString()
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(risk_col).cast("double").alias("r"),
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _local_harrell(pdf)
+        out.insert(0, "_g", pdf["_g"].iloc[0])
+        return out
+
+    counts = base.groupBy("_g").applyInPandas(
+        sweep,
+        schema=f"_g {gtype}, n_comparable long, n_concordant long, n_tied long",
+    )
+    c = F.when(
+        F.col("n_comparable") > 0,
+        (F.col("n_concordant") + 0.5 * F.col("n_tied")) / F.col("n_comparable"),
+    )
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return counts.select(
+        F.col("_g").alias(group_col),
+        "n_comparable",
+        "n_concordant",
+        "n_tied",
+        c.alias("c_index"),
+    )
+
+
 def harrell_cindex(
     df: DataFrame, time_col: str, event_col: str, risk_col: str, **kw
 ) -> float:

@@ -1131,6 +1131,49 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "harrell_cindex_cohorts",
+    """
+    WITH surv AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS cohort,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               -count(*) AS risk
+        FROM events GROUP BY user_id
+    ), pairs AS (
+        SELECT a.cohort, a.risk AS r_i, b.risk AS r_j
+        FROM surv a JOIN surv b ON a.cohort = b.cohort AND a.t < b.t AND a.e = 1
+    )
+    SELECT cohort,
+           count(*) AS n_comparable,
+           CAST(sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+           CAST(sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+           round((sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END)
+                  + 0.5 * sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END)) / count(*), 6) AS c_index
+    FROM pairs GROUP BY cohort
+    """,
+)
+def harrell_cindex_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort exact Harrell C-index (metrics/concordance.py:
+    harrell_cindex_by): the discrimination leg of the segmented-model
+    metric family (alongside km_cohort_curves, td_auc_cohorts,
+    ipcw_brier_cohorts), reporting each cohort's comparable/concordant/
+    tied counts and C.
+
+    Scale: ONE shuffle on the cohort key, then one exact O(m log m)
+    Fenwick time-sweep per cohort (the bucketed algorithm's class-1
+    kernel) as an embarrassingly parallel grouped-map stage — never a
+    pairwise join (the oracle's n² join is the labeled small-scale twin).
+    Group-fits-task contract, like every grouped-map kernel here.
+    """
+    from elastic_surv_spark.metrics.concordance import harrell_cindex_by
+
+    surv = _user_lifetimes(spark, sf_dir).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"), "t", "e", "risk"
+    )
+    return harrell_cindex_by(surv, "cohort", "t", "e", "risk")
+
+
+@query(
     "ipcw_brier_cohorts",
     """
     WITH surv0 AS (

@@ -583,6 +583,44 @@ def test_td_auc_short_span_horizons_collide_without_inflation(spark):
     assert all(r.auc == 1.0 for r in got)
 
 
+def test_harrell_cindex_by_matches_pairwise_mirror(spark):
+    # per-group Fenwick sweep == the O(n^2) pairwise definition per slice,
+    # including ties in time and risk; empty-comparable groups read NULL
+    from elastic_surv_spark.metrics.concordance import harrell_cindex_by
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for grp, n in (("a", 160), ("b", 90)):
+        T = rng.integers(1, 40, n).astype(float)  # many time ties
+        E = (rng.random(n) < 0.6).astype(int)
+        R = rng.integers(0, 12, n).astype(float)  # many risk ties
+        rows += [(grp, float(t), int(e), float(r)) for t, e, r in zip(T, E, R)]
+    rows.append(("c", 5.0, 0, 1.0))  # single censored row: no pairs
+    df = spark.createDataFrame(rows, "g string, t double, e int, risk double")
+    got = {r.g: r for r in harrell_cindex_by(df, "g", "t", "e", "risk").collect()}
+
+    by_g: dict[str, list] = {}
+    for g_, t, e, r in rows:
+        by_g.setdefault(g_, []).append((t, e, r))
+    for g_, data in by_g.items():
+        comp = conc = tied = 0
+        for t_i, e_i, r_i in data:
+            if e_i != 1:
+                continue
+            for t_j, _, r_j in data:
+                if t_i < t_j:
+                    comp += 1
+                    conc += r_i > r_j
+                    tied += r_i == r_j
+        assert got[g_].n_comparable == comp, g_
+        assert got[g_].n_concordant == conc, g_
+        assert got[g_].n_tied == tied, g_
+        if comp:
+            assert got[g_].c_index == round((conc + 0.5 * tied) / comp, 6)
+        else:
+            assert got[g_].c_index is None
+
+
 def test_ipcw_brier_by_single_group_equals_population_row(spark):
     # the fully-in-plan grouped Brier reproduces the oracle-certified
     # population row EXACTLY when every subject shares one group — same
