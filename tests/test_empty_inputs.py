@@ -117,3 +117,43 @@ def test_empty_vocab_coverage_shape(spark):
     row = totals.crossJoin(F.broadcast(top)).first()
     assert row["vocab_size"] == 0
     assert row["total"] is None and row["covered"] is None
+
+
+def test_empty_r10_operators(spark):
+    # incremental near-dup: empty batch -> empty decision table (with or
+    # without history); empty history -> pure in-batch dedup
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        band_index,
+        incremental_near_dedup,
+    )
+
+    docs = _empty(spark, "doc_id long, text string")
+    hist = spark.createDataFrame([(1, "some history doc here")], "doc_id long, text string")
+    assert incremental_near_dedup(docs, hist).count() == 0
+    assert incremental_near_dedup(docs, None).count() == 0
+    assert band_index(docs).count() == 0
+    got = incremental_near_dedup(hist, docs).collect()
+    assert len(got) == 1 and got[0].keep is True
+
+    # quality model: empty corpus scores nothing; trainer refuses nothing
+    # (zero-row fit returns the zero model deterministically)
+    from elastic_surv_spark.operators.quality_model import (
+        apply_quality_model,
+        pseudo_weights,
+    )
+
+    assert apply_quality_model(docs, pseudo_weights(16)).count() == 0
+
+    # grouped metrics: empty frames -> empty outputs, no crash
+    from elastic_surv_spark.metrics.brier import ipcw_brier_km_by
+    from elastic_surv_spark.metrics.concordance import harrell_cindex_by
+    from elastic_surv_spark.metrics.td_auc import (
+        cumulative_dynamic_auc_by,
+        cumulative_dynamic_auc_ipcw,
+    )
+
+    surv = _empty(spark, "g int, t double, e int, risk double")
+    assert harrell_cindex_by(surv, "g", "t", "e", "risk").count() == 0
+    assert cumulative_dynamic_auc_by(surv, "g", "t", "e", "risk").count() == 0
+    assert ipcw_brier_km_by(surv, "g", "t", "e").count() == 0
+    assert cumulative_dynamic_auc_ipcw(surv.drop("g"), "t", "e", "risk").count() == 0
