@@ -40,7 +40,7 @@ from elastic_surv_spark.models.logistic_hazard import LogisticHazardModel
 from elastic_surv_spark.models.nn import MLP
 from elastic_surv_spark.models.serde import model_to_json
 
-__all__ = ["fit_per_group", "fit_one_local"]
+__all__ = ["fit_per_group", "fit_one_local", "score_per_group"]
 
 _FAMILIES: dict[str, type[SurvModel]] = {
     "logistic_hazard": LogisticHazardModel,
@@ -153,6 +153,66 @@ def fit_one_local(
         surv = m._surv_from_output(m.net.forward(Xte, training=False))
         cidx = _np_harrell(tte, ete, -surv.sum(axis=1))
     return m, len(Xtr), len(Xte), float(val_loss), cidx
+
+
+def score_per_group(
+    df: DataFrame,
+    models: "DataFrame | dict[Any, str]",
+    group_col: str,
+    feature_cols: list[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """Distributed inference half of "many models": score every row under
+    ITS group's serde model in one grouped-map pass — ``(group[, id],
+    risk)`` with ``risk = -Σ S(t)`` (the family-standard ranking score the
+    metric quartet consumes).
+
+    ``models`` is the per-group registry: either a ``(group, model_json)``
+    DataFrame (e.g. :func:`fit_per_group`'s output — collected driver-side,
+    bounded at one serde doc per group) or a prebuilt dict. The registry
+    ships to tasks in the closure (at very large group counts and model
+    sizes, persist the registry as a table and join the JSON onto the
+    group key instead); each group's task deserializes its model ONCE and
+    scores its rows in a single numpy forward pass. Rows of groups absent
+    from the registry (or with a NULL model) are dropped — a segment
+    without a trained model has no score.
+
+    Scale: one shuffle on the group key, then embarrassingly parallel
+    Arrow-batched numpy — the same group-fits-task contract as
+    :func:`fit_per_group`, and bit-identical to scoring the group's rows
+    with the loaded model locally (asserted in tests).
+    """
+    from elastic_surv_spark.models.serde import model_from_json
+
+    if isinstance(models, DataFrame):
+        reg = {
+            r[0]: r[1]
+            for r in models.select(group_col, "model_json").collect()
+            if r[1] is not None
+        }
+    else:
+        reg = {g: mj for g, mj in models.items() if mj is not None}
+    gtype = df.schema[group_col].dataType.simpleString()
+    feats = list(feature_cols)
+    cols = [group_col, *([id_col] if id_col else []), *feats]
+    id_part = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
+    schema = f"{group_col} {gtype}, {id_part}risk double"
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        gval = pdf[group_col].iloc[0]
+        mjson = reg.get(gval)
+        out_cols = [group_col, *([id_col] if id_col else []), "risk"]
+        if mjson is None:
+            return pd.DataFrame({c: [] for c in out_cols})
+        m = model_from_json(mjson)
+        X = pdf[feats].to_numpy(dtype=float)
+        surv = m._surv_from_output(m.net.forward(X, training=False))
+        res = {group_col: pdf[group_col], "risk": -surv.sum(axis=1)}
+        if id_col:
+            res[id_col] = pdf[id_col]
+        return pd.DataFrame(res)[out_cols]
+
+    return df.select(*cols).groupBy(group_col).applyInPandas(score, schema=schema)
 
 
 def fit_per_group(

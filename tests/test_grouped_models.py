@@ -106,29 +106,36 @@ def test_per_segment_models_feed_per_segment_metric_quartet(spark, seg_df):
     from elastic_surv_spark.metrics.concordance import harrell_cindex_by
     from elastic_surv_spark.metrics.td_auc import cumulative_dynamic_auc_by
 
-    fitted = fit_per_group(
+    from elastic_surv_spark.models.grouped import score_per_group
+
+    fitted_df = fit_per_group(
         seg_df, "seg", "rid", "t", "e", ["x0", "x1"],
         model="logistic_hazard", epochs=15, patience=5, hidden_nodes=[16],
-    ).collect()
+    )
+    fitted = fitted_df.collect()
     models = {r.seg: model_from_json(r.model_json) for r in fitted}
 
-    # score each row under ITS segment's model (bounded segment count here;
-    # at scale this is a broadcast of serde docs into a mapInPandas)
-    pdf = seg_df.toPandas()
-    risks = []
-    for seg, m in models.items():
-        X = pdf.loc[pdf.seg == seg, ["x0", "x1"]].to_numpy(dtype=float)
-        surv = m._surv_from_output(m.net.forward(X, training=False))
-        risks.append(
-            pdf.loc[pdf.seg == seg, ["seg", "t", "e"]].assign(
-                risk=(-surv.sum(axis=1))
-            )
-        )
-    import pandas as pd
-
-    scored = spark.createDataFrame(
-        pd.concat(risks, ignore_index=True), "seg int, t double, e int, risk double"
+    # DISTRIBUTED per-segment scoring (score_per_group), asserted
+    # bit-identical to loading each segment's model and scoring locally
+    scored = (
+        score_per_group(seg_df, fitted_df, "seg", ["x0", "x1"], id_col="rid")
+        .join(seg_df.select("rid", "t", "e"), "rid")
+        .select("seg", "t", "e", "risk")
     )
+    got_risk = {
+        r.rid: r.risk
+        for r in score_per_group(
+            seg_df, fitted_df, "seg", ["x0", "x1"], id_col="rid"
+        ).collect()
+    }
+    pdf = seg_df.toPandas()
+    for seg, m in models.items():
+        sl = pdf[pdf.seg == seg]
+        X = sl[["x0", "x1"]].to_numpy(dtype=float)
+        surv = m._surv_from_output(m.net.forward(X, training=False))
+        want = -surv.sum(axis=1)
+        for rid, w in zip(sl["rid"], want):
+            assert got_risk[rid] == w, (seg, rid)
 
     cs = {r.seg: r.c_index for r in harrell_cindex_by(scored, "seg", "t", "e", "risk").collect()}
     assert set(cs) == {0, 1, 2}
@@ -144,3 +151,23 @@ def test_per_segment_models_feed_per_segment_metric_quartet(spark, seg_df):
     briers = ipcw_brier_km_by(scored, "seg", "t", "e", n_grid=10).collect()
     assert {r.seg for r in briers} == {0, 1, 2}
     assert all(0.0 <= r.brier <= 1.0 for r in briers)
+
+
+def test_score_per_group_drops_unregistered_groups(spark, seg_df):
+    from elastic_surv_spark.models.grouped import score_per_group
+
+    fitted = fit_per_group(
+        seg_df.filter("seg < 2"), "seg", "rid", "t", "e", ["x0", "x1"],
+        model="logistic_hazard", epochs=5, patience=5, hidden_nodes=[8],
+    )
+    scored = score_per_group(seg_df, fitted, "seg", ["x0", "x1"], id_col="rid")
+    segs = {r.seg for r in scored.select("seg").distinct().collect()}
+    assert segs == {0, 1}  # seg 2 has no model -> no scores
+    # dict registry form scores identically to the DataFrame form
+    reg = {r.seg: r.model_json for r in fitted.collect()}
+    a = sorted((r.rid, r.risk) for r in scored.collect())
+    b = sorted(
+        (r.rid, r.risk)
+        for r in score_per_group(seg_df, reg, "seg", ["x0", "x1"], id_col="rid").collect()
+    )
+    assert a == b
