@@ -177,11 +177,15 @@ def score_per_group(
     from the registry (or with a NULL model) are dropped — a segment
     without a trained model has no score.
 
-    Scale: one shuffle on the group key, then embarrassingly parallel
-    Arrow-batched numpy — the same group-fits-task contract as
-    :func:`fit_per_group`, and bit-identical to scoring the group's rows
-    with the loaded model locally (asserted in tests).
+    Scale: ZERO shuffle — scoring needs no co-location, so this is one
+    ``mapInPandas`` pass that fuses into the scan (streaming micro-batches
+    included): each Arrow batch groups its rows by the group value
+    pandas-side and a per-task cache deserializes every referenced model
+    at most once. Bit-identical to scoring the group's rows with the
+    loaded model locally (asserted in tests).
     """
+    from typing import Iterator
+
     from elastic_surv_spark.models.serde import model_from_json
 
     if isinstance(models, DataFrame):
@@ -195,24 +199,35 @@ def score_per_group(
     gtype = df.schema[group_col].dataType.simpleString()
     feats = list(feature_cols)
     cols = [group_col, *([id_col] if id_col else []), *feats]
+    out_cols = [group_col, *([id_col] if id_col else []), "risk"]
     id_part = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
     schema = f"{group_col} {gtype}, {id_part}risk double"
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        gval = pdf[group_col].iloc[0]
-        mjson = reg.get(gval)
-        out_cols = [group_col, *([id_col] if id_col else []), "risk"]
-        if mjson is None:
-            return pd.DataFrame({c: [] for c in out_cols})
-        m = model_from_json(mjson)
-        X = pdf[feats].to_numpy(dtype=float)
-        surv = m._surv_from_output(m.net.forward(X, training=False))
-        res = {group_col: pdf[group_col], "risk": -surv.sum(axis=1)}
-        if id_col:
-            res[id_col] = pdf[id_col]
-        return pd.DataFrame(res)[out_cols]
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[Any, Any] = {}
+        for pdf in batches:
+            outs = []
+            for gval, sl in pdf.groupby(group_col, sort=False):
+                mjson = reg.get(gval)
+                if mjson is None:
+                    continue
+                m = cache.get(gval)
+                if m is None:
+                    m = model_from_json(mjson)
+                    cache[gval] = m
+                X = sl[feats].to_numpy(dtype=float)
+                surv = m._surv_from_output(m.net.forward(X, training=False))
+                res = {group_col: sl[group_col], "risk": -surv.sum(axis=1)}
+                if id_col:
+                    res[id_col] = sl[id_col]
+                outs.append(pd.DataFrame(res)[out_cols])
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({c: [] for c in out_cols})
+            )
 
-    return df.select(*cols).groupBy(group_col).applyInPandas(score, schema=schema)
+    return df.select(*cols).mapInPandas(score, schema=schema)
 
 
 def fit_per_group(
