@@ -171,3 +171,40 @@ def test_score_per_group_drops_unregistered_groups(spark, seg_df):
         for r in score_per_group(seg_df, reg, "seg", ["x0", "x1"], id_col="rid").collect()
     )
     assert a == b
+
+
+def test_score_per_group_works_on_streams(spark, seg_df, tmp_path):
+    """The map-only scoring pass applies unchanged to a file stream — the
+    production shape: models trained offline, micro-batches scored online."""
+    import uuid
+
+    fitted = fit_per_group(
+        seg_df, "seg", "rid", "t", "e", ["x0", "x1"],
+        model="logistic_hazard", epochs=5, patience=5, hidden_nodes=[8],
+    )
+    from elastic_surv_spark.models.grouped import score_per_group
+
+    src = str(tmp_path / "src")
+    seg_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(seg_df.schema).parquet(src)
+    sink = f"scored_{uuid.uuid4().hex[:8]}"
+    q = (
+        score_per_group(stream, fitted, "seg", ["x0", "x1"], id_col="rid")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.rid, r.risk) for r in spark.table(sink).select("rid", "risk").collect()
+    )
+    want = sorted(
+        (r.rid, r.risk)
+        for r in score_per_group(seg_df, fitted, "seg", ["x0", "x1"], id_col="rid").collect()
+    )
+    assert got == want and len(got) == seg_df.count()
