@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from elastic_surv_spark.models.grouped import _FAMILIES, fit_one_local
 from elastic_surv_spark.models.serde import model_to_json
 
-__all__ = ["successive_halving_per_segment", "sample_configs"]
+__all__ = [
+    "successive_halving_per_segment",
+    "hyperband_per_segment",
+    "sample_configs",
+]
 
 
 def sample_configs(
@@ -109,49 +113,177 @@ def successive_halving_per_segment(
     gtype = df.schema[group_col].dataType.simpleString()
     feats = list(feature_cols)
     base = df.select(group_col, order_col, time_col, event_col, *feats)
+    groups = [r[0] for r in base.select(group_col).distinct().collect()]
+    scored = _halving_winners(
+        base, configs, list(range(len(configs))), groups,
+        group_col, order_col, time_col, event_col, feats, gtype,
+        eta, rung_epochs, seed, train_ratio, min_rows, cindex_max_test,
+    )
+    # ---- final: retrain each segment's winner at the output budget ---- #
+    winners = {g: scored.get(g, (None, -1))[1] for g in groups}
+    return _final_frame(
+        base, configs, winners,
+        group_col, order_col, time_col, event_col, feats, gtype,
+        output_epochs, seed, train_ratio, min_rows, cindex_max_test,
+    )
 
-    def _arrays(pdf: pd.DataFrame):
-        pdf = pdf.sort_values(order_col, ignore_index=True)
-        return (
-            pdf[feats].to_numpy(dtype=float),
-            pdf[time_col].to_numpy(dtype=float),
-            pdf[event_col].to_numpy(dtype=float),
+
+def hyperband_per_segment(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    time_col: str,
+    event_col: str,
+    feature_cols: list[str],
+    families: Sequence[str] = ("logistic_hazard", "cox_ph"),
+    max_iter: int = 9,
+    eta: int = 3,
+    output_epochs: int = 40,
+    seed: int = 42,
+    train_ratio: float = 0.9,
+    min_rows: int = 8,
+    cindex_max_test: int = 2000,
+) -> DataFrame:
+    """FULL per-segment Hyperband — the reference's bracket schedule
+    (optimizer.py:123-150 ≡ reference src/elastic_surv/optimizer.py:
+    127-165, Li et al. 2018) with PER-SEGMENT promotion: s_max =
+    floor(log_eta(max_iter)), B = (s_max+1)·max_iter; bracket s samples
+    n = ceil(B/max_iter/(s+1)·eta^s) FRESH configs (dedup shared across
+    brackets, the optimizer's discipline) and halves them from
+    r = max_iter·eta^(−s) epochs. Each segment keeps its best (score,
+    config) ACROSS brackets — exploration-heavy early brackets and the
+    few-configs-full-budget last bracket both compete, per segment — and
+    the final stage retrains each segment's cross-bracket winner at
+    ``output_epochs``. Output schema ≡
+    :func:`successive_halving_per_segment`.
+
+    Cross-bracket scores are last-rung scores at each bracket's own
+    budget (the reference compares brackets the same way via its running
+    ``best_score``). Driver bookkeeping stays bounded at segments ×
+    configs rows per rung.
+    """
+    if eta < 2:
+        raise ValueError("eta must be >= 2 for halving to converge")
+    for f in families:
+        if f not in _FAMILIES:
+            raise ValueError(f"unknown model family {f!r}: {sorted(_FAMILIES)}")
+    gtype = df.schema[group_col].dataType.simpleString()
+    feats = list(feature_cols)
+    base = df.select(group_col, order_col, time_col, event_col, *feats)
+    groups = [r[0] for r in base.select(group_col).distinct().collect()]
+
+    s_max = int(math.log(max_iter) / math.log(eta))
+    B = (s_max + 1) * max_iter
+    rng = np.random.default_rng(seed)
+    seen: set[str] = set()
+    configs: list[tuple[str, dict[str, Any]]] = []
+    best: dict[Any, tuple[float, int]] = {}
+    fams = list(families)
+    for s in range(s_max, -1, -1):  # ≡ reference optimizer.py:127-137
+        n = int(math.ceil(B / max_iter / (s + 1) * eta**s))
+        r = max_iter * eta ** (-s)
+        bracket_idxs: list[int] = []
+        attempts = 0
+        while len(bracket_idxs) < n and attempts < n * 20:
+            attempts += 1
+            fam = fams[int(rng.integers(0, len(fams)))]
+            params = _FAMILIES[fam].sample_hyperparameters(rng)
+            key = fam + json.dumps(params, sort_keys=True, default=float)
+            if key in seen:
+                continue
+            seen.add(key)
+            bracket_idxs.append(len(configs))
+            configs.append((fam, params))
+        if not bracket_idxs:
+            continue
+        scored = _halving_winners(
+            base, configs, bracket_idxs, groups,
+            group_col, order_col, time_col, event_col, feats, gtype,
+            eta, max(int(round(r)), 1), seed, train_ratio, min_rows,
+            cindex_max_test,
         )
+        for g, (sc, idx) in scored.items():
+            # strictly-greater keeps the EARLIER bracket on ties (its
+            # winner was promoted through more rungs) — deterministic
+            if g not in best or sc > best[g][0]:
+                best[g] = (sc, idx)
 
-    # ---- rung loop: grouped-map per rung, bounded driver bookkeeping ---- #
+    winners = {g: best.get(g, (None, -1))[1] for g in groups}
+    return _final_frame(
+        base, configs, winners,
+        group_col, order_col, time_col, event_col, feats, gtype,
+        output_epochs, seed, train_ratio, min_rows, cindex_max_test,
+    )
+
+
+def _arrays_of(pdf: pd.DataFrame, order_col, time_col, event_col, feats):
+    pdf = pdf.sort_values(order_col, ignore_index=True)
+    return (
+        pdf[feats].to_numpy(dtype=float),
+        pdf[time_col].to_numpy(dtype=float),
+        pdf[event_col].to_numpy(dtype=float),
+    )
+
+
+def _halving_winners(
+    base: DataFrame,
+    configs: list[tuple[str, dict[str, Any]]],
+    cfg_idxs: list[int],
+    groups: list,
+    group_col: str,
+    order_col: str,
+    time_col: str,
+    event_col: str,
+    feats: list[str],
+    gtype: str,
+    eta: int,
+    rung_epochs: int,
+    seed: int,
+    train_ratio: float,
+    min_rows: int,
+    cindex_max_test: int,
+) -> dict[Any, tuple[float, int]]:
+    """One successive-halving bracket over ``cfg_idxs``, promotion PER
+    GROUP: rung *i* trains each group's survivors at ``rung_epochs·eta^i``
+    epochs in a single grouped-map job, keeps the top ``ceil(k/eta)`` by
+    the group-local exact Harrell C (cross-family comparable; no
+    comparable pairs scores the uninformative 0.5). Returns each decided
+    group's ``(last_rung_score, config_idx)``; groups below ``min_rows``
+    are absent. A single-config bracket still runs ONE scoring rung so
+    its winner carries a comparable score.
+    """
+
     def rung_udf(alive: dict, epochs: int):
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             gval = pdf[group_col].iloc[0]
             if len(pdf) < min_rows:
                 return pd.DataFrame({group_col: [], "config_idx": [], "score": []})
-            X, t, e = _arrays(pdf)
+            X, t, e = _arrays_of(pdf, order_col, time_col, event_col, feats)
             rows = []
             for idx in alive.get(gval, ()):
                 fam, params = configs[idx]
-                _, _, _, val_loss, cidx = fit_one_local(
-                    fam,
-                    X,
-                    t,
-                    e,
-                    train_ratio,
-                    cindex_max_test,
-                    epochs=max(int(epochs), 1),
-                    seed=seed,
-                    **_clean(params),
+                _, _, _, _val_loss, cidx = fit_one_local(
+                    fam, X, t, e, train_ratio, cindex_max_test,
+                    epochs=max(int(epochs), 1), seed=seed, **_clean(params),
                 )
-                # group-local exact Harrell C: comparable ACROSS families
-                # (val_loss is each family's own likelihood scale); groups
-                # with no comparable pairs score the uninformative 0.5
                 rows.append((gval, idx, 0.5 if cidx is None else float(cidx)))
             return pd.DataFrame(rows, columns=[group_col, "config_idx", "score"])
 
         return run
 
-    groups = [r[0] for r in base.select(group_col).distinct().collect()]
-    alive: dict[Any, list[int]] = {g: list(range(len(configs))) for g in groups}
+    alive: dict[Any, list[int]] = {g: list(cfg_idxs) for g in groups}
+    decided: dict[Any, tuple[float, int]] = {}
     rung = 0
-    while any(len(v) > 1 for v in alive.values()):
-        active = [g for g, v in alive.items() if len(v) > 1]  # non-empty here
+    while True:
+        # groups still holding >1 config — plus, on rung 0, single-config
+        # brackets, which need one evaluation to carry a score at all
+        active = [
+            g
+            for g, v in alive.items()
+            if len(v) > 1 or (rung == 0 and len(v) == 1)
+        ]
+        if not active:
+            break
         epochs = rung_epochs * eta**rung
         scores = (
             base.filter(F.col(group_col).isin(active))
@@ -174,10 +306,30 @@ def successive_halving_per_segment(
                 continue
             keep = max(1, math.ceil(len(ranked) / eta))
             alive[g] = [idx for _, idx in ranked[:keep]]
+            if len(alive[g]) == 1:
+                decided[g] = ranked[0]
         rung += 1
+    return decided
 
-    # ---- final: retrain each segment's winner at the output budget ---- #
-    winners = {g: (v[0] if v else -1) for g, v in alive.items()}
+
+def _final_frame(
+    base: DataFrame,
+    configs: list[tuple[str, dict[str, Any]]],
+    winners: dict,
+    group_col: str,
+    order_col: str,
+    time_col: str,
+    event_col: str,
+    feats: list[str],
+    gtype: str,
+    output_epochs: int,
+    seed: int,
+    train_ratio: float,
+    min_rows: int,
+    cindex_max_test: int,
+) -> DataFrame:
+    """Retrain each group's winning config at the output budget and emit
+    the serde row; config_idx -1 groups emit the NULL-model row."""
     schema = (
         f"{group_col} {gtype}, config_idx int, family string, "
         "params_json string, model_json string, n_train long, n_test long, "
@@ -206,17 +358,10 @@ def successive_halving_per_segment(
         if idx < 0 or len(pdf) < min_rows:
             return row(-1, None, None, None, len(pdf), 0, None, None)
         fam, params = configs[idx]
-        X, t, e = _arrays(pdf)
+        X, t, e = _arrays_of(pdf, order_col, time_col, event_col, feats)
         m, n_train, n_test, val_loss, cidx = fit_one_local(
-            fam,
-            X,
-            t,
-            e,
-            train_ratio,
-            cindex_max_test,
-            epochs=output_epochs,
-            seed=seed,
-            **_clean(params),
+            fam, X, t, e, train_ratio, cindex_max_test,
+            epochs=output_epochs, seed=seed, **_clean(params),
         )
         return row(
             idx,

@@ -114,3 +114,47 @@ def test_sample_configs_seeded_and_deduped():
     assert len(keys) == len(a)
     with pytest.raises(ValueError):
         sample_configs(["nope"], 2)
+
+
+def test_full_hyperband_per_segment(spark):
+    """The multi-bracket schedule: fresh deduped configs per bracket, each
+    segment keeps its best (score, config) ACROSS brackets, winners retrain
+    at the output budget into loadable serde JSON. Deterministic."""
+    from elastic_surv_spark.models.grouped_hyperband import hyperband_per_segment
+
+    df = _fixture(spark)
+
+    def run():
+        return {
+            r.seg: r
+            for r in hyperband_per_segment(
+                df,
+                group_col="seg",
+                order_col="idx",
+                time_col="t",
+                event_col="e",
+                feature_cols=["x0", "x1"],
+                families=("logistic_hazard", "cox_ph"),
+                max_iter=4,
+                eta=2,
+                output_epochs=30,
+                seed=42,
+                train_ratio=0.8,
+            ).collect()
+        }
+
+    out = run()
+    assert set(out) == {"nonlinear", "linear", "tiny"}
+    for seg in ("nonlinear", "linear"):
+        r = out[seg]
+        assert r.config_idx >= 0 and r.family in ("logistic_hazard", "cox_ph")
+        assert r.model_json is not None
+        assert r.c_index is not None and r.c_index > 0.5, (seg, r.c_index)
+        # params_json round-trips to a dict the family accepts
+        assert isinstance(json.loads(r.params_json), dict)
+    assert out["tiny"].config_idx == -1 and out["tiny"].model_json is None
+
+    again = run()
+    assert {s: (r.config_idx, r.family, r.model_json) for s, r in out.items()} == {
+        s: (r.config_idx, r.family, r.model_json) for s, r in again.items()
+    }
