@@ -105,6 +105,13 @@ _CORPORA = {
     "t": ("surv", _surv_docs(), 50),
     "f": ("flaky", SCROLL_DOCS, _SCROLL_PAGE),
     "g": ("flaky5xx", SCROLL_DOCS, _SCROLL_PAGE),
+    # "relocated": a shard relocation / context expiry invalidates the
+    # scroll mid-scan — the first continuation 404s with
+    # search_context_missing_exception (one-shot, so a fresh task attempt
+    # succeeds). Must be FATAL to the attempt: the context is gone, pages
+    # are unrecoverable in place, and only a task-level rerun (a fresh
+    # scroll from offset 0) is exactly-once.
+    "h": ("relocated", SCROLL_DOCS, _SCROLL_PAGE),
 }
 
 
@@ -184,7 +191,9 @@ class _Stub(BaseHTTPRequestHandler):
         """(scroll-id prefix, docs, page size) for an index name."""
         if index in _Stub.indexed:  # a bulk-written index, scanned back
             return f"w:{index}:", self._stored(index), _SCROLL_PAGE
-        key = {"surv": "t", "flaky": "f", "flaky5xx": "g"}.get(index, "s")
+        key = {"surv": "t", "flaky": "f", "flaky5xx": "g", "relocated": "h"}.get(
+            index, "s"
+        )
         _, docs, psize = _CORPORA[key]
         return key, docs, psize
 
@@ -257,9 +266,28 @@ class _Stub(BaseHTTPRequestHandler):
                 return
             if prefix == "g" and self._fail_once(sid, status=503):
                 return
+            # ONE relocation event for the whole index (not per-sid like the
+            # flaky twins): the first continuation anywhere 404s; the task
+            # rerun's fresh scroll then pages cleanly end to end
+            if prefix == "h" and self._fail_once(
+                "relocated-ctx", status=404,
+                etype="search_context_missing_exception",
+            ):
+                return
             s, mx, off = rest.split(".")
             resp = _scroll_response(prefix, docs, psize, int(s), int(mx), int(off))
         elif self.path == "/_search" and "pit" in body:
+            # "pitfail": the PIT's node fails over mid-pagination — the
+            # first RESUMED page (search_after present) 404s with
+            # search_context_missing_exception (one-shot, so a fresh task
+            # attempt that opens a new PIT succeeds)
+            if body["pit"]["id"].endswith(":pitfail") and "search_after" in body:
+                if self._fail_once(
+                    f"pit:{body['pit']['id']}",
+                    status=404,
+                    etype="search_context_missing_exception",
+                ):
+                    return
             resp = self._pit_page(body)
         elif "composite" in json.dumps(body):
             after = body["aggs"]["groups"]["composite"].get("after")
@@ -268,14 +296,15 @@ class _Stub(BaseHTTPRequestHandler):
             resp = UNGROUPED
         self._reply(resp)
 
-    def _fail_once(self, key: str, status: int = 503) -> bool:
+    def _fail_once(self, key: str, status: int = 503,
+                   etype: str = "unavailable") -> bool:
         """Serve one ``status`` for ``key``; True if this request failed."""
         with _Stub.lock:
             if key in _Stub.failed_once:
                 return False
             _Stub.failed_once.add(key)
             _Stub.transient_served += 1
-        self._reply({"error": {"type": "unavailable"}}, status=status)
+        self._reply({"error": {"type": etype}}, status=status)
         return True
 
     def _pit_page(self, body: dict) -> dict:
@@ -717,6 +746,53 @@ def test_scroll_continuation_5xx_is_fatal(es_url):
         next(pages)
     # exactly one 503 served and zero continuation retries burned on it
     assert _Stub.transient_served == 1
+
+
+def test_scroll_context_missing_is_fatal_and_task_rerun_recovers(es_url):
+    """Shard relocation / scroll-context expiry mid-scan (the live-cluster
+    behavior the stub can simulate): a continuation 404s with
+    search_context_missing_exception. The attempt must DIE — the context
+    is gone, no in-place retry can recover the lost pages — and recovery
+    is Spark's task retry: a fresh attempt opens a fresh scroll from
+    offset 0 and yields the complete slice exactly once."""
+    import urllib.error
+
+    pages = scan_slice_pages(es_url, "relocated", 0, 1, page_size=2)
+    assert [d["doc_id"] for d in next(pages)] == [0, 1]  # page 1 fine
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        next(pages)
+    assert exc_info.value.code == 404
+
+    # the task-level rerun (fresh attempt, fresh scroll) reads everything
+    rerun = [
+        d["doc_id"]
+        for page in scan_slice_pages(es_url, "relocated", 0, 1, page_size=2)
+        for d in page
+    ]
+    assert rerun == [0, 1, 2, 3, 4, 5]
+
+
+def test_pit_context_missing_is_fatal_and_task_rerun_recovers(es_url):
+    """Node failover invalidating the PIT mid-pagination: the resumed page
+    404s with search_context_missing_exception. 404 is NOT in the PIT
+    retry set (retrying a dead context can only 404 again), so the attempt
+    dies; the task rerun opens a NEW PIT and re-reads the slice."""
+    import urllib.error
+
+    from elastic_surv_spark.sources.elastic import scan_slice_pages_pit
+
+    pages = scan_slice_pages_pit(es_url, "pitfail", 0, 1, page_size=2)
+    assert [d["doc_id"] for d in next(pages)] == [0, 1]  # page 1 fine
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        next(pages)
+    assert exc_info.value.code == 404
+
+    rerun = [
+        d["doc_id"]
+        for page in scan_slice_pages_pit(es_url, "pitfail", 0, 1, page_size=2)
+        for d in page
+    ]
+    assert rerun == [0, 1, 2, 3, 4, 5]
 
 
 def test_scroll_response_without_cursor_raises(es_url):
