@@ -168,3 +168,57 @@ def test_zorder_column_rejects_overflow(spark):
     df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
     with pytest.raises(ValueError):
         zorder_column(df, ["a", "b"], bits=32)
+
+
+def test_bucketed_history_anti_join_shuffles_only_the_batch(spark):
+    """The incremental-ingest docstrings' 100 TB claim, made executable:
+    with the dedup history maintained as a FINGERPRINT-BUCKETED table
+    (bucket count == shuffle partitions), the ingest anti-join plan holds
+    EXACTLY ONE exchange — the new batch's groupBy — while the history
+    side (bucketed scan → distinct → join) is shuffle-free end to end.
+    Broadcast is disabled so the plan takes the sort-merge path a 100 TB
+    history actually would."""
+    import re
+    import uuid
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = f"hist_fp_{uuid.uuid4().hex[:8]}"
+    fp = F.xxhash64(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hist = spark.range(2000).select(
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+            F.col("id").alias("doc_id"),
+        )
+        (
+            hist.select(fp.alias("fingerprint"), "doc_id")
+            .write.bucketBy(n_buckets, "fingerprint")
+            .sortBy("fingerprint")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        batch = spark.range(2000, 2100).select(
+            F.concat(F.lit("doc "), (F.col("id") % 2050)).alias("text"),
+            F.col("id").alias("doc_id"),
+        )
+        collapsed = (
+            batch.select(fp.alias("fingerprint"), "doc_id")
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("keep_id"))
+        )
+        out = collapsed.join(
+            spark.table(tbl).select("fingerprint").distinct(),
+            "fingerprint",
+            "left_anti",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange hashpartitioning\(fingerprint#(\d+)", plan)
+        assert len(exchanges) == 1, plan  # ONLY the batch side exchanges
+        assert "Bucketed: true" in plan, plan  # the history scan IS bucketed
+        # semantics unchanged by the layout: ids 2050..2099 wrap to history
+        # texts "doc 0".."doc 49" (dupes); 2000..2049 are genuinely new
+        assert sorted(r.keep_id for r in out.collect()) == list(range(2000, 2050))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
