@@ -214,3 +214,54 @@ def test_run_incremental_near_ingest_stream(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(f"{root}/docs").collect()
     ) == _expected_stream_survivors()
+
+
+def test_bucketed_band_index_candidate_join_shuffles_only_the_batch(spark):
+    """The band-index docstring's 100 TB posture, executable: with the
+    history's band index saved as a (band, key)-bucketed table (bucket
+    count == shuffle partitions), the candidate join's plan exchanges ONLY
+    the new batch's banded signatures — the index side is shuffle-free.
+    Broadcast disabled so the asserted path is the sort-merge one a web-
+    scale index takes."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.operators.dedup_fuzzy import band_index
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = f"band_idx_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hist = spark.createDataFrame(
+            [(i, f"history document number {i} with several words inside") for i in range(300)],
+            SCHEMA,
+        )
+        (
+            band_index(hist)
+            .write.bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        batch = spark.createDataFrame(BATCH, SCHEMA)
+        bands_b = band_index(batch)
+        cand = (
+            bands_b.select(F.col("doc_id").alias("id_b"), "band", "key")
+            .join(
+                spark.table(tbl).select(F.col("doc_id").alias("id_a"), "band", "key"),
+                ["band", "key"],
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        join_exchanges = re.findall(r"Exchange hashpartitioning\(band#", plan)
+        assert len(join_exchanges) == 1, plan  # ONLY the batch side
+        assert "Bucketed: true" in plan, plan
+        cand.collect()  # the plan actually executes
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
