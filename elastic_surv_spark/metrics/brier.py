@@ -156,6 +156,8 @@ def ipcw_brier_km_by(
 
     from elastic_surv_spark.metrics.km import km_curve_by, quantize_times
 
+    if n_grid < 2:
+        raise ValueError("n_grid must be >= 2 (grid step divides by n_grid - 1)")
     g = group_col
     base = df.select(
         F.col(g),

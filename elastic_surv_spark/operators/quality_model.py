@@ -164,6 +164,11 @@ def fit_quality_classifier(
         .limit(int(sample))
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "fit_quality_classifier: empty training frame — a silent "
+            "NaN-weight model would pass every row through the filter"
+        )
     texts = [r[text_col] for r in rows]
     y = np.array([float(r["_y"]) for r in rows])
     X = _features(texts, n_buckets)

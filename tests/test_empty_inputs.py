@@ -157,3 +157,20 @@ def test_empty_r10_operators(spark):
     assert cumulative_dynamic_auc_by(surv, "g", "t", "e", "risk").count() == 0
     assert ipcw_brier_km_by(surv, "g", "t", "e").count() == 0
     assert cumulative_dynamic_auc_ipcw(surv.drop("g"), "t", "e", "risk").count() == 0
+
+
+def test_degenerate_params_raise_loudly(spark):
+    # n_grid=1 would divide the grid step by zero and emit NaN taus
+    import pytest as _pytest
+
+    from elastic_surv_spark.metrics.brier import ipcw_brier_km_by
+    from elastic_surv_spark.operators.quality_model import fit_quality_classifier
+
+    surv = spark.createDataFrame([(0, 1.0, 1)], "g int, t double, e int")
+    with _pytest.raises(ValueError, match="n_grid"):
+        ipcw_brier_km_by(surv, "g", "t", "e", n_grid=1)
+    # an empty training frame must refuse, not return NaN weights that
+    # silently pass every document through the filter
+    docs = _empty(spark, "doc_id long, text string, label int")
+    with _pytest.raises(ValueError, match="empty training frame"):
+        fit_quality_classifier(docs, "label")
