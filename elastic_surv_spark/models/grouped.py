@@ -109,15 +109,21 @@ def fit_one_local(
     e: np.ndarray,
     train_ratio: float = 0.9,
     cindex_max_test: int = 2000,
+    cindex_subsample: bool = False,
     **hparams: Any,
 ) -> tuple[SurvModel, int, int, float, float | None]:
     """Train ONE (family, hyperparams) config on a group's arrays — the
     task-local kernel shared by :func:`fit_per_group` and the per-segment
     successive-halving loop (models/grouped_hyperband.py). Returns
     ``(model, n_train, n_test, val_loss, c_index)``; ``c_index`` is None
-    above ``cindex_max_test`` test rows or with no comparable pairs.
-    Deterministic given the seed in ``hparams`` (same math as the
-    reference's local trainer, src/elastic_surv/models/base.py:39-59).
+    above ``cindex_max_test`` test rows (unless ``cindex_subsample``) or
+    with no comparable pairs. With ``cindex_subsample=True`` a test split
+    above the gate scores on a deterministic even-stride subsample of
+    ``cindex_max_test`` rows instead of returning None — the halving loop
+    needs a comparable score at ANY group size, or promotion silently
+    degenerates to config order (ADVICE r10). Deterministic given the seed
+    in ``hparams`` (same math as the reference's local trainer,
+    src/elastic_surv/models/base.py:39-59).
     """
     if family not in _FAMILIES:
         raise ValueError(f"unknown model family {family!r}: {sorted(_FAMILIES)}")
@@ -152,6 +158,14 @@ def fit_one_local(
     if 0 < len(Xte) <= cindex_max_test:
         surv = m._surv_from_output(m.net.forward(Xte, training=False))
         cidx = _np_harrell(tte, ete, -surv.sum(axis=1))
+    elif len(Xte) > cindex_max_test and cindex_subsample:
+        # even-stride subsample over the order-sorted test prefix: strictly
+        # increasing distinct indices, no RNG, identical across re-runs —
+        # the n² sweep stays bounded at cindex_max_test² while every config
+        # in the rung scores on the SAME rows (comparable by construction)
+        sel = (np.arange(cindex_max_test) * len(Xte)) // cindex_max_test
+        surv = m._surv_from_output(m.net.forward(Xte[sel], training=False))
+        cidx = _np_harrell(tte[sel], ete[sel], -surv.sum(axis=1))
     return m, len(Xtr), len(Xte), float(val_loss), cidx
 
 

@@ -331,10 +331,17 @@ def near_ingest_batch_incremental(
         .parquet(docs_path)
     )
     # epoch band rows derive from the COMMITTED docs partition (read-back),
-    # so a replay regenerates them from the same bytes it just wrote
-    committed = spark.read.parquet(docs_path).filter(
-        F.col("_batch_id") == int(batch_id)
-    )
+    # so a replay regenerates them from the same bytes it just wrote. The
+    # read-back goes through the first-batch-aware reader: an EMPTY first
+    # micro-batch commits zero survivors, which leaves no parquet footer to
+    # infer a schema from — an unguarded read would raise
+    # UNABLE_TO_INFER_SCHEMA, fail the micro-batch, and hit the identical
+    # error on every replay, wedging the stream forever on a legitimately
+    # empty batch (ADVICE r10). No committed docs ⇒ no band rows to derive.
+    committed_docs = _read_table_or_none(spark, docs_path)
+    if committed_docs is None:
+        return
+    committed = committed_docs.filter(F.col("_batch_id") == int(batch_id))
     (
         band_index(committed, id_col, text_col, n, k, bands)
         .withColumn("_batch_id", F.lit(int(batch_id)))

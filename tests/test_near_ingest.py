@@ -216,6 +216,36 @@ def test_run_incremental_near_ingest_stream(spark, tmp_path):
     ) == _expected_stream_survivors()
 
 
+def test_near_ingest_empty_first_batch_does_not_wedge(spark, tmp_path):
+    """An EMPTY first micro-batch commits zero survivors, so the docs
+    read-back has no parquet footer to infer a schema from — before the
+    guard this raised UNABLE_TO_INFER_SCHEMA inside the foreachBatch body,
+    failing the micro-batch, and every replay hit the identical error: the
+    stream wedged permanently on a legitimately empty batch (ADVICE r10).
+    The guarded path must no-op, replay cleanly, and leave later batches
+    deduping as if the empty epoch never happened."""
+    root = str(tmp_path / "near_hist")
+    empty = spark.createDataFrame([], SCHEMA)
+
+    near_ingest_batch_incremental(empty, 0, root)  # must not raise
+    near_ingest_batch_incremental(empty, 0, root)  # replay: still clean
+
+    # the history then bootstraps from the first non-empty batch
+    near_ingest_batch_incremental(spark.createDataFrame(HISTORY, SCHEMA), 1, root)
+    near_ingest_batch_incremental(spark.createDataFrame(BATCH, SCHEMA), 2, root)
+    got = sorted(r.doc_id for r in spark.read.parquet(f"{root}/docs").collect())
+    flags = _expected_flags(BATCH, HISTORY)
+    want = sorted([i for i, _ in HISTORY] + [i for i, _ in BATCH if flags[i][2]])
+    assert got == want
+    # band index stays consistent with the kept docs (docs too short to
+    # shingle — like 14, "tiny doc" — legitimately have no band rows)
+    texts = dict(HISTORY + BATCH)
+    bands = spark.read.parquet(f"{root}/bands")
+    assert sorted(
+        r.doc_id for r in bands.select("doc_id").distinct().collect()
+    ) == [i for i in want if _shingles(texts[i])]
+
+
 def test_bucketed_band_index_candidate_join_shuffles_only_the_batch(spark):
     """The band-index docstring's 100 TB posture, executable: with the
     history's band index saved as a (band, key)-bucketed table (bucket
