@@ -30,6 +30,7 @@ list fold — which is what makes the APPLY path oracle-certifiable
 from __future__ import annotations
 
 import math
+import re
 from typing import Iterator
 
 import numpy as np
@@ -39,12 +40,31 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_bucket",
+    "tokenize",
     "pseudo_weights",
     "apply_quality_model",
     "fit_quality_classifier",
 ]
 
 _MASK32 = 0xFFFFFFFF
+
+#: Tokenizer boundary, as an EXPLICIT character class so both engines share
+#: one definition: Python's ``str.split()`` splits on any *Unicode*
+#: whitespace (NBSP, U+2028, …) while the SQL oracle's RE2 ``\s`` is
+#: ASCII-only and DuckDB's ``string_split(…, ' ')`` is single-space — three
+#: different boundaries that only agreed on space-only corpora (ADVICE
+#: r10). The class below is what the oracle's
+#: ``regexp_split_to_array(text, '[ \t\n\r\f\v]+')`` matches, verbatim.
+_WS = re.compile("[ \t\n\r\f\v]+")
+
+
+def tokenize(text: str | None) -> list[str]:
+    """ASCII-whitespace tokenization shared by the apply and fit paths —
+    mirrors the oracle SQL's ``regexp_split_to_array`` + empty filter
+    exactly, for every input (tabs, newlines, runs, leading/trailing)."""
+    if not isinstance(text, str):
+        return []
+    return [t for t in _WS.split(text) if t]
 
 
 def token_bucket(token: str, n_buckets: int) -> int:
@@ -98,7 +118,7 @@ def apply_quality_model(
         for pdf in batches:
             ids, ns, scores, keeps = [], [], [], []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = txt.split() if isinstance(txt, str) else []
+                toks = tokenize(txt)
                 n = len(toks)
                 if n == 0:
                     continue
@@ -125,7 +145,7 @@ def _features(texts: list[str], n_buckets: int) -> np.ndarray:
     X = np.zeros((len(texts), n_buckets), dtype=np.float64)
     cache: dict[str, int] = {}
     for i, txt in enumerate(texts):
-        toks = txt.split() if isinstance(txt, str) else []
+        toks = tokenize(txt)
         if not toks:
             continue
         for t in toks:

@@ -1528,7 +1528,11 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # logit SIGN, exp-free).
     r"""
     WITH toks AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        -- explicit ASCII-whitespace class ≡ the operator's tokenize()
+        -- (tabs/newlines/runs included) — NOT single-space split, which
+        -- diverges from the Python tokenizer on any non-space whitespace
+        SELECT doc_id, regexp_split_to_array(text, '[ \t\n\r\f\v]+') AS w
+        FROM documents
     ), tokc AS (
         SELECT doc_id, t FROM (SELECT doc_id, unnest(w) AS t FROM toks)
         WHERE t <> ''
@@ -1591,8 +1595,14 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS DECIMAL(28,12)), 6) AS DOUBLE) >= 0.5) AS heuristic_keep
         FROM toks
     ), tokc AS (
-        SELECT doc_id, t FROM (SELECT doc_id, unnest(w) AS t FROM toks)
-        WHERE t <> ''
+        -- the MODEL leg tokenizes with the operator's explicit
+        -- ASCII-whitespace class (see doc_quality_model_scores); the
+        -- heuristic leg above keeps its own certified single-space form
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS t
+            FROM documents
+        ) WHERE t <> ''
     ), nt AS (
         SELECT doc_id FROM tokc GROUP BY doc_id
     ), tb AS (

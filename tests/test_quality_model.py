@@ -60,6 +60,43 @@ def test_apply_matches_python_mirror(spark):
         assert got[doc_id].keep == (z >= 0.0)
 
 
+def test_apply_matches_duckdb_oracle_on_mixed_whitespace(spark):
+    """Engine bit-parity on documents with TABS, NEWLINES, \\f, \\v and
+    whitespace runs — the exact seam ADVICE r10 flagged (Python str.split()
+    tokenized any whitespace, the SQL oracle split on single space; they
+    agreed only on space-only corpora). Both sides now share one explicit
+    ASCII-whitespace class; this corpus would fail under either old form."""
+    import duckdb
+
+    rows = [
+        (1, "alpha\tbeta\ngamma"),          # tabs + newlines
+        (2, "  leading and   trailing  "),   # runs + edges
+        (3, "one\ftwo\vthree four"),         # formfeed + vertical tab
+        (4, "\t\n \v"),                      # whitespace-only: dropped
+        (5, "plain single space text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.score, r.keep)
+        for r in apply_quality_model(df, pseudo_weights(64)).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]
+    ))
+    from elastic_surv_spark.plans.queries import REGISTRY
+
+    want = sorted(
+        tuple(r) for r in con.execute(
+            REGISTRY["doc_quality_model_scores"].oracle
+        ).fetchall()
+    )
+    assert [(i, n) for i, n, _, _ in got] == [(i, n) for i, n, _, _ in want]
+    assert got == want
+    # and the token boundary is what the class says: doc 1 has 3 tokens
+    assert dict((i, n) for i, n, _, _ in got)[1] == 3
+
+
 def test_token_bucket_is_the_sql_fold():
     # fold-from-first-element (DuckDB list_reduce) == fold-from-0 (python),
     # and the 31-poly stays in 32 bits
