@@ -175,6 +175,7 @@ def score_per_group(
     group_col: str,
     feature_cols: list[str],
     id_col: str | None = None,
+    registry_as_table: bool = False,
 ) -> DataFrame:
     """Distributed inference half of "many models": score every row under
     ITS group's serde model in one grouped-map pass — ``(group[, id],
@@ -182,18 +183,25 @@ def score_per_group(
     metric quartet consumes).
 
     ``models`` is the per-group registry: either a ``(group, model_json)``
-    DataFrame (e.g. :func:`fit_per_group`'s output — collected driver-side,
-    bounded at one serde doc per group) or a prebuilt dict. The registry
-    ships to tasks in the closure (at very large group counts and model
-    sizes, persist the registry as a table and join the JSON onto the
-    group key instead); each group's task deserializes its model ONCE and
-    scores its rows in a single numpy forward pass. Rows of groups absent
-    from the registry (or with a NULL model) are dropped — a segment
-    without a trained model has no score.
+    DataFrame (e.g. :func:`fit_per_group`'s output) or a prebuilt dict.
+    Two delivery paths, bit-identical outputs (asserted in tests):
 
-    Scale: ZERO shuffle — scoring needs no co-location, so this is one
-    ``mapInPandas`` pass that fuses into the scan (streaming micro-batches
-    included): each Arrow batch groups its rows by the group value
+    - **closure** (default): the registry collects driver-side (bounded at
+      one serde doc per group) and ships in the ``mapInPandas`` closure —
+      fine up to thousands of groups.
+    - **table** (``registry_as_table=True``, requires a DataFrame): the
+      registry broadcast-joins ``model_json`` onto the group key, so the
+      JSON never transits the driver or the task closure — the scale path
+      for ~10k-1M segments × few-KB docs, where the closure alternative
+      serializes tens of MB to GBs per task set (VERDICT r10 #1). The
+      fact side takes NO exchange (broadcast hash join + map — asserted
+      by plan in tests).
+
+    Rows of groups absent from the registry (or with a NULL model) are
+    dropped — a segment without a trained model has no score.
+
+    Scale: ZERO fact-side shuffle on either path — scoring needs no
+    co-location: each Arrow batch groups its rows by the group value
     pandas-side and a per-task cache deserializes every referenced model
     at most once. Bit-identical to scoring the group's rows with the
     loaded model locally (asserted in tests).
@@ -201,6 +209,53 @@ def score_per_group(
     from typing import Iterator
 
     from elastic_surv_spark.models.serde import model_from_json
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    feats = list(feature_cols)
+    cols = [group_col, *([id_col] if id_col else []), *feats]
+    out_cols = [group_col, *([id_col] if id_col else []), "risk"]
+    id_part = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
+    schema = f"{group_col} {gtype}, {id_part}risk double"
+
+    if registry_as_table:
+        if not isinstance(models, DataFrame):
+            raise ValueError(
+                "registry_as_table=True needs the registry as a DataFrame"
+            )
+        import pyspark.sql.functions as F
+
+        joined = df.select(*cols).join(
+            F.broadcast(
+                models.filter(F.col("model_json").isNotNull()).select(
+                    group_col, "model_json"
+                )
+            ),
+            group_col,
+            "inner",  # groups without a trained model drop, ≡ closure path
+        )
+
+        def score_joined(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: dict[Any, Any] = {}
+            for pdf in batches:
+                outs = []
+                for gval, sl in pdf.groupby(group_col, sort=False):
+                    m = cache.get(gval)
+                    if m is None:
+                        m = model_from_json(sl["model_json"].iloc[0])
+                        cache[gval] = m
+                    X = sl[feats].to_numpy(dtype=float)
+                    surv = m._surv_from_output(m.net.forward(X, training=False))
+                    res = {group_col: sl[group_col], "risk": -surv.sum(axis=1)}
+                    if id_col:
+                        res[id_col] = sl[id_col]
+                    outs.append(pd.DataFrame(res)[out_cols])
+                yield (
+                    pd.concat(outs, ignore_index=True)
+                    if outs
+                    else pd.DataFrame({c: [] for c in out_cols})
+                )
+
+        return joined.mapInPandas(score_joined, schema=schema)
 
     if isinstance(models, DataFrame):
         reg = {
@@ -210,12 +265,6 @@ def score_per_group(
         }
     else:
         reg = {g: mj for g, mj in models.items() if mj is not None}
-    gtype = df.schema[group_col].dataType.simpleString()
-    feats = list(feature_cols)
-    cols = [group_col, *([id_col] if id_col else []), *feats]
-    out_cols = [group_col, *([id_col] if id_col else []), "risk"]
-    id_part = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
-    schema = f"{group_col} {gtype}, {id_part}risk double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[Any, Any] = {}
