@@ -300,6 +300,97 @@ def minhash_lsh_pairs(
     return _verified_jaccard_pairs(cand, tokenized, id_col, threshold, round_to)
 
 
+#: Jaccard above which the 16-hash / 8-band (r=2) banding's per-pair miss
+#: probability (1−j²)⁸ drops below 5e-6: solve (1−j²)⁸ ≤ 5e-6 → j ≥ 0.8846.
+#: This is a DISCLOSURE threshold, not a guarantee — MinHash banding has no
+#: pigeonhole radius (unlike SimHash): any j < 1 pair can in principle miss.
+#: Certified rows therefore emit (a) the per-pair banding LAW (found ⟺ some
+#: band key matched — deterministic on any corpus) and (b) this floor flag,
+#: so a re-rolled corpus with a marginal pair flips the flag visibly instead
+#: of the row failing (or passing while silently under-recalling).
+LSH_RECALL_FLOOR_16_8 = 0.89
+
+
+def minhash_lsh_certified_pairs(
+    df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    floor: float = LSH_RECALL_FLOOR_16_8,
+    round_to: int = 6,
+    tokenized: DataFrame | None = None,
+    exact: DataFrame | None = None,
+    band_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-independent certification of the banded MinHash plan: every
+    EXACT near-dup pair (complete postings derivation) annotated with
+
+    - ``lsh_law_ok`` — (the banded+verified path found the pair) ⟺ (at
+      least one of the pair's ``bands`` LSH band keys matched). True BY
+      CONSTRUCTION on any corpus: candidates are exactly the band-key
+      matches and verification is the same exact Jaccard that defines the
+      pair list — so a banding, verification, or dedup bug flips a row red,
+      while an honest probabilistic banding miss keeps both sides false.
+      (The SimHash rows' pigeonhole-law shape, r7, applied to MinHash —
+      whose banding has no deterministic radius, so the naive
+      "banded == exact" certification held only while every qualifying
+      pair's jaccard cleared the recall floor: a per-corpus die roll.)
+    - ``above_recall_floor`` — jaccard ≥ ``floor`` (SQL-computable
+      disclosure: pairs above it miss with P ≤ ~5e-6 at the default k/b;
+      a marginal pair on a re-rolled corpus flips THIS flag instead of the
+      row).
+
+    A banded-verified pair absent from the exact list (impossible unless
+    verification is broken) surfaces as an extra row with NULL jaccard →
+    row count + law diverge → red. Shuffle: the exact postings join (the
+    truth set — share it at scale) + O(corpus × bands) keys + O(candidates)
+    verification rows.
+    """
+    if tokenized is None:
+        tokenized = _tokenized(df, id_col, text_col, n)
+    if exact is None:
+        exact = shingle_jaccard_pairs(
+            df, id_col, text_col, n, threshold, round_to=round_to,
+            tokenized=tokenized,
+        )
+    if band_rows is None:
+        band_rows = band_index(None, id_col, text_col, n, k, bands, tokenized=tokenized)
+    left = band_rows.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = band_rows.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    found = _verified_jaccard_pairs(cand, tokenized, id_col, threshold, round_to).select(
+        "id_a", "id_b", F.lit(1).alias("_f")
+    )
+    # per exact pair: did ANY of its band keys match? (both docs of an exact
+    # pair have shingles, hence exactly `bands` band rows each — inner joins
+    # lose nothing)
+    match = (
+        exact.select("id_a", "id_b")
+        .join(left.withColumnRenamed("key", "_ka"), "id_a")
+        .join(right.withColumnRenamed("key", "_kb"), ["id_b", "band"])
+        .groupBy("id_a", "id_b")
+        .agg(F.max((F.col("_ka") == F.col("_kb")).cast("int")).alias("_bm"))
+    )
+    annotated = exact.join(match, ["id_a", "id_b"], "left")
+    return annotated.join(found, ["id_a", "id_b"], "full_outer").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        (
+            F.coalesce(F.col("_f"), F.lit(0)) == F.coalesce(F.col("_bm"), F.lit(0))
+        ).alias("lsh_law_ok"),
+        (F.col("jaccard") >= floor).alias("above_recall_floor"),
+    )
+
+
 def incremental_near_dedup(
     batch: DataFrame,
     history: DataFrame | None,

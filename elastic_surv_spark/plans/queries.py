@@ -1448,9 +1448,15 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "minhash_lsh_dupes",
-    # Verified-candidate output equals the exact result unless every LSH band
-    # misses a true pair (P ≈ (1-j²)⁸ ≤ 4e-6 at j ≥ 0.89 on this corpus) —
-    # the exact-Jaccard oracle is therefore shared with ngram_jaccard_dupes.
+    # Output = the COMPLETE exact-Jaccard pair list annotated with the
+    # banding LAW (found ⟺ some of the 8 band keys matched — deterministic
+    # on any corpus, so the oracle pins it TRUE) and the recall-floor
+    # disclosure flag (jaccard ≥ 0.89, where the 16/8 banding's miss
+    # probability (1−j²)⁸ ≤ 5e-6 — SQL-computable). Before r11 this row's
+    # oracle equality instead ASSUMED every qualifying pair clears the
+    # floor — true of this corpus (all j ≥ 0.89) but a per-corpus die roll:
+    # a re-rolled marginal pair could fail the row with correct code, or
+    # pass while silently under-recalling (the r7 SimHash lesson).
     """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1473,7 +1479,10 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- all-pairs list_intersect form is O(n²·|ts|) and wedged the sf0.1
     -- sweep for hours
     SELECT id_a, id_b,
-           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard,
+           TRUE AS lsh_law_ok,
+           (round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.89)
+               AS above_recall_floor
     FROM jinter
     JOIN jsz sa ON sa.doc_id = id_a
     JOIN jsz sb ON sb.doc_id = id_b
@@ -1481,16 +1490,26 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_lsh_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (16 hashes, 8 bands × 2) with exact
-    verification — the linear-shuffle 100 TB dedup plan. Signatures and
-    the verification join both read the session-shared persisted shingle
-    frame (_DOC_SHINGLES)."""
-    from elastic_surv_spark.operators.dedup_fuzzy import minhash_lsh_pairs
+    """MinHash+LSH near-dup certification (16 hashes, 8 bands × 2 — the
+    linear-shuffle 100 TB dedup plan): every exact pair with its jaccard
+    plus ``lsh_law_ok`` = (banded+verified path found the pair) ⟺ (some
+    band key matched) — corpus-independent by construction (operators/
+    dedup_fuzzy.py:minhash_lsh_certified_pairs) — and
+    ``above_recall_floor`` = jaccard ≥ 0.89 (the k=16/b=8 disclosure
+    threshold, LSH_RECALL_FLOOR_16_8). A banding/verification/dedup bug
+    flips the law red on any corpus; an honest sub-floor banding miss
+    keeps the law green and flips only the disclosure flag. Shingles,
+    the exact truth set, and the band rows are session-shared
+    (_DOC_SHINGLES / _EXACT_PAIRS / _BAND_ROWS)."""
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        minhash_lsh_certified_pairs,
+    )
 
-    d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5,
+    return minhash_lsh_certified_pairs(
+        None, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5,
         tokenized=_doc_shingles(spark, sf_dir),
+        exact=_exact_dup_pairs(spark, sf_dir),
+        band_rows=_band_rows(spark, sf_dir),
     )
 
 
@@ -1699,7 +1718,8 @@ def release_shared_caches() -> None:
     subplans run, never what they return, and unpersisted frames recompute
     from lineage."""
     for cache in (
-        _DOC_SHINGLES, _EXACT_PAIRS, _SIMHASH_SHARED, _VOCAB_COUNTS, _BPE_MERGES,
+        _DOC_SHINGLES, _EXACT_PAIRS, _BAND_ROWS, _SIMHASH_SHARED,
+        _VOCAB_COUNTS, _BPE_MERGES,
     ):
         for entry in cache.values():
             # the release walk assumes every cache entry is the tuple
@@ -1739,11 +1759,13 @@ def family_stages(name: str) -> list:
     tokenize = ("tokenize", lambda spark, sf_dir: _doc_shingles(spark, sf_dir).count())
     exact = ("exact_pairs", lambda spark, sf_dir: _exact_dup_pairs(spark, sf_dir).count())
     sigs = ("signatures", lambda spark, sf_dir: _simhash_shared(spark, sf_dir)[0].count())
+    bandrows = ("band_rows", lambda spark, sf_dir: _band_rows(spark, sf_dir).count())
     bpe = ("bpe_train", lambda spark, sf_dir: _bpe_merges_shared(spark, sf_dir))
     vocab = ("vocab_counts", lambda spark, sf_dir: _vocab_counts(spark, sf_dir).count())
     return {
         "ngram_jaccard_dupes": [tokenize, exact],
-        "minhash_lsh_dupes": [tokenize],
+        "minhash_lsh_dupes": [tokenize, exact, bandrows],
+        "near_dedup_incremental_batch": [tokenize, exact, bandrows],
         "simhash_near_dupes": [tokenize, exact, sigs],
         "simhash_near_dupes_wide": [tokenize, exact, sigs],
         "doc_bpe_learned_merges": [bpe],
@@ -1805,6 +1827,32 @@ def _exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (pairs,) = _shared_frames(_EXACT_PAIRS, _EXACT_PAIRS_MAX, spark, sf_dir, build)
     return pairs
+
+
+#: Session-scoped share of the MinHash family's LSH band-index rows, keyed
+#: by sf_dir: (spark, bands) with bands = the (doc_id, band, key) frame at
+#: the registry's pinned k=16 / b=8 over the shared shingle pass. Read by
+#: minhash_lsh_dupes (candidate join + the per-pair banding law) and
+#: near_dedup_incremental_batch (its law columns) — the band keys depend
+#: only on (text, n, k, b, seed), so the corpus-wide index equals the
+#: operator's per-slice computation. Bounded: corpus × 8 rows of 24 bytes.
+_BAND_ROWS: dict[str, tuple] = {}
+_BAND_ROWS_MAX = 4
+
+
+def _band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, band, key) LSH band rows (k=16, b=8) at sf_dir."""
+    from elastic_surv_spark.operators.dedup_fuzzy import band_index
+
+    toks = _doc_shingles(spark, sf_dir)
+
+    def build():
+        return (
+            band_index(None, "doc_id", "text", 3, 16, 8, tokenized=toks).persist(),
+        )
+
+    (bands,) = _shared_frames(_BAND_ROWS, _BAND_ROWS_MAX, spark, sf_dir, build)
+    return bands
 
 
 #: Session-scoped share of the SimHash family's signature subplan, keyed by
@@ -7277,11 +7325,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "near_dedup_incremental_batch",
-    # Exact-Jaccard oracle in the inverted-index postings form (the
-    # all-pairs list_intersect form wedged the sf0.1 sweep — see
-    # ngram_jaccard_dupes). Oracle equality holds because every qualifying
-    # pair on this corpus clears the 8×2 banding's recall floor (same
-    # argument as minhash_lsh_dupes: miss P ≈ (1-j²)⁸ ≤ 4e-6 at j ≥ 0.89).
+    # Exact-Jaccard decision table (inverted-index postings form — the
+    # all-pairs list_intersect form wedged the sf0.1 sweep, see
+    # ngram_jaccard_dupes) + the r11 law columns: lsh_law_ok pins TRUE (the
+    # operator's banded decisions must equal the band-key-match prediction
+    # on any corpus — a plumbing bug flips it red), above_recall_floor
+    # discloses per doc whether EVERY qualifying pair clears j ≥ 0.89 (the
+    # 16/8 banding's ≤5e-6-miss regime). Before r11 oracle equality instead
+    # ASSUMED the floor held — a per-corpus die roll (r7 SimHash lesson).
     r"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -7297,65 +7348,161 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM post p JOIN post q ON p.g = q.g
         WHERE p.doc_id % 10 >= 7 AND q.doc_id % 10 < 7
         GROUP BY 1, 2
-    ), hist_dup AS (
-        SELECT DISTINCT x.id_b AS doc_id FROM xinter x
-        JOIN sz sa ON sa.doc_id = x.id_a
-        JOIN sz sb ON sb.doc_id = x.id_b
-        WHERE round(x.i::DOUBLE / (sa.n + sb.n - x.i), 6) >= 0.5
     ), winter AS (
         SELECT p.doc_id AS id_b, q.doc_id AS id_a, count(*) AS i
         FROM post p JOIN post q ON p.g = q.g
         WHERE p.doc_id % 10 >= 7 AND q.doc_id % 10 >= 7 AND q.doc_id < p.doc_id
         GROUP BY 1, 2
-    ), batch_dup AS (
-        SELECT DISTINCT w.id_b AS doc_id FROM winter w
+    ), qual AS (
+        SELECT x.id_b AS doc_id, 'hist' AS kind,
+               round(x.i::DOUBLE / (sa.n + sb.n - x.i), 6) AS j
+        FROM xinter x
+        JOIN sz sa ON sa.doc_id = x.id_a
+        JOIN sz sb ON sb.doc_id = x.id_b
+        WHERE round(x.i::DOUBLE / (sa.n + sb.n - x.i), 6) >= 0.5
+        UNION ALL
+        SELECT w.id_b AS doc_id, 'batch' AS kind,
+               round(w.i::DOUBLE / (sa.n + sb.n - w.i), 6) AS j
+        FROM winter w
         JOIN sz sa ON sa.doc_id = w.id_a
         JOIN sz sb ON sb.doc_id = w.id_b
         WHERE round(w.i::DOUBLE / (sa.n + sb.n - w.i), 6) >= 0.5
+    ), per_doc AS (
+        SELECT doc_id,
+               bool_or(kind = 'hist') AS hist_dup,
+               bool_or(kind = 'batch') AS batch_dup,
+               min(j) AS minj
+        FROM qual GROUP BY doc_id
     )
     SELECT b.doc_id,
-           (hd.doc_id IS NOT NULL) AS dup_of_history,
-           (bd.doc_id IS NOT NULL) AS dup_in_batch,
-           (hd.doc_id IS NULL AND bd.doc_id IS NULL) AS keep
+           coalesce(pd.hist_dup, FALSE) AS dup_of_history,
+           coalesce(pd.batch_dup, FALSE) AS dup_in_batch,
+           NOT (coalesce(pd.hist_dup, FALSE) OR coalesce(pd.batch_dup, FALSE))
+               AS keep,
+           TRUE AS lsh_law_ok,
+           coalesce(pd.minj >= 0.89, TRUE) AS above_recall_floor
     FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7) b
-    LEFT JOIN hist_dup hd ON b.doc_id = hd.doc_id
-    LEFT JOIN batch_dup bd ON b.doc_id = bd.doc_id
+    LEFT JOIN per_doc pd ON b.doc_id = pd.doc_id
     """,
 )
 def near_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dup ingest (operators/dedup_fuzzy.py:
-    incremental_near_dedup): a new batch (doc_id % 10 >= 7, the same
-    today's-ingest split as dedup_incremental_batch) joins its banded
-    MinHash signatures against the history's band index, verifies only the
-    surviving candidates with exact 3-shingle Jaccard, and emits the full
-    decision table — (doc_id, dup_of_history, dup_in_batch, keep) with the
-    deterministic earlier-id rule within the batch.
+    """Incremental NEAR-dup ingest, law-certified (r11): a new batch
+    (doc_id % 10 >= 7, the same today's-ingest split as
+    dedup_incremental_batch) joins its banded MinHash signatures against
+    the history's band index (operators/dedup_fuzzy.py:
+    incremental_near_dedup), verifies only the surviving candidates with
+    exact 3-shingle Jaccard, and its decision table is certified per doc:
+
+    - the emitted ``dup_of_history / dup_in_batch / keep`` are the EXACT
+      flags (from the complete postings truth set — matches the oracle on
+      any corpus);
+    - ``lsh_law_ok`` = the OPERATOR's banded flags equal the band-key-match
+      prediction (∃ qualifying pair with ≥1 matching band key), per kind —
+      deterministic on any corpus, pinned TRUE by the oracle, flipped red
+      by any candidate-join / verification / flag-rule bug;
+    - ``above_recall_floor`` = every qualifying pair of this doc has
+      jaccard ≥ 0.89 (the k=16/b=8 disclosure floor; vacuously TRUE) — a
+      re-rolled marginal pair flips THIS flag instead of failing the row
+      or silently under-recalling.
 
     Scale: the history's near-dup state is the table-resident band index
     (band_index — at 100 TB a bucketed (band, key) table the new batch
     joins without re-signing the corpus); verification tokenizes ONLY the
-    candidate history docs (semi-join pruned). The streaming twin
-    (streaming/ingest.py:near_ingest_batch_incremental) commits survivors
-    + their band rows per epoch with the exclude-own-epoch exactly-once
-    construction.
+    candidate history docs (semi-join pruned). The law columns ride the
+    session-shared _EXACT_PAIRS/_BAND_ROWS subplans (bounded: qualifying
+    pairs × 8 band rows). The streaming twin (streaming/ingest.py:
+    near_ingest_batch_incremental) commits survivors + their band rows per
+    epoch with the exclude-own-epoch exactly-once construction.
     """
-    from elastic_surv_spark.operators.dedup_fuzzy import incremental_near_dedup
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        LSH_RECALL_FLOOR_16_8,
+        incremental_near_dedup,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return incremental_near_dedup(
-        d.filter(F.col("doc_id") % 10 >= 7),
-        d.filter(F.col("doc_id") % 10 < 7),
-        "doc_id",
-        "text",
-        n=3,
-        k=16,
-        bands=8,
-        threshold=0.5,
+    batch = d.filter(F.col("doc_id") % 10 >= 7)
+    hist = d.filter(F.col("doc_id") % 10 < 7)
+    dec = incremental_near_dedup(
+        batch, hist, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5,
         # measured NOT to use the session-shared shingle frame: slicing the
         # persisted corpus frame needs three id semi-join exchanges, while
         # the direct form applies the doc_id % 10 split scan-side inside
         # the same codegen stage (solo_cold 5.0 s direct vs 9.2 s shared
         # on this box)
+    )
+
+    exact = _exact_dup_pairs(spark, sf_dir)
+    bands = _band_rows(spark, sf_dir)
+    a_is_b = F.col("id_a") % 10 >= 7
+    b_is_b = F.col("id_b") % 10 >= 7
+    # qualifying pairs normalized to (doc = the flagged batch doc, other)
+    cross = exact.filter(a_is_b != b_is_b).select(
+        F.when(a_is_b, F.col("id_a")).otherwise(F.col("id_b")).alias("doc_id"),
+        F.when(a_is_b, F.col("id_b")).otherwise(F.col("id_a")).alias("other"),
+        F.lit("hist").alias("kind"),
+        F.col("jaccard").alias("j"),
+    )
+    within = exact.filter(a_is_b & b_is_b).select(
+        F.col("id_b").alias("doc_id"),  # earlier-id rule flags the LATER doc
+        F.col("id_a").alias("other"),
+        F.lit("batch").alias("kind"),
+        F.col("jaccard").alias("j"),
+    )
+    rel = cross.unionByName(within)
+    bm = (
+        rel.select("doc_id", "other", "kind")
+        .join(bands.select("doc_id", "band", F.col("key").alias("_kd")), "doc_id")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("other"), "band", F.col("key").alias("_ko")
+            ),
+            ["other", "band"],
+        )
+        .groupBy("doc_id", "other", "kind")
+        .agg(F.max((F.col("_kd") == F.col("_ko")).cast("int")).alias("_bm"))
+    )
+    per_doc = (
+        rel.join(bm, ["doc_id", "other", "kind"])
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("kind") == "hist").cast("int")).alias("_h"),
+            F.max((F.col("kind") == "batch").cast("int")).alias("_b"),
+            F.max(
+                ((F.col("kind") == "hist") & (F.col("_bm") == 1)).cast("int")
+            ).alias("_hb"),
+            F.max(
+                ((F.col("kind") == "batch") & (F.col("_bm") == 1)).cast("int")
+            ).alias("_bb"),
+            F.min("j").alias("_minj"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(
+            dec.select(
+                "doc_id",
+                F.col("dup_of_history").alias("_oph"),
+                F.col("dup_in_batch").alias("_opb"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce("_h", F.lit(0)) == 1).alias("dup_of_history"),
+            (F.coalesce("_b", F.lit(0)) == 1).alias("dup_in_batch"),
+            (
+                (F.coalesce("_h", F.lit(0)) == 0)
+                & (F.coalesce("_b", F.lit(0)) == 0)
+            ).alias("keep"),
+            (
+                (F.col("_oph") == (F.coalesce("_hb", F.lit(0)) == 1))
+                & (F.col("_opb") == (F.coalesce("_bb", F.lit(0)) == 1))
+            ).alias("lsh_law_ok"),
+            F.coalesce(
+                F.col("_minj") >= F.lit(LSH_RECALL_FLOOR_16_8), F.lit(True)
+            ).alias("above_recall_floor"),
+        )
     )
 
 
@@ -7511,6 +7658,8 @@ _RECERT_FIRST = {
     "td_auc_ipcw_user_activity": 10,  # r10 linear 1/G weights (ADVICE fix)
     "td_auc_user_activity": 10,  # r10 grid-horizon dedup
     "dcal_km_user_lifetimes": 10,  # r10 single-pass masses + unpersist
+    "minhash_lsh_dupes": 11,  # r11 law certification (+2 columns)
+    "near_dedup_incremental_batch": 11,  # r11 law certification (+2 columns)
 }
 
 
