@@ -40,7 +40,12 @@ from elastic_surv_spark.models.logistic_hazard import LogisticHazardModel
 from elastic_surv_spark.models.nn import MLP
 from elastic_surv_spark.models.serde import model_to_json
 
-__all__ = ["fit_per_group", "fit_one_local", "score_per_group"]
+__all__ = [
+    "fit_per_group",
+    "fit_one_local",
+    "score_per_group",
+    "pseudo_cox_registry",
+]
 
 _FAMILIES: dict[str, type[SurvModel]] = {
     "logistic_hazard": LogisticHazardModel,
@@ -291,6 +296,82 @@ def score_per_group(
             )
 
     return df.select(*cols).mapInPandas(score, schema=schema)
+
+
+def pseudo_cox_registry(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    time_col: str,
+    event_col: str,
+    feature_cols: list[str],
+    max_curve_points: int = 100,
+    h0_round: int = 6,
+) -> DataFrame:
+    """FIXED per-segment linear-CoxPH serde docs — the certification twin
+    of :func:`fit_per_group` (the ``doc_quality_model_scores``
+    pseudo-weights recipe applied to survival): ``(group, model_json)``
+    with, per segment g,
+
+    - β_j = ((((g·n_features + j) · 2654435761) % 2001) − 1000) / 1000 —
+      the Knuth-hash spread both engines regenerate arithmetically
+      (operators/quality_model.py:pseudo_weights), so no weight literal
+      ships anywhere;
+    - a Breslow baseline computed from the SEGMENT'S OWN data under that
+      β (the numpy twin of CoxPHModel._post_fit: life-table quantization
+      to ``max_curve_points``, risk-set reverse cumsum) — pure SQL, which
+      is what makes the downstream ``score_per_group`` risk and the
+      per-cohort metric quartet oracle-certifiable end to end;
+    - H0 rounded to ``h0_round`` digits: the float-parity hinge. The two
+      engines build H0 through order-sensitive float sums (~1e-14 apart);
+      rounding at 1e-6 makes them agree EXACTLY except for boundary
+      events at P ≈ 1e-8/point, and any residual 1e-6-scale H0 wobble is
+      invisible to the final risk's own 6-digit round.
+
+    Training itself is not SQL-expressible — the trained path is
+    pytest-certified (fit_per_group → score_per_group → metric quartet,
+    tests/test_grouped_models.py); this builder certifies every OTHER
+    stage of that composition against DuckDB with real serde documents.
+    The group column must be integer-typed (it feeds the β recipe).
+    """
+    gtype = df.schema[group_col].dataType.simpleString()
+    feats = list(feature_cols)
+    nf = len(feats)
+    schema = f"{group_col} {gtype}, model_json string"
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        gval = pdf[group_col].iloc[0]
+        seg = int(gval)
+        idx = np.arange(nf, dtype=np.int64) + np.int64(seg) * nf
+        w = ((idx * 2654435761) % 2001 - 1000) / 1000.0
+
+        m = CoxPHModel(
+            in_features=nf, hidden_nodes=[], batch_norm=False, dropout=0.0,
+            seed=0, max_curve_points=max_curve_points,
+        )
+        m.net = MLP(nf, [], 1, batch_norm=False, dropout=0.0,
+                    output_bias=False, seed=0)
+        m.net.set_state(w)
+
+        # deterministic float-sum order within the engine (grouped-map row
+        # arrival order is not stable across runs)
+        pdf = pdf.sort_values(id_col, ignore_index=True)
+        X = pdf[feats].to_numpy(dtype=float)
+        t = pdf[time_col].to_numpy(dtype=float)
+        e = pdf[event_col].to_numpy(dtype=float)
+        eg = np.exp(X @ w)
+        tq = _np_quantize(t, max_curve_points)
+        ts = np.unique(tq)
+        d = np.array([e[tq == u].sum() for u in ts], dtype=float)
+        sum_eg = np.array([eg[tq == u].sum() for u in ts], dtype=float)
+        denom = np.cumsum(sum_eg[::-1])[::-1]
+        m.cuts = ts
+        m.baseline_cumhaz = np.round(np.cumsum(d / denom), h0_round)
+        return pd.DataFrame({group_col: [gval], "model_json": [model_to_json(m)]})
+
+    return df.select(group_col, id_col, time_col, event_col, *feats).groupBy(
+        group_col
+    ).applyInPandas(build_group, schema=schema)
 
 
 def fit_per_group(

@@ -1256,6 +1256,205 @@ def ipcw_brier_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipcw_brier_km_by(surv, "cohort", "t", "e", n_grid=20)
 
 
+@query(
+    "segmented_cox_pipeline",
+    # The composed per-segment stack certified end to end with the
+    # doc_quality_model_scores pseudo-weights recipe applied to survival:
+    # per-segment linear-CoxPH serde docs whose β both engines regenerate
+    # arithmetically and whose Breslow baseline is computed from the
+    # segment's own data (pure SQL), scored distributedly, the scores fed
+    # to the per-cohort metric legs. Float-parity hinges: H0 rounds to 6
+    # digits inside the doc builder AND this SQL; risk rounds to 6 in both;
+    # KM curves round at 1e-10 (the ipcw_brier_cohorts recipe); all
+    # grid/term sums pass through DECIMAL(38,18).
+    """
+    WITH surv AS (
+        SELECT user_id, CAST(user_id % 4 AS INT) AS seg,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               count(*)::DOUBLE / 100.0 AS x0,
+               count(DISTINCT event_type)::DOUBLE / 10.0 AS x1
+        FROM events GROUP BY user_id
+    ), zed AS (
+        SELECT *, exp(((((seg * 2 + 0) * 2654435761) % 2001) - 1000) / 1000.0 * x0
+                    + ((((seg * 2 + 1) * 2654435761) % 2001) - 1000) / 1000.0 * x1) AS eg
+        FROM surv
+    ), bqs AS (
+        SELECT seg, count(DISTINCT t) AS nd, min(t) AS lo, max(t) AS hi
+        FROM zed GROUP BY seg
+    ), zq AS (
+        -- per-segment Breslow life-table quantization (cap 100), the
+        -- models/grouped.py:_np_quantize form
+        SELECT z.*, CASE WHEN q.nd <= 100 THEN z.t
+                    ELSE least(q.hi, q.lo + least(100.0, ceil((z.t - q.lo) / ((q.hi - q.lo) / 100)))
+                               * ((q.hi - q.lo) / 100)) END AS tq
+        FROM zed z JOIN bqs q ON z.seg = q.seg
+    ), bev AS (
+        SELECT seg, tq, sum(e)::DOUBLE AS d, sum(eg) AS sum_eg FROM zq GROUP BY 1, 2
+    ), curve AS (
+        SELECT seg, tq, round(sum(d / denom) OVER (PARTITION BY seg ORDER BY tq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS h0
+        FROM (SELECT seg, tq, d,
+                     sum(sum_eg) OVER (PARTITION BY seg ORDER BY tq DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS denom
+              FROM bev) x
+    ), risks AS (
+        -- risk = -SUM_t S(t|x) with S = exp(-H0(t)·exp(βx))
+        SELECT z.user_id, z.seg, z.t, z.e,
+               round(-sum(exp(-z.eg * c.h0)), 6) AS risk
+        FROM zed z JOIN curve c ON z.seg = c.seg
+        GROUP BY z.user_id, z.seg, z.t, z.e
+    ), pairs AS (
+        SELECT a.seg, a.risk AS r_i, b.risk AS r_j
+        FROM risks a JOIN risks b ON a.seg = b.seg AND a.t < b.t AND a.e = 1
+    ), har AS (
+        SELECT seg, count(*) AS n_comparable,
+               CAST(sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+               CAST(sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+               round((sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END)
+                      + 0.5 * sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END)) / count(*), 6) AS c_index
+        FROM pairs GROUP BY seg
+    ), mq AS (
+        SELECT count(DISTINCT t) AS nd, min(t) AS lo, max(t) AS hi FROM risks
+    ), msurv AS (
+        -- the Brier leg's own GLOBAL 512-cap quantization (metrics/brier.py)
+        SELECT seg, e,
+               CASE WHEN nd <= 512 THEN t
+                    ELSE least(hi, lo + least(512.0, ceil((t - lo) / ((hi - lo) / 512)))
+                                      * ((hi - lo) / 512))
+               END AS t
+        FROM risks, mq
+    ), mev AS (
+        SELECT seg, t, count(*) AS n_total, sum(e) AS d FROM msurv GROUP BY 1, 2
+    ), km AS (
+        SELECT seg, t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (PARTITION BY seg ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
+        FROM (SELECT seg, t, d, sum(n_total) OVER (PARTITION BY seg ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM mev) x
+    ), cv AS (
+        SELECT seg, t, count(*) AS n_total, sum(1 - e) AS d FROM msurv GROUP BY 1, 2
+    ), ckm AS (
+        SELECT seg, t, round(exp(sum(ln(greatest(1e-300, 1.0 - CAST(d AS DOUBLE) / n_risk)))
+                  OVER (PARTITION BY seg ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 10) AS s
+        FROM (SELECT seg, t, d, sum(n_total) OVER (PARTITION BY seg ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk FROM cv) x
+    ), gprev AS (
+        SELECT seg, t, coalesce(lag(s) OVER (PARTITION BY seg ORDER BY t), 1.0) AS g_tminus
+        FROM ckm
+    ), stats AS (
+        SELECT seg, min(t) AS tmin, max(t) AS tmax FROM msurv GROUP BY seg
+    ), grid AS (
+        SELECT seg, k, tmin + k * (tmax - tmin) / 9.0 AS tau
+        FROM generate_series(0, 9) gs(k), stats
+    ), terms AS (
+        SELECT g.seg, g.k, g.tau,
+               CASE
+                 WHEN s.t <= g.tau AND s.e = 1 THEN
+                   CASE WHEN p.g_tminus > 0
+                        THEN pow(COALESCE((SELECT k2.s FROM km k2 WHERE k2.seg = g.seg AND k2.t <= g.tau ORDER BY k2.t DESC LIMIT 1), 1.0), 2)
+                             / p.g_tminus
+                        ELSE 0.0 END
+                 WHEN s.t > g.tau THEN
+                   CASE WHEN COALESCE((SELECT c.s FROM ckm c WHERE c.seg = g.seg AND c.t <= g.tau ORDER BY c.t DESC LIMIT 1), 1.0) > 0
+                        THEN pow(1.0 - COALESCE((SELECT k2.s FROM km k2 WHERE k2.seg = g.seg AND k2.t <= g.tau ORDER BY k2.t DESC LIMIT 1), 1.0), 2)
+                             / COALESCE((SELECT c.s FROM ckm c WHERE c.seg = g.seg AND c.t <= g.tau ORDER BY c.t DESC LIMIT 1), 1.0)
+                        ELSE 0.0 END
+                 ELSE 0.0
+               END AS term
+        FROM msurv s
+        JOIN grid g ON s.seg = g.seg
+        JOIN gprev p ON p.seg = s.seg AND p.t = s.t
+    ), brows AS (
+        SELECT seg, k, round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE)
+                             / count(*), 6) AS brier
+        FROM terms GROUP BY seg, k, tau
+    ), ibs AS (
+        SELECT seg, round(CAST(sum(CAST(brier AS DECIMAL(38,18))) AS DOUBLE)
+                          / count(*), 6) AS ibs
+        FROM brows GROUP BY seg
+    )
+    SELECT n.seg, n.n_scored, h.n_comparable, h.n_concordant, h.n_tied,
+           h.c_index, i.ibs
+    FROM (SELECT seg, CAST(count(*) AS BIGINT) AS n_scored FROM risks GROUP BY seg) n
+    JOIN har h ON h.seg = n.seg
+    JOIN ibs i ON i.seg = n.seg
+    """,
+)
+def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segmented "many models" pipeline as ONE certified row:
+    per-segment model registry → distributed scoring → per-cohort metric
+    legs (VERDICT r10 task #2). Composition, per segment (user_id % 4):
+
+    1. ``pseudo_cox_registry`` (models/grouped.py) builds a REAL linear-
+       CoxPH serde document — pseudo-β both engines regenerate
+       arithmetically (the doc_quality_model_scores recipe), Breslow
+       baseline from the segment's own lifetimes under that β (H0 rounded
+       at 1e-6, the engine-parity hinge);
+    2. ``score_per_group(..., registry_as_table=True)`` scores every user
+       under their segment's doc via the broadcast-join registry path (the
+       r11 scale path — model JSON never rides the driver or a closure);
+       risk = −Σ_t S(t|x) = −Σ_t exp(−H0(t)·e^{βx}), rounded at 1e-6;
+    3. ``harrell_cindex_by`` (discrimination) and ``ipcw_brier_km_by``
+       (accuracy, n_grid=10, summarized to its DECIMAL-exact mean ``ibs``)
+       consume the scored frame per segment.
+
+    Training itself is not SQL-expressible; the TRAINED composition
+    (fit_per_group → score_per_group → metric quartet) is pytest-certified
+    (tests/test_grouped_models.py) — this row hash-certifies every other
+    stage of that exact dataflow against DuckDB with real serde documents,
+    real broadcast scoring, and the real grouped metric kernels.
+
+    Scale: registry build is one grouped-map over segment-bounded tasks;
+    scoring is a broadcast join + one map pass (zero fact-side exchange,
+    plan-asserted in tests); both metric legs are the certified grouped
+    kernels (Fenwick sweep per segment; fully in-plan Brier) — no
+    driver-side rows at any segment count.
+    """
+    from elastic_surv_spark.metrics.brier import ipcw_brier_km_by
+    from elastic_surv_spark.metrics.concordance import harrell_cindex_by
+    from elastic_surv_spark.models.grouped import (
+        pseudo_cox_registry,
+        score_per_group,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    surv = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1000000.0)
+            ).alias("t"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("e"),
+            (F.count("*").cast("double") / F.lit(100.0)).alias("x0"),
+            (F.count_distinct("event_type").cast("double") / F.lit(10.0)).alias(
+                "x1"
+            ),
+        )
+        .withColumn("seg", (F.col("user_id") % 4).cast("int"))
+    )
+    docs = pseudo_cox_registry(surv, "seg", "user_id", "t", "e", ["x0", "x1"])
+    scored = score_per_group(
+        surv, docs, "seg", ["x0", "x1"], id_col="user_id",
+        registry_as_table=True,
+    )
+    scored = scored.select(
+        "seg", "user_id", F.round("risk", 6).alias("risk")
+    ).join(surv.select("user_id", "t", "e"), "user_id")
+
+    har = harrell_cindex_by(scored, "seg", "t", "e", "risk")
+    bri = ipcw_brier_km_by(scored, "seg", "t", "e", n_grid=10)
+    ibs = bri.groupBy("seg").agg(
+        F.round(
+            F.sum(F.col("brier").cast("decimal(38,18)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("ibs")
+    )
+    n = scored.groupBy("seg").agg(F.count("*").cast("long").alias("n_scored"))
+    return n.join(har, "seg").join(ibs, "seg")
+
+
 # --------------------------------------------------------------------------- #
 # Dedup & similarity (north-star, SURVEY §2.12)
 # --------------------------------------------------------------------------- #

@@ -243,3 +243,64 @@ def test_score_per_group_registry_as_table_parity_and_plan(spark, seg_df):
         score_per_group(
             seg_df, reg, "seg", ["x0", "x1"], registry_as_table=True
         )
+
+
+def test_pseudo_cox_registry_builds_loadable_linear_models(spark, seg_df):
+    """pseudo_cox_registry (the segmented_cox_pipeline certification twin):
+    real CoxPH serde docs — pseudo-β regenerated arithmetically, Breslow
+    from the segment's own data — that load WITHOUT Spark, score via
+    score_per_group bit-identically to local eval, and are deterministic."""
+    import json
+
+    from elastic_surv_spark.models.grouped import (
+        pseudo_cox_registry,
+        score_per_group,
+    )
+
+    docs = pseudo_cox_registry(seg_df, "seg", "rid", "t", "e", ["x0", "x1"])
+    rows = {r.seg: r.model_json for r in docs.collect()}
+    assert set(rows) == {0, 1, 2}
+    for seg, mjson in rows.items():
+        d = json.loads(mjson)
+        assert d["model"] == "cox_ph" and d["params"]["hidden_nodes"] == []
+        # β is the pseudo recipe, exactly
+        w = d["net"]["state"]
+        want = [
+            (((seg * 2 + j) * 2654435761) % 2001 - 1000) / 1000.0
+            for j in range(2)
+        ]
+        assert w == want
+        m = model_from_json(mjson)
+        surv = m._surv_from_output(
+            m.net.forward(np.array([[0.5, -0.2]]), training=False)
+        )
+        assert np.isfinite(surv).all() and np.all((surv >= 0) & (surv <= 1))
+        assert np.all(np.diff(surv, axis=1) <= 1e-12)  # monotone curves
+
+    # distributed scoring under the docs == local scoring with the loaded
+    # model (both delivery paths)
+    for as_table in (False, True):
+        scored = {
+            r.rid: r.risk
+            for r in score_per_group(
+                seg_df, docs, "seg", ["x0", "x1"], id_col="rid",
+                registry_as_table=as_table,
+            ).collect()
+        }
+        pdf = seg_df.toPandas()
+        for seg, mjson in rows.items():
+            m = model_from_json(mjson)
+            sl = pdf[pdf.seg == seg]
+            X = sl[["x0", "x1"]].to_numpy(dtype=float)
+            want_r = -m._surv_from_output(
+                m.net.forward(X, training=False)
+            ).sum(axis=1)
+            got_r = np.array([scored[rid] for rid in sl.rid])
+            assert np.array_equal(got_r, want_r), (as_table, seg)
+
+    # deterministic across runs (grouped-map row order varies; the builder
+    # sorts by id before any float sum)
+    again = {r.seg: r.model_json for r in pseudo_cox_registry(
+        seg_df, "seg", "rid", "t", "e", ["x0", "x1"]
+    ).collect()}
+    assert again == rows
