@@ -1872,6 +1872,88 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_model_drift",
+    # Drift gate between two certification weight vectors (pseudo_weights
+    # offsets 0 and 64 — both regenerated arithmetically by both engines,
+    # the established recipe): per-decile masses of each model's rounded
+    # scores, KL(P_new ‖ P_old) over Laplace-smoothed bins, retrain ⟺
+    # kl > 0.05. One bucket-hash pass feeds BOTH milli-weight folds.
+    r"""
+    WITH tokc AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '[ \t\n\r\f\v]+')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ), nt AS (
+        SELECT doc_id, count(*) AS n FROM tokc GROUP BY doc_id
+    ), tb AS (
+        SELECT doc_id,
+               list_reduce([CAST(unicode(t[i]) AS BIGINT)
+                            for i in range(1, len(t) + 1)],
+                           (a, b) -> (a * 31 + b) % 4294967296) % 64 AS j
+        FROM tokc
+    ), sw AS (
+        SELECT doc_id,
+               sum((j * 2654435761) % 2001 - 1000) AS so,
+               sum(((j + 64) * 2654435761) % 2001 - 1000) AS sn
+        FROM tb GROUP BY doc_id
+    ), scores AS (
+        SELECT n.doc_id,
+               round(1.0 / (1.0 + exp(-(CAST(so AS DOUBLE) / (1000.0 * n.n)))), 6) AS s_old,
+               round(1.0 / (1.0 + exp(-(CAST(sn AS DOUBLE) / (1000.0 * n.n)))), 6) AS s_new
+        FROM nt n JOIN sw s ON n.doc_id = s.doc_id
+    ), binned AS (
+        SELECT CAST(least(floor(s_old * 10), 9) AS INT) AS b_old,
+               CAST(least(floor(s_new * 10), 9) AS INT) AS b_new
+        FROM scores
+    ), bins AS (
+        SELECT CAST(k AS INT) AS bin FROM generate_series(0, 9) gs(k)
+    ), co AS (SELECT b_old AS bin, count(*) AS n_old FROM binned GROUP BY 1
+    ), cn AS (SELECT b_new AS bin, count(*) AS n_new FROM binned GROUP BY 1
+    ), pb AS (
+        SELECT bin, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        FROM bins LEFT JOIN co USING (bin) LEFT JOIN cn USING (bin)
+    ), tot AS (SELECT count(*) AS n FROM binned
+    ), kl AS (
+        SELECT round(CAST(sum(CAST(
+                 ((n_new + 1.0) / (n + 10.0))
+                 * ln(((n_new + 1.0) / (n + 10.0)) / ((n_old + 1.0) / (n + 10.0)))
+               AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl
+        FROM pb, tot
+    )
+    SELECT pb.bin, CAST(pb.n_old AS BIGINT) AS n_old,
+           CAST(pb.n_new AS BIGINT) AS n_new, kl.kl, (kl.kl > 0.05) AS retrain
+    FROM pb, kl
+    """,
+)
+def quality_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-model drift monitoring (operators/quality_model.py:
+    quality_score_drift, VERDICT r10 task #6): per-decile score masses of
+    the current certification filter (pseudo_weights) vs a re-fit twin
+    (pseudo_weights offset 64 — an independent slice of the same Knuth
+    spread, regenerated arithmetically by both engines), the Laplace-
+    smoothed KL(P_new ‖ P_old) over the bins, and the retrain gate.
+    The REAL re-fit trigger (fit_quality_classifier on a fresh
+    deterministic sample, shifted corpus ⇒ retrain, stable corpus ⇒ no
+    retrain) is pytest-certified — training isn't SQL-expressible; this
+    row certifies the drift statistic's whole apply path.
+
+    Scale: two scan-fused Arrow scoring passes + an id join + a 10-row
+    aggregate — no corpus-sized shuffle beyond the join."""
+    from elastic_surv_spark.operators.quality_model import (
+        pseudo_weights,
+        quality_score_drift,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score_drift(
+        d, pseudo_weights(64), pseudo_weights(64, offset=64),
+        n_bins=10, threshold=0.05,
+    )
+
+
 def _shared_frames(cache: dict, max_entries: int, spark, key, build):
     """Session-scoped persisted-frame cache with a single lifecycle rule
     shared by every module-level cache here (_DOC_SHINGLES, _VOCAB_COUNTS,

@@ -148,3 +148,45 @@ def test_fit_bounded_sample_is_deterministic_subset(spark):
     w1, b1 = fit_quality_classifier(df, "label", n_buckets=32, sample=50, epochs=50)
     w2, b2 = fit_quality_classifier(df, "label", n_buckets=32, sample=50, epochs=50)
     assert b1 == b2 and np.array_equal(w1, w2)
+
+
+def test_drift_refit_trigger_fires_on_shifted_corpus(spark):
+    """The REAL drift loop (quality_score_drift over re-fit weights): a
+    re-fit on the SAME distribution scores close to the old model (low KL,
+    no retrain), a re-fit on a SHIFTED corpus (noise share jumps) moves the
+    score distribution (high KL, retrain fires)."""
+    from elastic_surv_spark.operators.quality_model import quality_score_drift
+
+    base = _corpus(seed=3, n_clean=120, n_noisy=120)
+    df = spark.createDataFrame(base, "doc_id long, text string, label int")
+    w_old, b_old = fit_quality_classifier(df, "label", n_buckets=64, epochs=100)
+
+    # re-fit on a fresh same-distribution sample: distribution stable
+    again = _corpus(seed=11, n_clean=120, n_noisy=120)
+    df2 = spark.createDataFrame(again, "doc_id long, text string, label int")
+    w_same, b_same = fit_quality_classifier(df2, "label", n_buckets=64, epochs=100)
+
+    # re-fit on a shifted corpus (noise dominates -> different decision
+    # surface and score distribution)
+    shifted = _corpus(seed=12, n_clean=20, n_noisy=220)
+    df3 = spark.createDataFrame(shifted, "doc_id long, text string, label int")
+    w_shift, b_shift = fit_quality_classifier(df3, "label", n_buckets=64, epochs=100)
+
+    score_on = df.select("doc_id", "text")
+    stable = quality_score_drift(
+        score_on, w_old, w_same, b_old, b_same, threshold=0.05
+    ).collect()
+    drifted = quality_score_drift(
+        score_on, w_old, w_shift, b_old, b_shift, threshold=0.05
+    ).collect()
+
+    assert len(stable) == 10 and len(drifted) == 10
+    kl_stable = stable[0].kl
+    kl_drift = drifted[0].kl
+    assert kl_drift > kl_stable, (kl_stable, kl_drift)
+    assert not stable[0].retrain, kl_stable
+    assert drifted[0].retrain, kl_drift
+    # bin masses account for every scored doc, in both frames
+    n = score_on.count()
+    assert sum(r.n_old for r in stable) == sum(r.n_new for r in stable) == n
+    assert sum(r.n_new for r in drifted) == n
