@@ -347,6 +347,141 @@ def harrell_cindex(
     return float(row["c_index"])
 
 
+def concordance_td_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+    surv_col: str,
+    cuts: list[float],
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group EXACT Antolini time-dependent C-index over a
+    survival-curve column: ``(group, n_comparable, n_concordant, n_tied,
+    c_index)`` — the last population-only metric grouped (harrell /
+    td-AUC / Brier / KM all have per-cohort forms since r9-r10).
+
+    Pair (i, j) comparable iff T_i < T_j and E_i = 1; concordant iff
+    S_i(T_i) < S_j(T_i) with S(t) = surv[max {k : cuts[k] <= t}] (1.0
+    before the first cut); curve-value ties count 0.5.
+
+    Exact WITHOUT a pairwise join: within each group the pairs partition
+    by the event subject's cut index g — every comparison at index g reads
+    the scalar column surv[:, g] — so one Fenwick time-sweep PER CUT
+    (events restricted to {i : cut(T_i) = g}, risk = −surv[:, g]) covers
+    all pairs exactly once: O(|cuts| · m log m) per group instead of
+    O(m²). Same grouped-map scale contract as ``harrell_cindex_by`` (one
+    GROUP fits one task; group count is the parallelism); ``c_index`` is
+    NULL for groups with no comparable pair.
+    """
+    gtype = df.schema[group_col].dataType.simpleString()
+    cuts_arr = np.asarray([float(c) for c in cuts], dtype=float)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(surv_col).alias("s"),
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        gval = pdf["_g"].iloc[0]
+        t = pdf["t"].to_numpy(dtype=float)
+        e = pdf["e"].to_numpy(dtype=float)
+        S = np.asarray(list(pdf["s"]), dtype=float)  # (m, |cuts|)
+        m = len(t)
+        order = np.argsort(t, kind="stable")
+        t, e, S = t[order], e[order], S[order]
+        # cut index of each subject's own time; -1 = before first cut (S=1)
+        gidx = np.searchsorted(cuts_arr, t, side="right") - 1
+        comparable = concordant = tied = 0
+        for g in np.unique(gidx):
+            ev_mask = (gidx == g) & (e == 1)
+            if not ev_mask.any():
+                continue
+            r = np.ones(m) if g < 0 else -S[:, int(g)]
+            c_, co_, ti_ = _masked_harrell_sweep(t, ev_mask, r)
+            comparable += c_
+            concordant += co_
+            tied += ti_
+        cidx = (
+            (concordant + 0.5 * tied) / comparable if comparable else None
+        )
+        if cidx is not None and round_to is not None:
+            cidx = round(cidx, round_to)
+        return pd.DataFrame(
+            {
+                "_g": [gval],
+                "n_comparable": [comparable],
+                "n_concordant": [concordant],
+                "n_tied": [tied],
+                "c_index": [cidx],
+            }
+        )
+
+    out = base.groupBy("_g").applyInPandas(
+        sweep,
+        schema=(
+            f"_g {gtype}, n_comparable long, n_concordant long, "
+            "n_tied long, c_index double"
+        ),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        "n_comparable",
+        "n_concordant",
+        "n_tied",
+        "c_index",
+    )
+
+
+def _masked_harrell_sweep(
+    t: np.ndarray, ev_mask: np.ndarray, r: np.ndarray
+) -> tuple[int, int, int]:
+    """Exact (comparable, concordant, tied) counts for pairs (i, j) with
+    t_i < t_j where i ranges over ``ev_mask`` rows only — the
+    ``_local_harrell`` Fenwick sweep with the index-event set decoupled
+    from the event column (the per-cut restriction ``concordance_td_by``
+    needs). ``t`` must be ascending."""
+    m = len(t)
+    ranks = np.searchsorted(np.unique(r), r)
+    nrank = int(ranks.max()) + 1 if m else 0
+    tree = np.zeros(nrank + 1, dtype=np.int64)
+
+    def bit_add(i):
+        i += 1
+        while i <= nrank:
+            tree[i] += 1
+            i += i & (-i)
+
+    def bit_sum(i):
+        i += 1
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    comparable = concordant = tied = 0
+    idx = m
+    inserted = 0
+    while idx > 0:
+        lo = idx - 1
+        while lo > 0 and t[lo - 1] == t[idx - 1]:
+            lo -= 1
+        for i in range(lo, idx):
+            if ev_mask[i] and inserted > 0:
+                comparable += inserted
+                le = bit_sum(ranks[i])
+                lt = bit_sum(ranks[i] - 1) if ranks[i] > 0 else 0
+                concordant += lt
+                tied += le - lt
+        for i in range(lo, idx):
+            bit_add(ranks[i])
+            inserted += 1
+        idx = lo
+    return comparable, concordant, tied
+
+
 def concordance_td(
     pred: DataFrame,
     time_col: str,

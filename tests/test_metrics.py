@@ -837,3 +837,59 @@ def test_d_calibration_km_mass_and_numpy_mirror(spark):
     # (chi2 far below the 0.05 critical value for 9 dof, 16.92)
     chi2 = sum(c for _, _, c in got.values())
     assert chi2 < 16.92, chi2
+
+
+def test_concordance_td_by_matches_ungrouped_on_slice(spark, surv_pdf):
+    """Per-group Antolini (concordance_td_by, the per-cut Fenwick sweep) is
+    EXACTLY the ungrouped pairwise concordance_td applied to each group's
+    slice — including curve-value ties and tied times."""
+    from elastic_surv_spark.metrics.concordance import (
+        concordance_td,
+        concordance_td_by,
+    )
+
+    rng = np.random.default_rng(11)
+    cuts = np.quantile(surv_pdf["t"], np.linspace(0, 1, 6)).tolist()
+    n = len(surv_pdf)
+    base = rng.uniform(0.5, 1.0, (n, len(cuts)))
+    # quantize curve values coarsely so curve-value TIES actually occur
+    surv_matrix = np.round(np.minimum.accumulate(base, axis=1), 1)
+    pdf = surv_pdf.copy()
+    pdf["surv"] = [row.tolist() for row in surv_matrix]
+    pdf["g"] = (np.arange(n) % 3).astype("int32")
+    df = spark.createDataFrame(pdf)
+
+    got = {
+        r.g: (r.n_comparable, r.n_concordant, r.n_tied, r.c_index)
+        for r in concordance_td_by(df, "g", "t", "e", "surv", cuts).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    some_ties = False
+    for g in (0, 1, 2):
+        sl = df.filter(df.g == g)
+        want_c = concordance_td(sl, "t", "e", "surv", cuts)
+        n_comp, n_conc, n_tied, cidx = got[g]
+        assert n_comp > 0
+        some_ties = some_ties or n_tied > 0
+        assert cidx == round((n_conc + 0.5 * n_tied) / n_comp, 6)
+        assert abs(cidx - want_c) < 5e-7, (g, cidx, want_c)  # same ratio
+    assert some_ties  # the fixture exercised the tie path
+
+
+def test_concordance_td_by_no_comparable_pairs_group(spark):
+    """An all-censored group emits NULL c_index, zero counts — and does not
+    poison its siblings."""
+    from elastic_surv_spark.metrics.concordance import concordance_td_by
+
+    cuts = [1.0, 2.0]
+    rows = (
+        [(0, float(i + 1), 0, [0.9, 0.5]) for i in range(5)]  # censored only
+        + [(1, 1.0, 1, [0.9, 0.5]), (1, 2.0, 0, [0.8, 0.7]),
+           (1, 3.0, 1, [0.7, 0.1])]
+    )
+    df = spark.createDataFrame(
+        rows, "g int, t double, e int, surv array<double>"
+    )
+    got = {r.g: r for r in concordance_td_by(df, "g", "t", "e", "surv", cuts).collect()}
+    assert got[0].n_comparable == 0 and got[0].c_index is None
+    assert got[1].n_comparable > 0 and got[1].c_index is not None
