@@ -51,6 +51,7 @@ __all__ = [
     "semdedup_ingest_batch_incremental",
     "run_incremental_semdedup_ingest",
     "compact_history",
+    "compact_history_table",
     "latest_committed_batch",
 ]
 
@@ -259,6 +260,91 @@ def compact_history(
         )
     stage_fs, stage_path = _fs_and_path(spark, staging)
     stage_fs.delete(stage_path, True)
+    return len(fold_ids)
+
+
+def compact_history_table(
+    spark: SparkSession,
+    table: str,
+    committed_batch_id: int,
+    key_cols: tuple[str, ...] = ("fingerprint",),
+    staging_path: str | None = None,
+) -> int:
+    """:func:`compact_history` for a history kept as a BUCKETED metastore
+    table — the 100 TB layout whose ingest join is shuffle-free on the
+    history side (tests/test_sinks.py bucketed-history plan tests). Folds
+    every ``_batch_id < committed_batch_id`` epoch partition into the
+    consolidated ``_batch_id = -1`` partition; returns epochs folded.
+
+    The fold goes through ``insertInto`` with a dynamic partition
+    overwrite, which writes THROUGH the table's bucket spec — so the
+    consolidated partition keeps the same bucket files as the epochs it
+    replaces and the ingest anti-join / band candidate join stays
+    single-exchange after any number of compactions (plan-asserted in
+    tests; a path-based fold here would silently drop the bucket metadata
+    and reintroduce the history-side shuffle).
+
+    Crash-safety is the same self-healing construction as the path
+    variant: committed rows stage to a scratch parquet dir (a table can't
+    overwrite itself mid-read), promote into ``-1`` (dropDuplicates heals
+    any prior promote-then-crash overlap), then the source epoch
+    partitions drop. Live epochs are untouched, so replays stay
+    exactly-once. ``key_cols`` is the table's uniqueness key; the staged
+    fold is range-sorted on it for row-group pruning, and the bucketed
+    write re-clusters it per bucket.
+    """
+    hist = spark.table(table)
+    old = hist.filter(F.col("_batch_id") < committed_batch_id)
+    old_ids = sorted(
+        r["_batch_id"]
+        for r in old.select("_batch_id").distinct().collect()  # bounded: epochs
+    )
+    fold_ids = [i for i in old_ids if i != COMPACTED_BATCH_ID]
+    if not fold_ids:
+        return 0
+
+    if staging_path is None:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).replace("file:", "")
+        staging_path = f"{warehouse.rstrip('/')}/{table}.compact.tmp"
+    keys = list(key_cols)
+    par = max(spark.sparkContext.defaultParallelism // 4, 1)
+    data_cols = [c for c in hist.columns if c != "_batch_id"]
+    (
+        old.select(*data_cols)
+        .dropDuplicates(keys)  # heals a prior promote-then-crash
+        .repartitionByRange(par, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(staging_path)
+    )
+    # insertInto ignores the per-WRITER partitionOverwriteMode option (it
+    # resolves the mode from the session conf at plan time) — a static
+    # overwrite here TRUNCATES the live epochs. Scope the dynamic mode to
+    # this one statement and restore whatever the session had.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            spark.read.parquet(staging_path)
+            .withColumn("_batch_id", F.lit(int(COMPACTED_BATCH_ID)))
+            .select(*data_cols, "_batch_id")  # insertInto binds by POSITION
+            .write.mode("overwrite")
+            .insertInto(table)
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
+    for bid in fold_ids:
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION (_batch_id={int(bid)})"
+        )
+    stage_fs, stage_p = _fs_and_path(spark, staging_path)
+    stage_fs.delete(stage_p, True)
     return len(fold_ids)
 
 

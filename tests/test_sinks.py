@@ -222,3 +222,148 @@ def test_bucketed_history_anti_join_shuffles_only_the_batch(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bucketed_history_compaction_preserves_join_shape(spark):
+    """compact_history_table (streaming/ingest.py): folding committed
+    epochs of a FINGERPRINT-BUCKETED history table into _batch_id=-1 keeps
+    the 100 TB ingest join shape — after compaction the anti-join still
+    holds EXACTLY ONE exchange (the batch's groupBy) with the history side
+    bucketed and shuffle-free — and dedup answers are unchanged. A
+    path-based fold here would silently drop the bucket metadata and
+    reintroduce the history-side shuffle (VERDICT r10 stretch #9)."""
+    import re
+    import uuid
+
+    from elastic_surv_spark.streaming.ingest import compact_history_table
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = f"hist_cmp_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # epoch 0 seeds the bucketed+partitioned table; epochs 1-2 append
+        def epoch(lo, hi, bid):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("fingerprint"),
+                F.col("id").alias("doc_id"),
+                F.lit(bid).alias("_batch_id"),
+            )
+
+        (
+            epoch(0, 800, 0)
+            .write.partitionBy("_batch_id")
+            .bucketBy(n_buckets, "fingerprint")
+            .sortBy("fingerprint")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        epoch(800, 1600, 1).write.mode("append").insertInto(tbl)
+        epoch(1600, 2000, 2).write.mode("append").insertInto(tbl)
+
+        # fold epochs 0-1 (committed frontier = 2); epoch 2 stays live
+        assert compact_history_table(spark, tbl, 2, key_cols=("fingerprint",)) == 2
+        parts = sorted(
+            r[0] for r in spark.table(tbl).select("_batch_id").distinct().collect()
+        )
+        assert parts == [-1, 2]
+        assert spark.table(tbl).count() == 2000  # nothing lost
+
+        # the ingest anti-join against the compacted table: 1 exchange,
+        # bucketed history scan, same survivors
+        batch = spark.range(1950, 2100).select(
+            F.col("id").alias("fingerprint"), F.col("id").alias("doc_id")
+        )
+        collapsed = batch.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+        out = collapsed.join(
+            spark.table(tbl).select("fingerprint").distinct(),
+            "fingerprint",
+            "left_anti",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = re.findall(r"Exchange hashpartitioning\(fingerprint#\d+", plan)
+        assert len(exchanges) == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert sorted(r.keep_id for r in out.collect()) == list(range(2000, 2100))
+
+        # idempotent second pass: nothing below the frontier remains
+        assert compact_history_table(spark, tbl, 2) == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_bucketed_band_index_compaction_preserves_join_shape(spark):
+    """The bands twin: compacting a (band, key)-bucketed LSH band-index
+    table keeps the candidate join single-exchange (only the new batch's
+    signatures shuffle) and the candidate pairs identical."""
+    import re
+    import uuid
+
+    from elastic_surv_spark.operators.dedup_fuzzy import band_index
+    from elastic_surv_spark.streaming.ingest import compact_history_table
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tbl = f"bands_cmp_{uuid.uuid4().hex[:8]}"
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def docs(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("history document number "), F.col("id"),
+                         F.lit(" with several words inside")).alias("text"),
+            )
+
+        (
+            band_index(docs(0, 150))
+            .withColumn("_batch_id", F.lit(0))
+            .write.partitionBy("_batch_id")
+            .bucketBy(n_buckets, "band", "key")
+            .sortBy("band", "key")
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        (
+            band_index(docs(150, 300))
+            .withColumn("_batch_id", F.lit(1))
+            .write.mode("append")
+            .insertInto(tbl)
+        )
+        assert compact_history_table(
+            spark, tbl, 2, key_cols=("doc_id", "band")
+        ) == 2
+        assert sorted(
+            r[0] for r in spark.table(tbl).select("_batch_id").distinct().collect()
+        ) == [-1]
+
+        batch = docs(300, 320).withColumn(
+            "text",
+            F.concat(F.lit("history document number "), F.col("doc_id") % 310,
+                     F.lit(" with several words inside")),
+        )
+        bands_b = band_index(batch)
+        cand = (
+            bands_b.select(F.col("doc_id").alias("id_b"), "band", "key")
+            .join(
+                spark.table(tbl).select(F.col("doc_id").alias("id_a"), "band", "key"),
+                ["band", "key"],
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        join_exchanges = re.findall(r"Exchange hashpartitioning\(band#", plan)
+        assert len(join_exchanges) == 1, plan  # ONLY the batch side
+        assert "Bucketed: true" in plan, plan
+        got = set(map(tuple, cand.collect()))
+        # identical texts have identical signatures, so every true dup pair
+        # (ids 310..319 == history docs 0..9) MUST be proposed; the
+        # template-similar corpus also yields chance band collisions —
+        # candidates, not matches: exact verification prunes those (the
+        # operator's verify stage, certified elsewhere)
+        assert {(i - 310, i) for i in range(310, 320)} <= got, got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
