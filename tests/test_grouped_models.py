@@ -152,6 +152,29 @@ def test_per_segment_models_feed_per_segment_metric_quartet(spark, seg_df):
     assert {r.seg for r in briers} == {0, 1, 2}
     assert all(0.0 <= r.brier <= 1.0 for r in briers)
 
+    # Antolini leg (r11): per-segment time-dependent C over each model's
+    # OWN survival curves. Each segment's label transform fit its OWN cut
+    # grid, so concordance_td_by runs per segment with that grid (one call
+    # per segment here only because the CUTS differ — the kernel itself is
+    # grouped).
+    from elastic_surv_spark.metrics.concordance import concordance_td_by
+
+    for seg, m in models.items():
+        sl = pdf[pdf.seg == seg]
+        X = sl[["x0", "x1"]].to_numpy(dtype=float)
+        surv = m._surv_from_output(m.net.forward(X, training=False))
+        curves_df = spark.createDataFrame(
+            [
+                (int(seg), float(t_), int(e_), [float(v) for v in s])
+                for t_, e_, s in zip(sl.t, sl.e, surv)
+            ],
+            "seg int, t double, e int, surv array<double>",
+        )
+        row = concordance_td_by(
+            curves_df, "seg", "t", "e", "surv", list(m.cuts)
+        ).collect()[0]
+        assert row.c_index is not None and row.c_index > 0.55, (seg, row)
+
 
 def test_score_per_group_drops_unregistered_groups(spark, seg_df):
     from elastic_surv_spark.models.grouped import score_per_group
