@@ -7780,17 +7780,21 @@ def near_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 10 >= 7)
     hist = d.filter(F.col("doc_id") % 10 < 7)
-    dec = incremental_near_dedup(
-        batch, hist, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5,
-        # measured NOT to use the session-shared shingle frame: slicing the
-        # persisted corpus frame needs three id semi-join exchanges, while
-        # the direct form applies the doc_id % 10 split scan-side inside
-        # the same codegen stage (solo_cold 5.0 s direct vs 9.2 s shared
-        # on this box)
-    )
-
     exact = _exact_dup_pairs(spark, sf_dir)
     bands = _band_rows(spark, sf_dir)
+    dec = incremental_near_dedup(
+        batch, hist, "doc_id", "text", n=3, k=16, bands=8, threshold=0.5,
+        # r10 measured the DIRECT form fastest (scan-side % split beat
+        # slicing the shared shingle frame, 5.0 s vs 9.2 s) — but the r11
+        # law columns build _DOC_SHINGLES/_BAND_ROWS for this row anyway,
+        # and with those persisted the shared-frame operator re-measures
+        # 1.0 s vs 3.5 s direct (warm, this box): the semi-join slices now
+        # read a cached exchange instead of re-tokenizing. The history's
+        # band index is the corpus-wide shared index filtered to history
+        # ids (band keys are per-doc, so the filter IS the history index).
+        tokenized=_doc_shingles(spark, sf_dir),
+        history_bands=bands.filter(F.col("doc_id") % 10 < 7),
+    )
     a_is_b = F.col("id_a") % 10 >= 7
     b_is_b = F.col("id_b") % 10 >= 7
     # qualifying pairs normalized to (doc = the flagged batch doc, other)
