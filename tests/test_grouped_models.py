@@ -327,3 +327,48 @@ def test_pseudo_cox_registry_builds_loadable_linear_models(spark, seg_df):
         seg_df, "seg", "rid", "t", "e", ["x0", "x1"]
     ).collect()}
     assert again == rows
+
+
+def test_score_per_group_table_registry_on_streams(spark, seg_df, tmp_path):
+    """The broadcast-join registry path applies to a file stream too — the
+    full production shape: models trained offline into a registry TABLE,
+    micro-batches scored online via a stream-static broadcast join (no
+    driver collect, no closure shipping)."""
+    import uuid
+
+    from elastic_surv_spark.models.grouped import score_per_group
+
+    fitted = fit_per_group(
+        seg_df, "seg", "rid", "t", "e", ["x0", "x1"],
+        model="logistic_hazard", epochs=5, patience=5, hidden_nodes=[8],
+    ).localCheckpoint(eager=True)  # registry-as-table: no training lineage
+
+    src = str(tmp_path / "src")
+    seg_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(seg_df.schema).parquet(src)
+    sink = f"scored_tbl_{uuid.uuid4().hex[:8]}"
+    q = (
+        score_per_group(
+            stream, fitted, "seg", ["x0", "x1"], id_col="rid",
+            registry_as_table=True,
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.rid, r.risk) for r in spark.table(sink).select("rid", "risk").collect()
+    )
+    want = sorted(
+        (r.rid, r.risk)
+        for r in score_per_group(
+            seg_df, fitted, "seg", ["x0", "x1"], id_col="rid"
+        ).collect()
+    )
+    assert got == want and len(got) == seg_df.count()
