@@ -1433,6 +1433,12 @@ def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("seg", (F.col("user_id") % 4).cast("int"))
     )
+    # one row per user — bounded at any SF. Without the checkpoint every
+    # consumer (registry build, scoring, both metric legs and their
+    # km_curve_by internals, the ibs/n_scored aggregates) re-evaluates the
+    # per-user aggregation: the plan read 24 separate events scans / 65
+    # exchanges; with it, the corpus shuffles into user rows ONCE.
+    surv = surv.localCheckpoint(eager=True)
     docs = pseudo_cox_registry(surv, "seg", "user_id", "t", "e", ["x0", "x1"])
     scored = score_per_group(
         surv, docs, "seg", ["x0", "x1"], id_col="user_id",
@@ -1440,7 +1446,10 @@ def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = scored.select(
         "seg", "user_id", F.round("risk", 6).alias("risk")
-    ).join(surv.select("user_id", "t", "e"), "user_id")
+    ).join(surv.select("user_id", "t", "e"), "user_id").localCheckpoint(
+        eager=True  # scoring (grouped-map registry + broadcast apply) also
+        # runs once, not once per metric leg
+    )
 
     har = harrell_cindex_by(scored, "seg", "t", "e", "risk")
     bri = ipcw_brier_km_by(scored, "seg", "t", "e", n_grid=10)
