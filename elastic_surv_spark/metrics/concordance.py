@@ -347,6 +347,78 @@ def harrell_cindex(
     return float(row["c_index"])
 
 
+def concordance_td_exact(
+    pred: DataFrame,
+    time_col: str,
+    event_col: str,
+    surv_col: str,
+    cuts: list[float],
+    mode: str = "auto",
+) -> tuple[int, int, int, float | None]:
+    """EXACT Antolini time-dependent concordance at ANY population size —
+    the scale path the ``concordance_td`` docstring promised: with curves
+    defined over ``cuts``, every comparison made by an event subject whose
+    time maps to cut index g reads the scalar column ``surv[g]``, so the
+    pairwise problem decomposes into one Harrell count PER OCCUPIED CUT
+    (index events restricted to that cut, risk = −surv[g]) and each count
+    runs on the bucketed exact kernel (``harrell_cindex_counts`` — linear
+    shuffles, no nested-loop join). Returns ``(n_comparable,
+    n_concordant, n_tied, c_index)`` with ``c_index`` None when no pair is
+    comparable.
+
+    Work: one pass per cut index that actually holds an event — at most
+    ``|cuts| + 1`` corpus passes (the +1 is the before-first-cut index,
+    where S ≡ 1 and every pair ties), each O(n) shuffle. The input
+    persists across the passes and releases in ``finally``. Bit-identical
+    to the pairwise form (asserted in tests); the sampling estimator in
+    ``concordance_td`` remains the quick-sweep default because model
+    scoring is tolerance-based anyway.
+    """
+    cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
+    base = pred.select(
+        F.col(time_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(surv_col).alias("s"),
+        (
+            F.size(
+                F.filter(cuts_lit, lambda c: c <= F.col(time_col).cast("double"))
+            )
+            - 1
+        ).alias("_gidx"),
+    ).persist()
+    try:
+        occupied = [
+            int(r["_gidx"])
+            for r in base.filter(F.col("e") == 1)
+            .select("_gidx")
+            .distinct()
+            .collect()  # bounded: <= |cuts| + 1 rows
+        ]
+        comparable = concordant = tied = 0
+        for g in sorted(occupied):
+            sub = base.select(
+                "t",
+                ((F.col("e") == 1) & (F.col("_gidx") == g))
+                .cast("int")
+                .alias("_eg"),
+                (
+                    -F.element_at("s", g + 1)
+                    if g >= 0
+                    else F.lit(1.0)  # before the first cut S ≡ 1: all tied
+                ).alias("_r"),
+            )
+            row = harrell_cindex_counts(sub, "t", "_eg", "_r", mode=mode).first()
+            comparable += int(row["n_comparable"] or 0)
+            concordant += int(row["n_concordant"] or 0)
+            tied += int(row["n_tied"] or 0)
+        cidx = (
+            round((concordant + 0.5 * tied) / comparable, 6) if comparable else None
+        )
+        return comparable, concordant, tied, cidx
+    finally:
+        base.unpersist()
+
+
 def concordance_td_by(
     df: DataFrame,
     group_col: str,

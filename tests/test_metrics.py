@@ -893,3 +893,48 @@ def test_concordance_td_by_no_comparable_pairs_group(spark):
     got = {r.g: r for r in concordance_td_by(df, "g", "t", "e", "surv", cuts).collect()}
     assert got[0].n_comparable == 0 and got[0].c_index is None
     assert got[1].n_comparable > 0 and got[1].c_index is not None
+
+
+def test_concordance_td_exact_matches_pairwise_both_modes(spark, surv_pdf):
+    """concordance_td_exact (per-cut bucketed decomposition — the 100 TB
+    Antolini path) is bit-identical to the O(n²) pairwise form, in both
+    the pairwise and the bucketed Harrell kernels."""
+    from elastic_surv_spark.metrics.concordance import (
+        concordance_td,
+        concordance_td_exact,
+    )
+
+    rng = np.random.default_rng(13)
+    cuts = np.quantile(surv_pdf["t"], np.linspace(0, 1, 6)).tolist()
+    n = len(surv_pdf)
+    base = rng.uniform(0.5, 1.0, (n, len(cuts)))
+    surv_matrix = np.round(np.minimum.accumulate(base, axis=1), 1)  # ties
+    pdf = surv_pdf.copy()
+    pdf["surv"] = [row.tolist() for row in surv_matrix]
+    df = spark.createDataFrame(pdf)
+
+    want = concordance_td(df, "t", "e", "surv", cuts)  # below sample gate
+    for mode in ("pairwise", "bucketed"):
+        comp, conc, tied, cidx = concordance_td_exact(
+            df, "t", "e", "surv", cuts, mode=mode
+        )
+        assert comp > 0 and tied > 0  # the fixture exercises ties
+        assert cidx == round((conc + 0.5 * tied) / comp, 6)
+        assert abs(cidx - want) < 5e-7, (mode, cidx, want)
+
+
+def test_concordance_td_exact_before_first_cut_all_tied(spark):
+    """Events before the first cut read S ≡ 1 for every subject: their
+    pairs are comparable and ALL tied."""
+    from elastic_surv_spark.metrics.concordance import concordance_td_exact
+
+    cuts = [10.0, 20.0]
+    rows = [
+        (1.0, 1, [0.9, 0.4]),   # event BEFORE the first cut
+        (15.0, 0, [0.8, 0.3]),
+        (25.0, 0, [0.7, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "t double, e int, surv array<double>")
+    comp, conc, tied, cidx = concordance_td_exact(df, "t", "e", "surv", cuts)
+    assert (comp, conc, tied) == (2, 0, 2)
+    assert cidx == 0.5
