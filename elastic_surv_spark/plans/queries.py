@@ -1437,8 +1437,12 @@ def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer (registry build, scoring, both metric legs and their
     # km_curve_by internals, the ibs/n_scored aggregates) re-evaluates the
     # per-user aggregation: the plan read 24 separate events scans / 65
-    # exchanges; with it, the corpus shuffles into user rows ONCE.
-    surv = surv.localCheckpoint(eager=True)
+    # exchanges; with it, the corpus shuffles into user rows ONCE. LAZY
+    # (eager=False) so the work happens inside the measured execution, not
+    # at plan-construction time — bench.py's clock starts after fn()
+    # returns, and an eager checkpoint here silently moved the whole
+    # pipeline off the board (the r9 warmup-artifact class).
+    surv = surv.localCheckpoint(eager=False)
     docs = pseudo_cox_registry(surv, "seg", "user_id", "t", "e", ["x0", "x1"])
     scored = score_per_group(
         surv, docs, "seg", ["x0", "x1"], id_col="user_id",
@@ -1447,8 +1451,8 @@ def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.select(
         "seg", "user_id", F.round("risk", 6).alias("risk")
     ).join(surv.select("user_id", "t", "e"), "user_id").localCheckpoint(
-        eager=True  # scoring (grouped-map registry + broadcast apply) also
-        # runs once, not once per metric leg
+        eager=False  # scoring (grouped-map registry + broadcast apply)
+        # also runs once, not once per metric leg
     )
 
     har = harrell_cindex_by(scored, "seg", "t", "e", "risk")
