@@ -573,12 +573,11 @@ def concordance_td(
     higher-order expression; the pairwise part is a self-join like Harrell's.
     Size gate: above ``exact_threshold`` rows the frame is uniformly sampled
     down to ~that size first — an unbiased estimate of the same ratio with
-    bounded O(threshold²) pair work instead of a 100×-scale nested-loop blowup.
-    (The exact scale path exists too: with event times discretized to
-    ``cuts``, comparisons group by the event's cut index g with scalar risk
-    1−surv[g], and ``harrell_cindex_counts_bucketed`` applies per group —
-    |cuts| linear passes; sampling is the default because score() tolerance
-    is statistical anyway.)
+    bounded O(threshold²) pair work instead of a 100×-scale nested-loop
+    blowup. The EXACT any-scale form is :func:`concordance_td_exact`
+    (per-cut decomposition over the bucketed Harrell kernel, ≤ |cuts|+1
+    linear-shuffle passes); sampling stays this function's default because
+    score() tolerance is statistical anyway.
     """
     n = pred.count()
     if n > exact_threshold:
