@@ -8035,6 +8035,14 @@ _RECERT_FIRST = {
     "dcal_km_user_lifetimes": 10,  # r10 single-pass masses + unpersist
     "minhash_lsh_dupes": 11,  # r11 law certification (+2 columns)
     "near_dedup_incremental_batch": 11,  # r11 law certification (+2 columns)
+    # NOT listed for r11 (deliberate): doc_quality_model_scores and
+    # quality_filter_agreement also changed in r11 (tokenizer alignment,
+    # ADVICE r10 #3 — Spark UDF + oracle SQL both moved to one explicit
+    # whitespace class), but 3 new + 2 recert rows already fill the
+    # window's headroom exactly — a 7th front slot would push an r08-stale
+    # row out (the r10 VERDICT's task #1). Both rows were value-verified
+    # at all three SFs in-round (oracle_check sweeps) and, being r10-green,
+    # rotate into the r12 window at the FRONT of the stale queue anyway.
 }
 
 
