@@ -244,3 +244,63 @@ def test_semantic_dedup_laws_hold_on_any_corpus(spark, seed, n, dim, tau):
         for i, a in enumerate(kept):
             for b in kept[i + 1:]:
                 assert cos(a, b) < tau, (a, b)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(6, 40),
+    n_cuts=st.integers(2, 6),
+    n_groups=st.integers(1, 3),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_concordance_td_by_matches_bruteforce_property(
+    spark, seed, n, n_cuts, n_groups
+):
+    """Property fuzz for the newest exact kernel (r11): per-group Antolini
+    via per-cut Fenwick sweeps == the O(n²) definitional mirror, over
+    random censoring, TIED times (integer draws), tied curve values
+    (coarse rounding), and multiple groups."""
+    from elastic_surv_spark.metrics.concordance import concordance_td_by
+
+    rng = np.random.default_rng(seed)
+    t = rng.integers(1, 12, n).astype(float)          # heavy time ties
+    e = rng.integers(0, 2, n)
+    cuts = sorted(rng.uniform(0.5, 13.0, n_cuts).tolist())
+    S = np.round(
+        np.minimum.accumulate(rng.uniform(0.2, 1.0, (n, n_cuts)), axis=1), 1
+    )                                                  # heavy curve ties
+    g = rng.integers(0, n_groups, n)
+
+    def s_at(i, tau):
+        idx = np.searchsorted(cuts, tau, side="right") - 1
+        return S[i, idx] if idx >= 0 else 1.0
+
+    want = {}
+    for gv in range(n_groups):
+        comp = conc = tied = 0
+        idxs = np.where(g == gv)[0]
+        for i in idxs:
+            if e[i] != 1:
+                continue
+            for j in idxs:
+                if t[i] < t[j]:
+                    comp += 1
+                    si, sj = s_at(i, t[i]), s_at(j, t[i])
+                    conc += si < sj
+                    tied += si == sj
+        if len(idxs):
+            want[gv] = (comp, conc, tied)
+
+    pdf = pd.DataFrame(
+        {"g": g.astype("int32"), "t": t, "e": e.astype("int32"),
+         "surv": [row.tolist() for row in S]}
+    )
+    got = {
+        r.g: (r.n_comparable, r.n_concordant, r.n_tied)
+        for r in concordance_td_by(
+            spark.createDataFrame(pdf), "g", "t", "e", "surv", cuts
+        ).collect()
+    }
+    assert got == want
