@@ -45,6 +45,7 @@ __all__ = [
     "fit_one_local",
     "score_per_group",
     "pseudo_cox_registry",
+    "pseudo_logistic_registry",
 ]
 
 _FAMILIES: dict[str, type[SurvModel]] = {
@@ -372,6 +373,43 @@ def pseudo_cox_registry(
     return df.select(group_col, id_col, time_col, event_col, *feats).groupBy(
         group_col
     ).applyInPandas(build_group, schema=schema)
+
+
+def pseudo_logistic_registry(
+    spark,
+    groups: list[int],
+    feature_count: int,
+    num_durations: int = 5,
+    t_max: float = 1.0,
+) -> DataFrame:
+    """FIXED per-segment linear LogisticHazard serde docs — the discrete-
+    time companion of :func:`pseudo_cox_registry` (same pseudo-weights
+    recipe, but PURELY arithmetic: no data-dependent baseline at all, so
+    the docs depend only on ``(seg, feature_count, num_durations)``).
+    Per segment g, logit weight ``W[i, k]`` (feature i, duration bin k)
+    is the Knuth spread at flat index ``g·nf·K + i·K + k``; biases are
+    zero; cuts are the fixed ``linspace(0, t_max, K)`` grid. Scoring is
+    ``risk = −Σ_k Π_{j≤k} (1 − σ(z_j))`` with ``z_k = Σ_i x_i·W[i,k]`` —
+    sigmoid + running product, plain SQL, which makes the scored output
+    oracle-certifiable exactly like the CoxPH row (pytest-certified today;
+    lift into a registry row when a certification window slot opens).
+    """
+    nf, K = int(feature_count), int(num_durations)
+    docs = []
+    for seg in groups:
+        m = LogisticHazardModel(
+            in_features=nf, num_durations=K, hidden_nodes=[],
+            batch_norm=False, dropout=0.0, seed=0,
+        )
+        m.cuts = np.linspace(0.0, float(t_max), K)
+        m.labtrans = LabelTransform(m.cuts)
+        m.net = MLP(nf, [], K, batch_norm=False, dropout=0.0,
+                    output_bias=True, seed=0)
+        idx = np.arange(nf * K, dtype=np.int64) + np.int64(int(seg)) * nf * K
+        w = ((idx * 2654435761) % 2001 - 1000) / 1000.0  # W.ravel() order
+        m.net.set_state(np.concatenate([w, np.zeros(K)]))  # zero biases
+        docs.append((int(seg), model_to_json(m)))
+    return spark.createDataFrame(docs, "seg int, model_json string")
 
 
 def fit_per_group(

@@ -372,3 +372,63 @@ def test_score_per_group_table_registry_on_streams(spark, seg_df, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == seg_df.count()
+
+
+def test_pseudo_logistic_registry_duckdb_parity(spark):
+    """The discrete-time pseudo-certification recipe (pseudo_logistic_
+    registry): score_per_group under arithmetic LogisticHazard docs
+    hash-matches a DuckDB mirror of risk = -sum_k prod_{j<=k}(1-sigmoid(z_j))
+    at 6-digit rounding — the ready-made oracle recipe for a future
+    registry row (the CoxPH twin is registry-certified already)."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.models.grouped import (
+        pseudo_logistic_registry,
+        score_per_group,
+    )
+
+    rng = np.random.default_rng(21)
+    n, K = 200, 5
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "seg": (np.arange(n) % 3).astype("int32"),
+            "x0": np.round(rng.normal(size=n), 3),
+            "x1": np.round(rng.normal(size=n), 3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    docs = pseudo_logistic_registry(spark, [0, 1, 2], feature_count=2,
+                                    num_durations=K)
+    got = {
+        r.rid: round(r.risk, 6)
+        for r in score_per_group(
+            df, docs, "seg", ["x0", "x1"], id_col="rid",
+            registry_as_table=True,
+        ).collect()
+    }
+    assert len(got) == n
+
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(f"""
+            WITH z AS (
+                SELECT rid, k,
+                       ((((seg * 2 * {K} + 0 * {K} + k) * 2654435761) % 2001) - 1000) / 1000.0 * x0
+                     + ((((seg * 2 * {K} + 1 * {K} + k) * 2654435761) % 2001) - 1000) / 1000.0 * x1
+                       AS zk
+                FROM rows, generate_series(0, {K - 1}) gs(k)
+            ), surv AS (
+                SELECT rid, k,
+                       exp(sum(ln(1.0 - 1.0 / (1.0 + exp(-zk))))
+                           OVER (PARTITION BY rid ORDER BY k
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+                FROM z
+            )
+            SELECT rid, round(-sum(s), 6) AS risk FROM surv GROUP BY rid
+        """).fetchall()
+    }
+    assert got == want
