@@ -166,9 +166,17 @@ def quality_score_drift(
     threshold``. All rows carry the same (kl, retrain) so one frame holds
     the whole audit: per-bin movement plus the gate.
 
-    Scale: two scan-fused scoring passes + one id join + a ≤n_bins-row
-    aggregate; the smoothing keeps the statistic defined on any corpus.
+    Scale: the corpus is evaluated EXACTLY ONCE — both bins explode from
+    the joined scoring pass into one (bin, side) hash-aggregate, and the
+    totals/KL derive from the ≤n_bins-row frame with windows partitioned
+    by a constant-valued column (one deliberate task over ≤n_bins rows —
+    the metrics/km.py curve trick), never by re-reading the corpus. The
+    first cut of this operator referenced the binned frame from four
+    downstream aggregates and Catalyst re-ran the two Arrow scoring passes
+    for each: 10 corpus scans where one suffices.
     """
+    from pyspark.sql import Window
+
     spark = df.sparkSession
     nb = int(n_bins)
     a = apply_quality_model(df, weights_old, bias_old, id_col, text_col).select(
@@ -177,40 +185,46 @@ def quality_score_drift(
     b = apply_quality_model(df, weights_new, bias_new, id_col, text_col).select(
         F.col(id_col), F.col("score").alias("_sn")
     )
-    binned = a.join(b, id_col).select(
-        F.least(F.floor(F.col("_so") * nb), F.lit(nb - 1)).cast("int").alias("_bo"),
-        F.least(F.floor(F.col("_sn") * nb), F.lit(nb - 1)).cast("int").alias("_bn"),
+    bo = F.least(F.floor(F.col("_so") * nb), F.lit(nb - 1)).cast("int")
+    bn = F.least(F.floor(F.col("_sn") * nb), F.lit(nb - 1)).cast("int")
+    pairs = (
+        a.join(b, id_col)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(bo.alias("bin"), F.lit(0).alias("side")),
+                    F.struct(bn.alias("bin"), F.lit(1).alias("side")),
+                )
+            ).alias("x")
+        )
+        .select("x.bin", "x.side")
+    )
+    counts = pairs.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_new"),
     )
     bins = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
-    co = binned.groupBy(F.col("_bo").alias("bin")).agg(F.count("*").alias("n_old"))
-    cn = binned.groupBy(F.col("_bn").alias("bin")).agg(F.count("*").alias("n_new"))
-    per_bin = (
-        bins.join(co, "bin", "left")
-        .join(cn, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
-            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
-        )
+    per_bin = bins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
     )
-    totals = binned.agg(F.count("*").alias("_n"))
-    p = (F.col("n_new") + F.lit(1.0)) / (F.col("_n") + F.lit(float(nb)))
-    q = (F.col("n_old") + F.lit(1.0)) / (F.col("_n") + F.lit(float(nb)))
-    kl_row = (
-        per_bin.crossJoin(F.broadcast(totals))
-        .select((p * F.log(p / q)).alias("_term"))
-        .agg(
-            F.round(
-                F.sum(F.col("_term").cast("decimal(38,18)")).cast("double"), 6
-            ).alias("kl")
-        )
+    # constant-valued partition column (a bare literal would constant-fold
+    # out of the partition spec): ONE deliberate task over <= n_bins rows
+    wp = Window.partitionBy(F.pmod(F.coalesce(F.col("n_old"), F.lit(0)), F.lit(1)))
+    n_tot = F.sum("n_old").over(wp)  # == total scored docs (each doc bins once per side)
+    p = (F.col("n_new") + F.lit(1.0)) / (n_tot + F.lit(float(nb)))
+    q = (F.col("n_old") + F.lit(1.0)) / (n_tot + F.lit(float(nb)))
+    kl = F.round(
+        F.sum((p * F.log(p / q)).cast("decimal(38,18)")).over(wp).cast("double"),
+        6,
     )
-    return per_bin.crossJoin(F.broadcast(kl_row)).select(
+    return per_bin.select(
         "bin",
         "n_old",
         "n_new",
-        "kl",
-        (F.col("kl") > F.lit(float(threshold))).alias("retrain"),
+        kl.alias("kl"),
+        (kl > F.lit(float(threshold))).alias("retrain"),
     )
 
 
