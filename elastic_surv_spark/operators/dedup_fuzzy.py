@@ -441,8 +441,21 @@ def incremental_near_dedup(
             return tokenized.join(side.select(id_col), id_col, "left_semi")
         return _tokenized(side, id_col, text_col, n)
 
-    tok_b = _tok_slice(batch)
-    bands_b = band_index(None, id_col, text_col, n, k, bands, tokenized=tok_b)
+    # The derived frames below are each referenced several times downstream
+    # (the verification join reads a tokenize slice THREE times: sizes +
+    # both postings sides; the band frames feed cross AND within candidate
+    # joins) and none of them is persisted — without a cut, Catalyst
+    # re-runs the tokenize/signature subtree per reference (the executed
+    # plan held >100 redundant scan branches; the board's heaviest row).
+    # Lazy localCheckpoints materialize each ONCE inside the first action
+    # and stay honest for measurement (nothing runs at plan-build time);
+    # blocks release with the frames via the ContextCleaner, which keeps
+    # the per-micro-batch streaming use (near_ingest_batch_incremental)
+    # bounded.
+    tok_b = _tok_slice(batch).localCheckpoint(eager=False)
+    bands_b = band_index(
+        None, id_col, text_col, n, k, bands, tokenized=tok_b
+    ).localCheckpoint(eager=False)
 
     flags = []
     if history is not None or history_bands is not None:
@@ -466,7 +479,7 @@ def incremental_near_dedup(
                 id_col,
                 "left_semi",
             )
-            tok_h = _tok_slice(cand_hist)
+            tok_h = _tok_slice(cand_hist).localCheckpoint(eager=False)
             cross = _verified_jaccard_pairs(
                 cross_cand, tok_b.unionByName(tok_h), id_col, threshold, round_to
             )
