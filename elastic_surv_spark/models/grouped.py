@@ -381,23 +381,35 @@ def pseudo_logistic_registry(
     feature_count: int,
     num_durations: int = 5,
     t_max: float = 1.0,
+    family: str = "logistic_hazard",
 ) -> DataFrame:
-    """FIXED per-segment linear LogisticHazard serde docs — the discrete-
-    time companion of :func:`pseudo_cox_registry` (same pseudo-weights
-    recipe, but PURELY arithmetic: no data-dependent baseline at all, so
-    the docs depend only on ``(seg, feature_count, num_durations)``).
+    """FIXED per-segment linear discrete-time serde docs — the companion
+    of :func:`pseudo_cox_registry` (same pseudo-weights recipe, but PURELY
+    arithmetic: no data-dependent baseline at all, so the docs depend only
+    on ``(seg, feature_count, num_durations, family)``).
     Per segment g, logit weight ``W[i, k]`` (feature i, duration bin k)
     is the Knuth spread at flat index ``g·nf·K + i·K + k``; biases are
     zero; cuts are the fixed ``linspace(0, t_max, K)`` grid. Scoring is
-    ``risk = −Σ_k Π_{j≤k} (1 − σ(z_j))`` with ``z_k = Σ_i x_i·W[i,k]`` —
-    sigmoid + running product, plain SQL, which makes the scored output
-    oracle-certifiable exactly like the CoxPH row (pytest-certified today;
-    lift into a registry row when a certification window slot opens).
+    plain SQL either way, which makes the scored output oracle-certifiable
+    exactly like the CoxPH row (pytest-certified today; lift into a
+    registry row when a certification window slot opens):
+
+    - ``family="logistic_hazard"``: ``risk = −Σ_k Π_{j≤k} (1 − σ(z_j))``
+      (sigmoid + running product);
+    - ``family="deephit"``: ``risk = −Σ_k (1 − Σ_{j≤k} softmax(z)_j)``
+      with the max-subtracted softmax — replicate the SAME max-subtract in
+      the SQL mirror or last-ulp parity is lost.
     """
     nf, K = int(feature_count), int(num_durations)
+    classes: dict[str, type[SurvModel]] = {
+        "logistic_hazard": LogisticHazardModel,
+        "deephit": DeepHitModel,
+    }
+    if family not in classes:
+        raise ValueError(f"family must be one of {sorted(classes)}")
     docs = []
     for seg in groups:
-        m = LogisticHazardModel(
+        m = classes[family](
             in_features=nf, num_durations=K, hidden_nodes=[],
             batch_norm=False, dropout=0.0, seed=0,
         )

@@ -432,3 +432,69 @@ def test_pseudo_logistic_registry_duckdb_parity(spark):
         """).fetchall()
     }
     assert got == want
+
+
+def test_pseudo_deephit_registry_duckdb_parity(spark):
+    """DeepHit completes the pseudo-certification family (CoxPH
+    registry-certified, LogisticHazard pytest-certified): score_per_group
+    under arithmetic DeepHit docs matches a DuckDB mirror of
+    risk = -sum_k (1 - cumsum(softmax(z))_k) with the SAME max-subtracted
+    softmax, at 6-digit rounding."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.models.grouped import (
+        pseudo_logistic_registry,
+        score_per_group,
+    )
+
+    rng = np.random.default_rng(29)
+    n, K = 200, 4
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "seg": (np.arange(n) % 3).astype("int32"),
+            "x0": np.round(rng.normal(size=n), 3),
+            "x1": np.round(rng.normal(size=n), 3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    docs = pseudo_logistic_registry(
+        spark, [0, 1, 2], feature_count=2, num_durations=K, family="deephit"
+    )
+    got = {
+        r.rid: round(r.risk, 6)
+        for r in score_per_group(
+            df, docs, "seg", ["x0", "x1"], id_col="rid",
+            registry_as_table=True,
+        ).collect()
+    }
+    assert len(got) == n
+
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(f"""
+            WITH z AS (
+                SELECT rid, k,
+                       ((((seg * 2 * {K} + 0 * {K} + k) * 2654435761) % 2001) - 1000) / 1000.0 * x0
+                     + ((((seg * 2 * {K} + 1 * {K} + k) * 2654435761) % 2001) - 1000) / 1000.0 * x1
+                       AS zk
+                FROM rows, generate_series(0, {K - 1}) gs(k)
+            ), zm AS (
+                SELECT rid, k, exp(zk - max(zk) OVER (PARTITION BY rid)) AS ez
+                FROM z
+            ), p AS (
+                SELECT rid, k, ez / sum(ez) OVER (PARTITION BY rid) AS pk
+                FROM zm
+            ), surv AS (
+                SELECT rid, k,
+                       1.0 - sum(pk) OVER (PARTITION BY rid ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+                FROM p
+            )
+            SELECT rid, round(-sum(s), 6) AS risk FROM surv GROUP BY rid
+        """).fetchall()
+    }
+    assert got == want
