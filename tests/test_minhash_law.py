@@ -98,3 +98,46 @@ def test_law_flips_red_on_broken_verification(spark):
         df, threshold=0.5, exact=broken_exact
     ).collect()
     assert any(not r.lsh_law_ok for r in bad)
+
+
+def test_law_holds_on_random_corpora_fuzz(spark):
+    """Corpus-independence, demonstrated: across seeded random corpora
+    mixing exact duplicates, marginal pairs at assorted jaccards, and
+    unrelated filler, the certified row's invariants hold on EVERY draw —
+    output ids == the exact pair list, lsh_law_ok everywhere (whether or
+    not the banding found each pair), and above_recall_floor flags exactly
+    the pairs at j >= the floor. This is the property the oracle pins; a
+    re-rolled driver corpus can't break the row."""
+    import random
+
+    from elastic_surv_spark.operators.dedup_fuzzy import (
+        shingle_jaccard_pairs,
+    )
+
+    for seed in (1, 2, 7):
+        rng = random.Random(seed)
+        rows, did = [], 0
+        vocab = lambda: f"w{rng.getrandbits(48):012x}"  # noqa: E731
+        # pairs at varying overlap (some above, some below the floor)
+        for share, extra in ((17, 1), (15, 5), (10, 10), (18, 0)):
+            common = [vocab() for _ in range(share)]
+            rows.append((did, " ".join(common + [vocab() for _ in range(extra)])))
+            rows.append((did + 1, " ".join(common + [vocab() for _ in range(extra)])))
+            did += 2
+        for _ in range(15):
+            rows.append((did, " ".join(vocab() for _ in range(18))))
+            did += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        cert = minhash_lsh_certified_pairs(df, threshold=0.5).collect()
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in shingle_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        assert {(r.id_a, r.id_b) for r in cert} == set(exact), seed
+        assert all(r.lsh_law_ok for r in cert), seed
+        for r in cert:
+            assert r.jaccard == exact[(r.id_a, r.id_b)]
+            assert r.above_recall_floor == (
+                r.jaccard >= LSH_RECALL_FLOOR_16_8
+            ), (seed, r)
