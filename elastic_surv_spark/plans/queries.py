@@ -1468,6 +1468,180 @@ def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(har, "seg").join(ibs, "seg")
 
 
+@query(
+    "segmented_discrete_pipeline",
+    """
+    WITH surv AS (
+        SELECT user_id, CAST(user_id % 4 AS INT) AS seg,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS t,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               count(*)::DOUBLE / 100.0 AS x0,
+               count(DISTINCT event_type)::DOUBLE / 10.0 AS x1
+        FROM events GROUP BY user_id
+    ), fams AS (
+        -- the mixed-family registry's group ids: LogisticHazard docs sit
+        -- at gseg = seg (0-3), DeepHit docs at gseg = seg + 4 (4-7)
+        SELECT s.*, f.fam, s.seg + 4 * f.fam AS gseg
+        FROM surv s, (VALUES (0), (1)) f(fam)
+    ), z AS (
+        -- pseudo-weights W[i,k] at flat index gseg*nf*K + i*K + k
+        -- (nf=2, K=5): the Knuth spread both engines regenerate
+        SELECT user_id, fam, seg, t, e, k,
+               ((((gseg * 10 + 0 * 5 + k) * 2654435761) % 2001) - 1000) / 1000.0 * x0
+             + ((((gseg * 10 + 1 * 5 + k) * 2654435761) % 2001) - 1000) / 1000.0 * x1
+               AS zk
+        FROM fams, generate_series(0, 4) gs(k)
+    ), lh AS (
+        -- LogisticHazard: S_k = prod_{j<=k} (1 - sigmoid(z_j))
+        SELECT user_id, seg, t, e, k,
+               exp(sum(ln(1.0 - 1.0 / (1.0 + exp(-zk))))
+                   OVER (PARTITION BY user_id ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM z WHERE fam = 0
+    ), zm AS (
+        SELECT user_id, seg, t, e, k,
+               exp(zk - max(zk) OVER (PARTITION BY user_id)) AS ez
+        FROM z WHERE fam = 1
+    ), p AS (
+        SELECT user_id, seg, t, e, k,
+               ez / sum(ez) OVER (PARTITION BY user_id) AS pk
+        FROM zm
+    ), dh AS (
+        -- DeepHit: S_k = 1 - cumsum(softmax(z))_k, max-subtracted softmax
+        SELECT user_id, seg, t, e, k,
+               1.0 - sum(pk) OVER (PARTITION BY user_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM p
+    ), risks AS (
+        SELECT 'logistic_hazard' AS family, user_id, seg, t, e,
+               round(-sum(s), 6) AS risk
+        FROM lh GROUP BY user_id, seg, t, e
+        UNION ALL
+        SELECT 'deephit', user_id, seg, t, e, round(-sum(s), 6)
+        FROM dh GROUP BY user_id, seg, t, e
+    ), pairs AS (
+        SELECT a.family, a.seg, a.risk AS r_i, b.risk AS r_j
+        FROM risks a JOIN risks b
+          ON a.family = b.family AND a.seg = b.seg AND a.t < b.t AND a.e = 1
+    ), har AS (
+        SELECT family, seg, count(*) AS n_comparable,
+               CAST(sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+               CAST(sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END) AS BIGINT) AS n_tied,
+               round((sum(CASE WHEN r_i > r_j THEN 1 ELSE 0 END)
+                      + 0.5 * sum(CASE WHEN r_i = r_j THEN 1 ELSE 0 END)) / count(*), 6) AS c_index
+        FROM pairs GROUP BY family, seg
+    ), ns AS (
+        SELECT family, seg, CAST(count(*) AS BIGINT) AS n_scored
+        FROM risks GROUP BY family, seg
+    )
+    SELECT n.family, n.seg, n.n_scored, h.n_comparable, h.n_concordant,
+           h.n_tied, h.c_index
+    FROM ns n JOIN har h ON h.family = n.family AND h.seg = n.seg
+    """,
+)
+def segmented_discrete_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH discrete-time families (LogisticHazard + DeepHit) through the
+    certified segmented dataflow — the ``segmented_cox_pipeline`` shape
+    applied to the two families whose pseudo-recipes were pytest-only
+    until now (SURVEY §11 r11 candidate #1). Per segment (user_id % 4)
+    and family:
+
+    1. ``pseudo_logistic_registry`` (models/grouped.py:378) builds REAL
+       serde documents with purely-arithmetic weights — logit W[i,k] is
+       the Knuth spread at flat index g·nf·K + i·K + k (nf=2, K=5), zero
+       biases, so NO weight literal ships anywhere and DuckDB regenerates
+       the model from the group id alone. The registry is MIXED-FAMILY:
+       LogisticHazard docs at group ids 0-3, DeepHit docs at 4-7 — one
+       registry table holding heterogeneous model families;
+    2. ONE ``score_per_group(..., registry_as_table=True)`` call scores
+       every (user, family) pair via the broadcast-join registry path —
+       the per-task model cache deserializes each family's docs side by
+       side, certifying that a single scoring pass serves a heterogeneous
+       registry. LogisticHazard risk = −Σ_k Π_{j≤k}(1−σ(z_j)); DeepHit
+       risk = −Σ_k (1−Σ_{j≤k} softmax(z)_j) with the max-subtracted
+       softmax the SQL mirror replicates exactly (the last-ulp parity
+       hinge, proven in tests/test_grouped_models.py DuckDB-parity tests);
+    3. ONE ``harrell_cindex_by`` (the exact grouped Fenwick kernel)
+       scores discrimination per (family, segment) — 8 output rows.
+
+    With segmented_cox_pipeline this closes the loop: all THREE model
+    families' serde → broadcast-score → grouped-metric dataflows are now
+    hash-certified against DuckDB end to end (training itself stays
+    pytest-certified — reference flow models/base.py:61-82 per segment).
+
+    Scale: registry is 8 tiny docs broadcast-joined (zero fact-side
+    exchange, plan-asserted in tests); scoring is one map pass over the
+    (user × family) frame; the metric leg is one grouped-map sweep per
+    (family, segment). The per-user frame checkpoints once and feeds
+    every consumer.
+    """
+    from elastic_surv_spark.metrics.concordance import harrell_cindex_by
+    from elastic_surv_spark.models.grouped import (
+        pseudo_logistic_registry,
+        score_per_group,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    surv = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1000000.0)
+            ).alias("t"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("e"),
+            (F.count("*").cast("double") / F.lit(100.0)).alias("x0"),
+            (F.count_distinct("event_type").cast("double") / F.lit(10.0)).alias(
+                "x1"
+            ),
+        )
+        .withColumn("seg", (F.col("user_id") % 4).cast("int"))
+    )
+    # one row per user, shuffled ONCE for every downstream consumer;
+    # LAZY so the work stays inside the measured execution (the
+    # segmented_cox_pipeline eager-checkpoint lesson, SOLO_BENCH_r11.md)
+    surv = surv.localCheckpoint(eager=False)
+
+    docs = pseudo_logistic_registry(
+        spark, [0, 1, 2, 3], feature_count=2, num_durations=5,
+    ).unionByName(
+        pseudo_logistic_registry(
+            spark, [4, 5, 6, 7], feature_count=2, num_durations=5,
+            family="deephit",
+        )
+    ).withColumnRenamed("seg", "gseg")
+    # every user scored under BOTH families: explode to (user, gseg) with
+    # gseg = seg (LogisticHazard) and seg + 4 (DeepHit)
+    fact = surv.select(
+        "user_id", "x0", "x1",
+        F.explode(
+            F.array(F.col("seg"), (F.col("seg") + F.lit(4)).cast("int"))
+        ).alias("gseg"),
+    )
+    scored = score_per_group(
+        fact, docs, "gseg", ["x0", "x1"], id_col="user_id",
+        registry_as_table=True,
+    )
+    scored = scored.select(
+        "gseg", "user_id", F.round("risk", 6).alias("risk")
+    ).join(surv.select("user_id", "t", "e"), "user_id").localCheckpoint(
+        eager=False  # scoring runs once, not once per metric consumer
+    )
+    har = harrell_cindex_by(scored, "gseg", "t", "e", "risk")
+    n = scored.groupBy("gseg").agg(
+        F.count("*").cast("long").alias("n_scored")
+    )
+    return n.join(har, "gseg").select(
+        F.when(F.col("gseg") < 4, F.lit("logistic_hazard"))
+        .otherwise(F.lit("deephit"))
+        .alias("family"),
+        (F.col("gseg") % 4).cast("int").alias("seg"),
+        "n_scored", "n_comparable", "n_concordant", "n_tied", "c_index",
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Dedup & similarity (north-star, SURVEY §2.12)
 # --------------------------------------------------------------------------- #
