@@ -498,3 +498,59 @@ def test_pseudo_deephit_registry_duckdb_parity(spark):
         """).fetchall()
     }
     assert got == want
+
+
+def test_score_per_group_mixed_family_registry(spark):
+    """ONE registry table can hold heterogeneous model families and ONE
+    scoring pass serves them all (the segmented_discrete_pipeline shape):
+    LogisticHazard docs at group ids 0-2, DeepHit docs at 3-5, scored in a
+    single score_per_group call on either delivery path — per-row risks
+    bit-match scoring each group locally with its own deserialized model."""
+    import pandas as pd
+
+    from elastic_surv_spark.models.grouped import (
+        pseudo_logistic_registry,
+        score_per_group,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 240
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "g": (np.arange(n) % 6).astype("int32"),
+            "x0": np.round(rng.normal(size=n), 3),
+            "x1": np.round(rng.normal(size=n), 3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    docs = pseudo_logistic_registry(
+        spark, [0, 1, 2], feature_count=2, num_durations=5
+    ).unionByName(
+        pseudo_logistic_registry(
+            spark, [3, 4, 5], feature_count=2, num_durations=4,
+            family="deephit",
+        )
+    ).withColumnRenamed("seg", "g")
+
+    # local mirror: deserialize each group's doc, score its slice directly
+    reg = {r.g: r.model_json for r in docs.collect()}
+    want = {}
+    for g, sl in pdf.groupby("g"):
+        m = model_from_json(reg[int(g)])
+        X = sl[["x0", "x1"]].to_numpy(dtype=float)
+        surv = m._surv_from_output(m.net.forward(X, training=False))
+        for rid, risk in zip(sl["rid"], -surv.sum(axis=1)):
+            want[int(rid)] = float(risk)
+    # families genuinely differ: identical X slices, different risk scales
+    assert len({round(v, 9) for v in want.values()}) > 6
+
+    for table in (False, True):
+        got = {
+            r.rid: r.risk
+            for r in score_per_group(
+                df, docs if table else reg, "g", ["x0", "x1"], id_col="rid",
+                registry_as_table=table,
+            ).collect()
+        }
+        assert got == want, f"registry_as_table={table}"
