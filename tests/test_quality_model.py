@@ -295,3 +295,40 @@ def test_fixed_point_gd_rejects_degenerate_inputs(spark):
         fixed_point_logistic_gd(df, ["x0"], "y", steps=2)
     with pytest.raises(ValueError, match="no feature columns"):
         fixed_point_logistic_gd(df, [], "y")
+
+
+@pytest.mark.parametrize(
+    "seed,nf,steps,lr_micro",
+    [(1, 1, 3, 1_000_000), (2, 2, 5, 250_000), (3, 4, 2, 2_000_000)],
+)
+def test_fixed_point_gd_parity_fuzz(spark, seed, nf, steps, lr_micro):
+    """Parity is a law, not a fixture artifact: random frames (including
+    extreme feature magnitudes and degenerate all-one labels) agree
+    integer-exactly across engines at varied nf/steps/lr."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_gd_sql,
+        fixed_point_logistic_gd,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 400))
+    feats = [f"x{j}" for j in range(nf)]
+    pdf = pd.DataFrame({f: rng.normal(scale=rng.uniform(0.1, 50), size=n)
+                        for f in feats})
+    pdf["y"] = (
+        np.ones(n, dtype="int64") if seed == 3
+        else rng.integers(0, 2, size=n)
+    )
+    w, b = fixed_point_logistic_gd(
+        spark.createDataFrame(pdf), feats, "y", steps=steps,
+        lr_micro=lr_micro,
+    )
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    got = con.execute(
+        fixed_point_gd_sql(feats, "y", steps=steps, lr_micro=lr_micro)
+    ).fetchone()
+    assert list(got) == [*w, b]
