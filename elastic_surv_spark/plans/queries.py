@@ -8203,7 +8203,6 @@ _RECERT_FIRST = {
     "source_mixture_report": 7,  # r7 NULL-text hash guard
     "doc_bpe_learned_merges": 7,  # r7 unrolled-loop oracle replaces rows-only
     "ngram_jaccard_dupes": 7,  # r7 shared _DOC_SHINGLES input
-    "minhash_lsh_dupes": 7,  # r7 shared _DOC_SHINGLES input
     "td_auc_ipcw_user_activity": 10,  # r10 linear 1/G weights (ADVICE fix)
     "td_auc_user_activity": 10,  # r10 grid-horizon dedup
     "dcal_km_user_lifetimes": 10,  # r10 single-pass masses + unpersist
