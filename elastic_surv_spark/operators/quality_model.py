@@ -48,6 +48,8 @@ __all__ = [
     "fixed_point_logistic_gd",
     "fixed_point_logit_scores",
     "fixed_point_gd_sql",
+    "quality_feature_frame",
+    "fit_quality_classifier_distributed",
 ]
 
 _MASK32 = 0xFFFFFFFF
@@ -449,3 +451,81 @@ def fixed_point_gd_sql(
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT {cols}, b AS bias_micro FROM w{steps}"
     )
+
+
+def quality_feature_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document hashed bag-of-tokens features as COLUMNS: ``(id[,
+    label], x0 … x{n_buckets-1})`` with ``x_j = count(bucket j) /
+    n_tokens`` — the training-side twin of :func:`apply_quality_model`'s
+    scoring fold (same tokenizer, same 31-poly bucket hash), emitted as a
+    map-only Arrow pass so :func:`fixed_point_logistic_gd` can consume the
+    corpus distributed. Zero-token documents are dropped (no features).
+
+    The features are SQL-expressible (the ``doc_quality_model_scores``
+    oracle folds the same hash per token; a bucket histogram is one
+    ``unnest`` + group-by away), which is what keeps whole-corpus training
+    on these columns oracle-certifiable. Scale: one scan, no shuffle;
+    n_buckets bounded (64 default) keeps the row width trivial.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    cols = [id_col] + ([label_col] if label_col else [])
+    feat_names = [f"x{j}" for j in range(n_buckets)]
+    lab = f", {label_col} {df.schema[label_col].dataType.simpleString()}" if label_col else ""
+    schema = f"{id_col} {id_type}{lab}, " + ", ".join(
+        f"{c} double" for c in feat_names
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = _features(list(pdf[text_col]), n_buckets)
+            mask = X.sum(axis=1) > 0.0
+            out = {id_col: pdf[id_col][mask]}
+            if label_col:
+                out[label_col] = pdf[label_col][mask]
+            for j, c in enumerate(feat_names):
+                out[c] = X[mask, j]
+            yield pd.DataFrame(out)
+
+    return df.select(*cols, text_col).mapInPandas(feats, schema=schema)
+
+
+def fit_quality_classifier_distributed(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+) -> tuple[np.ndarray, float]:
+    """WHOLE-CORPUS certified training of the learned quality filter —
+    the scale upgrade over :func:`fit_quality_classifier`'s bounded-sample
+    driver fit: hashed features stay distributed
+    (:func:`quality_feature_frame`) and :func:`fixed_point_logistic_gd`
+    runs full-batch integer-exact GD over ALL labeled documents, so the
+    weights are bit-identical at any partitioning/executor count and
+    regenerable by another engine (``fixed_point_gd_sql``). Returns
+    ``(weights, bias)`` in the float units :func:`apply_quality_model`
+    consumes (micro-int / 1e6 — exact).
+
+    Scale: one tokenize pass materialized once (persisted here, released
+    in ``finally``), then ``steps`` map-side-combined integer aggregates;
+    driver traffic is (n_buckets+1) ints per step.
+    """
+    feats = [f"x{j}" for j in range(n_buckets)]
+    frame = quality_feature_frame(
+        df, id_col, text_col, label_col=label_col, n_buckets=n_buckets
+    ).persist()
+    try:
+        w_micro, b_micro = fixed_point_logistic_gd(
+            frame, feats, label_col, steps=steps, lr_micro=lr_micro
+        )
+    finally:
+        frame.unpersist()
+    return np.asarray(w_micro, dtype=np.float64) / 1e6, b_micro / 1e6

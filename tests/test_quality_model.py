@@ -332,3 +332,68 @@ def test_fixed_point_gd_parity_fuzz(spark, seed, nf, steps, lr_micro):
         fixed_point_gd_sql(feats, "y", steps=steps, lr_micro=lr_micro)
     ).fetchone()
     assert list(got) == [*w, b]
+
+
+def test_fit_distributed_numpy_mirror_and_separation(spark):
+    """Whole-corpus certified training: the distributed hashed-feature GD
+    equals a pure-numpy mirror of the SAME integer recipe weight-for-
+    weight (feature plumbing certified), and the trained filter separates
+    the planted corpus."""
+    from elastic_surv_spark.operators.quality_model import (
+        _features,
+        apply_quality_model,
+        fit_quality_classifier_distributed,
+    )
+
+    rows = _corpus(seed=13, n_clean=150, n_noisy=150)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    nb, steps, lr = 32, 6, 500_000
+    w, b = fit_quality_classifier_distributed(
+        df, "label", n_buckets=nb, steps=steps, lr_micro=lr
+    )
+
+    # numpy mirror of the integer recipe over locally-built features
+    X = _features([t for _, t, _ in rows], nb)
+    y = np.array([float(lab) for _, _, lab in rows])
+    keep = X.sum(axis=1) > 0
+    X, y = X[keep], y[keep]
+    n = len(y)
+    wi = np.zeros(nb, dtype=np.int64)
+    bi = 0
+    for _ in range(steps):
+        z = X @ (wi / 1e6) + bi / 1e6
+        p = 0.5 + 0.5 * z / (1 + np.abs(z))
+        g = p - y
+        for j in range(nb):
+            G = int(np.floor(g * X[:, j] * 1e9 + 0.5).astype(np.int64).sum())
+            wi[j] -= math.floor((G / (n * 1e9)) * lr + 0.5)
+        Gb = int(np.floor(g * 1e9 + 0.5).astype(np.int64).sum())
+        bi -= math.floor((Gb / (n * 1e9)) * lr + 0.5)
+    assert list(np.round(w * 1e6).astype(np.int64)) == list(wi)
+    assert round(b * 1e6) == bi
+
+    scored = {r.doc_id: r for r in apply_quality_model(df, w, b).collect()}
+    labels = {i: lab for i, _, lab in rows}
+    clean = [scored[i].score for i in scored if labels[i] == 1]
+    noise = [scored[i].score for i in scored if labels[i] == 0]
+    assert np.mean(clean) > np.mean(noise)
+    allv = np.array(clean + noise)
+    ranks = allv.argsort().argsort().astype(float)
+    auc = (ranks[: len(clean)].sum() - len(clean) * (len(clean) - 1) / 2) / (
+        len(clean) * len(noise)
+    )
+    assert auc > 0.8, auc
+
+
+def test_quality_feature_frame_drops_empty_docs(spark):
+    from elastic_surv_spark.operators.quality_model import (
+        quality_feature_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", 1), (2, "", 0), (3, None, 0), (4, " \t ", 1)],
+        "doc_id long, text string, label int",
+    )
+    out = quality_feature_frame(df, label_col="label", n_buckets=8).toPandas()
+    assert list(out.doc_id) == [1]
+    assert abs(out.iloc[0][[f"x{j}" for j in range(8)]].sum() - 1.0) < 1e-12
