@@ -4,8 +4,8 @@ The heuristic ``functions/text.py:quality_score`` mixes fixed length/
 stopword/punctuation signals; production LLM pipelines complement it with a
 LEARNED filter: a linear classifier over hashed bag-of-token features
 (Joulin et al. 2016, "Bag of Tricks for Efficient Text Classification" —
-public paper; independent implementation). This module provides both
-halves Spark-first:
+public paper; independent implementation). This module provides the
+whole lifecycle Spark-first:
 
 - :func:`fit_quality_classifier` — seeded, deterministic logistic
   regression on a BOUNDED sample (same driver-side-fit posture as the
@@ -13,6 +13,11 @@ halves Spark-first:
   representative labeled sample, never the corpus). The sample is drawn
   with a deterministic ``xxhash64`` top-k (no full sort, no RNG order
   dependence).
+- :func:`fit_quality_classifier_distributed` — WHOLE-CORPUS training:
+  hashed features stay distributed (:func:`quality_feature_frame`) and
+  :func:`fixed_point_logistic_gd` runs integer-exact full-batch GD, so
+  the weights are bit-identical at any parallelism and regenerable by
+  another engine (``fixed_point_gd_sql`` — certified training).
 - :func:`apply_quality_model` — the 100 TB path: one map-only Arrow pass
   (``mapInPandas``) scoring every document, no shuffle, no driver data.
 
