@@ -534,3 +534,80 @@ def fit_quality_classifier_distributed(
     finally:
         frame.unpersist()
     return np.asarray(w_micro, dtype=np.float64) / 1e6, b_micro / 1e6
+
+
+def quality_features_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_expr: str | None = None,
+    n_buckets: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`quality_feature_frame`: one SELECT yielding
+    ``(id[, label], x0 … x{n_buckets-1})`` with the SAME ASCII-whitespace
+    tokenizer, 31-poly bucket hash, and count/n normalization (int counts
+    divide exactly in IEEE doubles — bit-parity needs no rounding).
+    ``label_expr`` is any SQL expression over the source row (e.g. a
+    heuristic-quality distillation label). Compose with
+    :func:`fixed_point_gd_sql` for end-to-end certified training
+    (:func:`certified_quality_training_sql`)."""
+    lab = f", max(s.{label_expr}) AS label" if label_expr else ""
+    xcols = ", ".join(
+        f"coalesce(sum(CASE WHEN b.j = {j} THEN b.c END), 0)::DOUBLE"
+        f" / max(b.n) AS x{j}"
+        for j in range(n_buckets)
+    )
+    return f"""
+    WITH _qtoks AS (
+        SELECT {id_col}, regexp_split_to_array({text_col},
+               '[ \t\n\r\f\v]+') AS w
+        FROM {source}
+    ), _qtokc AS (
+        SELECT {id_col}, t
+        FROM (SELECT {id_col}, unnest(w) AS t FROM _qtoks)
+        WHERE t <> ''
+    ), _qbuck AS (
+        SELECT {id_col},
+               list_reduce([CAST(unicode(t[i]) AS BIGINT)
+                            for i in range(1, len(t) + 1)],
+                           (a, b) -> (a * 31 + b) % 4294967296)
+                   % {n_buckets} AS j
+        FROM _qtokc
+    ), _qn AS (
+        SELECT {id_col}, count(*) AS n FROM _qtokc GROUP BY {id_col}
+    ), _qhist AS (
+        SELECT b.{id_col}, b.j, count(*) AS c, max(n.n) AS n
+        FROM _qbuck b JOIN _qn n ON b.{id_col} = n.{id_col}
+        GROUP BY b.{id_col}, b.j
+    )
+    SELECT b.{id_col}{lab}, {xcols}
+    FROM _qhist b JOIN {source} s ON b.{id_col} = s.{id_col}
+    GROUP BY b.{id_col}
+    """
+
+
+def certified_quality_training_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_expr: str = "label",
+    n_buckets: int = 64,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+) -> str:
+    """END-TO-END certified training in one SQL statement: the hashed
+    feature frame (:func:`quality_features_sql`) feeding the unrolled
+    integer-GD chain (:func:`fixed_point_gd_sql`) — the DuckDB twin of
+    ``fit_quality_classifier_distributed``. The single output row's
+    ``(w*_micro, bias_micro)`` integers must equal the Spark trainer's
+    exactly; this is the r12 registry-row oracle, pre-assembled."""
+    feats = [f"x{j}" for j in range(n_buckets)]
+    chain = fixed_point_gd_sql(
+        feats, "label", steps=steps, lr_micro=lr_micro, source="_qfeat"
+    )
+    # splice the feature SELECT in as the chain's first CTE
+    body = quality_features_sql(
+        source, id_col, text_col, label_expr=label_expr, n_buckets=n_buckets
+    )
+    assert chain.startswith("WITH ")
+    return "WITH _qfeat AS (" + body + "),\n" + chain[len("WITH "):]

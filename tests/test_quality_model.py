@@ -397,3 +397,67 @@ def test_quality_feature_frame_drops_empty_docs(spark):
     out = quality_feature_frame(df, label_col="label", n_buckets=8).toPandas()
     assert list(out.doc_id) == [1]
     assert abs(out.iloc[0][[f"x{j}" for j in range(8)]].sum() - 1.0) < 1e-12
+
+
+def test_quality_features_sql_parity(spark):
+    """The SQL feature mirror reproduces quality_feature_frame EXACTLY
+    (same tokenizer, hash fold, count/n doubles) — the r12 assembly's
+    first half."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        quality_feature_frame,
+        quality_features_sql,
+    )
+
+    rows = _corpus(seed=5, n_clean=60, n_noisy=60)
+    rows.append((999, "tab\tsep\nand  runs ", 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    nb = 16
+    got = (
+        quality_feature_frame(df, label_col="label", n_buckets=nb)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "label"]
+    ))
+    want = con.execute(
+        quality_features_sql(label_expr="label", n_buckets=nb)
+        + " ORDER BY 1"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want.astype(got.dtypes.to_dict())), "feature drift"
+
+
+def test_certified_quality_training_end_to_end_sql(spark):
+    """ONE SQL statement trains the same filter: feature CTE + unrolled
+    integer-GD chain equals fit_quality_classifier_distributed's weights
+    integer-for-integer — the r12 registry row, pre-certified."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_sql,
+        fit_quality_classifier_distributed,
+    )
+
+    rows = _corpus(seed=7, n_clean=80, n_noisy=80)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    nb, steps, lr = 16, 4, 500_000
+    w, b = fit_quality_classifier_distributed(
+        df, "label", n_buckets=nb, steps=steps, lr_micro=lr
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "text", "label"]
+    ))
+    got = con.execute(
+        certified_quality_training_sql(
+            label_expr="label", n_buckets=nb, steps=steps, lr_micro=lr
+        )
+    ).fetchone()
+    assert list(got) == [*np.round(np.asarray(w) * 1e6).astype(np.int64),
+                         round(b * 1e6)]
