@@ -310,6 +310,7 @@ def fixed_point_logistic_gd(
     label_col: str,
     steps: int = 8,
     lr_micro: int = 500_000,
+    init: tuple[list[int], int] | None = None,
 ) -> tuple[list[int], int]:
     """TRAINING itself as a certified dataflow: deterministic full-batch
     logistic GD whose every step is exactly regenerable by another engine
@@ -352,8 +353,18 @@ def fixed_point_logistic_gd(
         raise ValueError("fixed_point_logistic_gd: no feature columns")
     if steps < 1:
         raise ValueError("fixed_point_logistic_gd: steps must be >= 1")
-    w = [0] * len(feats)
-    b = 0
+    if init is not None:
+        # warm start (the streaming per-epoch trainer's state hand-off);
+        # determinism is unchanged — weights stay exact int64 micro-units
+        if len(init[0]) != len(feats):
+            raise ValueError(
+                "fixed_point_logistic_gd: init weight count != feature count"
+            )
+        w = [int(v) for v in init[0]]
+        b = int(init[1])
+    else:
+        w = [0] * len(feats)
+        b = 0
     base = df.select(
         *[F.col(c).cast("double").alias(c) for c in feats],
         F.col(label_col).cast("double").alias("_y"),

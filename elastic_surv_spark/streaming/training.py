@@ -1,0 +1,151 @@
+"""Streaming certified training: per-epoch integer-GD weight updates with
+exactly-once state — online learning joining the exactly-once ingest family
+(``streaming/ingest.py``), built on the deterministic fixed-point trainer
+(``operators/quality_model.py:fixed_point_logistic_gd``).
+
+The model state is an epoch-partitioned weights table, one row per epoch:
+``(weights_micro array<long>, bias_micro long, n_rows long, _batch_id)``.
+Epoch *k* warm-starts from the LAST COMMITTED epoch strictly below *k*
+(exclude-own-epoch read, exactly like ``_read_history``), runs
+``steps_per_batch`` integer-exact GD steps on the micro-batch, and
+dynamic-overwrites its OWN partition — so a crash-replayed epoch reads the
+identical predecessor, recomputes the identical weights (the trainer is
+bit-deterministic at any partitioning), and overwrites its partition
+byte-identically. State lives in the table, not the stream.
+
+Because every update is integer-exact, the whole training RUN is
+reproducible: replaying the full source through a fresh checkpoint yields
+the same weight trajectory, and the final weights equal a sequential local
+mirror of the same per-batch recipe (asserted in tests). That is the
+100 TB contract: online training whose result does not depend on executor
+count, task order, or restart history.
+
+An EMPTY micro-batch carries the predecessor weights forward into its own
+epoch row (n_rows = 0) — the chain stays contiguous and the replay guard
+never wedges on a legitimately-empty first batch (the near-ingest ADVICE
+r10 lesson, applied from day one here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.operators.quality_model import fixed_point_logistic_gd
+from elastic_surv_spark.streaming.ingest import _read_table_or_none
+
+__all__ = [
+    "read_latest_weights",
+    "training_batch_incremental",
+    "run_incremental_training",
+]
+
+
+def read_latest_weights(
+    spark: SparkSession,
+    weights_path: str,
+    before_batch_id: int | None = None,
+    n_features: int | None = None,
+) -> tuple[list[int], int, int]:
+    """The committed model: ``(weights_micro, bias_micro, epoch)`` from the
+    highest epoch row (optionally strictly below ``before_batch_id`` — the
+    exclude-own-epoch read a replayed batch needs). Returns zeros and epoch
+    ``-1`` when no state exists yet (``n_features`` sizes the zero vector;
+    required in that case)."""
+    tbl = _read_table_or_none(spark, weights_path)
+    if tbl is not None and before_batch_id is not None:
+        tbl = tbl.filter(F.col("_batch_id") < int(before_batch_id))
+    row = (
+        None
+        if tbl is None
+        else (
+            tbl.orderBy(F.col("_batch_id").desc()).limit(1).collect() or [None]
+        )[0]  # bounded: one row — the state is one weight vector per epoch
+    )
+    if row is None:
+        if n_features is None:
+            raise ValueError(
+                "read_latest_weights: no committed state and no n_features "
+                "to size the zero init"
+            )
+        return [0] * int(n_features), 0, -1
+    return list(row["weights_micro"]), int(row["bias_micro"]), int(row["_batch_id"])
+
+
+def training_batch_incremental(
+    batch_df: DataFrame,
+    batch_id: int,
+    weights_path: str,
+    feature_cols: list[str],
+    label_col: str,
+    steps_per_batch: int = 1,
+    lr_micro: int = 500_000,
+) -> None:
+    """Commit one micro-batch's weight update (foreachBatch body).
+
+    Split out from the stream wiring so a restart replay is directly
+    testable: calling this twice with the same ``batch_id`` leaves the
+    weights table byte-identical (the predecessor read excludes the own
+    epoch, and the trainer is deterministic).
+    """
+    spark = batch_df.sparkSession
+    feats = list(feature_cols)
+    w0, b0, _ = read_latest_weights(
+        spark, weights_path, before_batch_id=batch_id, n_features=len(feats)
+    )
+    n_rows = batch_df.count()
+    if n_rows == 0:
+        w, b = w0, b0  # carry the chain forward; never wedge on empty
+    else:
+        w, b = fixed_point_logistic_gd(
+            batch_df,
+            feats,
+            label_col,
+            steps=steps_per_batch,
+            lr_micro=lr_micro,
+            init=(w0, b0),
+        )
+    row = spark.createDataFrame(
+        [(w, b, int(n_rows), int(batch_id))],
+        "weights_micro array<long>, bias_micro long, n_rows long, _batch_id int",
+    )
+    (
+        row.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(weights_path)
+    )
+
+
+def run_incremental_training(
+    stream_df: DataFrame,
+    weights_path: str,
+    checkpoint_dir: str,
+    feature_cols: list[str],
+    label_col: str,
+    steps_per_batch: int = 1,
+    lr_micro: int = 500_000,
+) -> None:
+    """Drive a bounded labeled stream through the training sink."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        training_batch_incremental(
+            batch_df,
+            batch_id,
+            weights_path,
+            feature_cols,
+            label_col,
+            steps_per_batch=steps_per_batch,
+            lr_micro=lr_micro,
+        )
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

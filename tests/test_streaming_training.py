@@ -1,0 +1,137 @@
+"""Streaming certified training (streaming/training.py): per-epoch
+integer-GD updates with exactly-once weight state — sequential-mirror
+equivalence, crash replay, empty-batch carry-forward, restart determinism."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.streaming.training import (
+    read_latest_weights,
+    run_incremental_training,
+    training_batch_incremental,
+)
+
+SCHEMA = "rid long, x0 double, x1 double, y int"
+
+
+def _batches(seed=17, n_batches=3, n=120):
+    rng = np.random.default_rng(seed)
+    out = []
+    rid = 0
+    for _ in range(n_batches):
+        rows = []
+        for _ in range(n):
+            x0 = round(float(rng.normal()), 3)
+            x1 = round(float(rng.normal()), 3)
+            y = int(1.5 * x0 - x1 + rng.normal(scale=0.7) > 0)
+            rows.append((rid, x0, x1, y))
+            rid += 1
+        out.append(rows)
+    return out
+
+
+def _local_mirror(batches, steps=2, lr=500_000):
+    """Sequential numpy mirror of the per-batch integer recipe."""
+    w = np.zeros(2, dtype=np.int64)
+    b = 0
+    for rows in batches:
+        if not rows:
+            continue
+        X = np.array([[r[1], r[2]] for r in rows], dtype=float)
+        y = np.array([float(r[3]) for r in rows])
+        n = len(rows)
+        for _ in range(steps):
+            z = X @ (w / 1e6) + b / 1e6
+            p = 0.5 + 0.5 * z / (1 + np.abs(z))
+            g = p - y
+            for j in range(2):
+                G = int(np.floor(g * X[:, j] * 1e9 + 0.5).astype(np.int64).sum())
+                w[j] -= math.floor((G / (n * 1e9)) * lr + 0.5)
+            Gb = int(np.floor(g * 1e9 + 0.5).astype(np.int64).sum())
+            b -= math.floor((Gb / (n * 1e9)) * lr + 0.5)
+    return list(w), b
+
+
+def test_streaming_training_equals_sequential_mirror(spark, tmp_path):
+    """The stream's final weights equal the sequential local mirror of the
+    same per-batch recipe — online training certified end to end."""
+    batches = _batches()
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    wpath = str(tmp_path / "weights")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    run_incremental_training(
+        stream, wpath, str(tmp_path / "ckpt"), ["x0", "x1"], "y",
+        steps_per_batch=2,
+    )
+    w, b, epoch = read_latest_weights(spark, wpath, n_features=2)
+    assert epoch == len(batches) - 1
+    assert (w, b) == tuple(_local_mirror(batches, steps=2))
+    # every epoch committed exactly one row, chain contiguous
+    rows = spark.read.parquet(wpath).orderBy("_batch_id").collect()
+    assert [r._batch_id for r in rows] == list(range(len(batches)))
+    assert all(r.n_rows == 120 for r in rows)
+
+
+def test_training_replay_is_idempotent(spark, tmp_path):
+    """A crash-replayed epoch reads the identical predecessor (exclude-own-
+    epoch) and rewrites its partition byte-identically — rerunning batch k
+    any number of times never changes the state."""
+    batches = _batches(seed=5, n_batches=2, n=80)
+    wpath = str(tmp_path / "weights")
+    for i, rows in enumerate(batches):
+        training_batch_incremental(
+            spark.createDataFrame(rows, SCHEMA), i, wpath, ["x0", "x1"], "y"
+        )
+    before = {
+        (r._batch_id): (list(r.weights_micro), r.bias_micro, r.n_rows)
+        for r in spark.read.parquet(wpath).collect()
+    }
+    # replay BOTH epochs, twice each, out of order
+    for i in (1, 0, 1):
+        training_batch_incremental(
+            spark.createDataFrame(batches[i], SCHEMA), i, wpath,
+            ["x0", "x1"], "y",
+        )
+    after = {
+        (r._batch_id): (list(r.weights_micro), r.bias_micro, r.n_rows)
+        for r in spark.read.parquet(wpath).collect()
+    }
+    assert after == before
+
+
+def test_training_empty_batch_carries_state_forward(spark, tmp_path):
+    """A legitimately-empty micro-batch (even the FIRST) commits its epoch
+    row with the predecessor's weights instead of wedging the stream."""
+    wpath = str(tmp_path / "weights")
+    empty = spark.createDataFrame([], SCHEMA)
+    training_batch_incremental(empty, 0, wpath, ["x0", "x1"], "y")
+    w, b, epoch = read_latest_weights(spark, wpath, n_features=2)
+    assert (w, b, epoch) == ([0, 0], 0, 0)
+
+    rows = _batches(seed=9, n_batches=1, n=60)[0]
+    training_batch_incremental(
+        spark.createDataFrame(rows, SCHEMA), 1, wpath, ["x0", "x1"], "y"
+    )
+    w1, b1, _ = read_latest_weights(spark, wpath, n_features=2)
+    training_batch_incremental(empty, 2, wpath, ["x0", "x1"], "y")
+    w2, b2, epoch2 = read_latest_weights(spark, wpath, n_features=2)
+    assert (w2, b2) == (w1, b1) and epoch2 == 2
+    assert spark.read.parquet(wpath).filter(F.col("_batch_id") == 2).first().n_rows == 0
+
+
+def test_read_latest_weights_requires_sizing_without_state(spark, tmp_path):
+    with pytest.raises(ValueError, match="n_features"):
+        read_latest_weights(spark, str(tmp_path / "nope"))
