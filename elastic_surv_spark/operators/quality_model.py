@@ -55,6 +55,10 @@ __all__ = [
     "fixed_point_gd_sql",
     "quality_feature_frame",
     "fit_quality_classifier_distributed",
+    "fixed_point_logistic_gd_by",
+    "fixed_point_gd_by_sql",
+    "quality_features_sql",
+    "certified_quality_training_sql",
 ]
 
 _MASK32 = 0xFFFFFFFF
@@ -622,3 +626,157 @@ def certified_quality_training_sql(
     )
     assert chain.startswith("WITH ")
     return "WITH _qfeat AS (" + body + "),\n" + chain[len("WITH "):]
+
+
+def fixed_point_logistic_gd_by(
+    df: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+) -> DataFrame:
+    """Per-segment certified training — the "many models" shape
+    (models/grouped.py) meets the integer-GD recipe: one independent
+    fixed-point logistic model per group, trained full-batch over the
+    group's rows, returned as ``(group, w0_micro … w{nf-1}_micro,
+    bias_micro, n_rows)``. Every determinism rule of
+    :func:`fixed_point_logistic_gd` holds per group (no libm, int64
+    gradient sums, one rounding per (step, weight)), so the whole frame is
+    bit-identical at any partitioning and regenerable by another engine
+    (:func:`fixed_point_gd_by_sql`).
+
+    Unlike the grouped-map trainers (``fit_per_group``), NO group ever has
+    to fit one task: each step is ONE map-side-combined grouped aggregate
+    over the whole input — a single shuffle of (groups × (nf+1)) int64
+    cells per step, so a group may span the entire cluster. Driver traffic
+    is the per-group weight table per step (bounded: segments × (nf+1)
+    ints — the closure registry bound, models/grouped.py). Persist the
+    input if recomputing it is expensive — the trainer reads it ``steps``
+    times; empty groups simply don't appear (no rows → no gradient).
+    """
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("fixed_point_logistic_gd_by: no feature columns")
+    if steps < 1:
+        raise ValueError("fixed_point_logistic_gd_by: steps must be >= 1")
+    gtype = df.schema[group_col].dataType.simpleString()
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    spark = df.sparkSession
+    # state: {group: ([w_micro...], b_micro)}; populated lazily from the
+    # first step's group list (count once, constant thereafter)
+    state: dict = {}
+    counts: dict = {}
+    for _s in range(steps):
+        # current per-group weights ride a small broadcast-joined frame
+        # (segments bounded like the registry path in score_per_group) —
+        # never a per-group CASE chain, never the task closure
+        if state:
+            wrows = [
+                (g, [int(v) for v in wb[0]], int(wb[1]))
+                for g, wb in state.items()
+            ]
+            wdf = spark.createDataFrame(
+                wrows, f"_g {gtype}, _w array<long>, _b long"
+            )
+            cur = base.join(F.broadcast(wdf), "_g")
+            z = F.col("_w")[0] / F.lit(1_000_000.0) * F.col(feats[0])
+            for j in range(1, len(feats)):
+                z = z + F.col("_w")[j] / F.lit(1_000_000.0) * F.col(feats[j])
+            z = z + F.col("_b") / F.lit(1_000_000.0)
+        else:
+            # zero weights everywhere: z = 0 exactly, same as the mirror's w0
+            cur = base
+            z = F.lit(0.0)
+        p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
+        g = p - F.col("_y")
+        aggs = [
+            F.sum(
+                F.floor((g * F.col(c)) * F.lit(1e9) + F.lit(0.5)).cast("long")
+            ).alias(f"g{j}")
+            for j, c in enumerate(feats)
+        ] + [
+            F.sum(F.floor(g * F.lit(1e9) + F.lit(0.5)).cast("long")).alias("gb"),
+            F.count("*").alias("n"),
+        ]
+        rows = cur.groupBy("_g").agg(*aggs).collect()  # bounded: one row/group
+        for r in rows:
+            gval = r["_g"]
+            n = counts.setdefault(gval, int(r["n"]))
+            w, b = state.get(gval, ([0] * len(feats), 0))
+            w = [
+                w[j]
+                - math.floor((int(r[f"g{j}"]) / (n * 1e9)) * lr_micro + 0.5)
+                for j in range(len(feats))
+            ]
+            b = b - math.floor((int(r["gb"]) / (n * 1e9)) * lr_micro + 0.5)
+            state[gval] = (w, b)
+    out = [
+        (g, *state[g][0], state[g][1], counts[g]) for g in sorted(state, key=str)
+    ]
+    wcols = ", ".join(f"w{j}_micro long" for j in range(len(feats)))
+    return spark.createDataFrame(
+        out, f"{group_col} {gtype}, {wcols}, bias_micro long, n_rows long"
+    )
+
+
+def fixed_point_gd_by_sql(
+    group_col: str,
+    feature_cols: list[str],
+    label_col: str,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+    source: str = "rows",
+) -> str:
+    """DuckDB mirror of :func:`fixed_point_logistic_gd_by`: the unrolled
+    chain with a per-group dimension — each ``g<s>`` CTE is a grouped
+    aggregate joined to the previous weights on the group key, each
+    ``w<s>`` the per-group integer update. Final SELECT: ``(group,
+    w*_micro, bias_micro, n_rows)``, one row per group, integer-exact."""
+    feats = list(feature_cols)
+    nf = len(feats)
+    gc = group_col
+
+    parts = [
+        f"w0 AS (SELECT {gc}, "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(nf))
+        + f", CAST(0 AS BIGINT) AS b, count(*) AS n FROM {source} GROUP BY {gc})"
+    ]
+    for s in range(1, steps + 1):
+        prev = f"w{s - 1}"
+        terms = " + ".join(
+            f"(w.w{j} / 1000000.0) * r.{c}" for j, c in enumerate(feats)
+        )
+        z = f"{terms} + w.b / 1000000.0"
+        p = f"0.5 + (0.5 * ({z})) / (1.0 + abs({z}))"
+        gsums = ", ".join(
+            f"CAST(sum(CAST(floor(((({p}) - r.{label_col}) * r.{c}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j, c in enumerate(feats)
+        )
+        gb = (
+            f"CAST(sum(CAST(floor((({p}) - r.{label_col}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb"
+        )
+        parts.append(
+            f"g{s} AS (SELECT r.{gc}, {gsums}, {gb} FROM {source} r "
+            f"JOIN {prev} w ON r.{gc} = w.{gc} GROUP BY r.{gc})"
+        )
+        upd = ", ".join(
+            f"w.w{j} - CAST(floor((g.g{j} / (w.n * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) AS w{j}"
+            for j in range(nf)
+        )
+        parts.append(
+            f"w{s} AS (SELECT w.{gc}, {upd}, "
+            f"w.b - CAST(floor((g.gb / (w.n * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) AS b, "
+            f"w.n FROM {prev} w JOIN g{s} g ON w.{gc} = g.{gc})"
+        )
+    wcols = ", ".join(f"w{j} AS w{j}_micro" for j in range(nf))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT {gc}, {wcols}, b AS bias_micro, CAST(n AS BIGINT) AS n_rows"
+        f" FROM w{steps}"
+    )

@@ -461,3 +461,60 @@ def test_certified_quality_training_end_to_end_sql(spark):
     ).fetchone()
     assert list(got) == [*np.round(np.asarray(w) * 1e6).astype(np.int64),
                          round(b * 1e6)]
+
+
+def test_fixed_point_gd_by_duckdb_parity_and_single_group(spark):
+    """Per-segment certified training: the grouped trainer's integer
+    weights equal the grouped DuckDB chain EXACTLY per group, a
+    single-group frame reproduces the ungrouped trainer, and partitioning
+    doesn't matter (each step is one grouped integer aggregate)."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_gd_by_sql,
+        fixed_point_logistic_gd,
+        fixed_point_logistic_gd_by,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 900
+    pdf = pd.DataFrame(
+        {
+            "seg": (np.arange(n) % 3).astype("int32"),
+            "x0": np.round(rng.normal(size=n), 3),
+            "x1": np.round(rng.normal(size=n), 3),
+        }
+    )
+    pdf["y"] = ((1.0 + pdf.seg) * pdf.x0 - pdf.x1
+                + rng.normal(scale=0.5, size=n) > 0).astype("int64")
+    df = spark.createDataFrame(pdf)
+    got = fixed_point_logistic_gd_by(
+        df, "seg", ["x0", "x1"], "y", steps=4
+    ).toPandas().sort_values("seg", ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    want = con.execute(
+        fixed_point_gd_by_sql("seg", ["x0", "x1"], "y", steps=4)
+        + " ORDER BY seg"
+    ).df()
+    assert list(got.columns) == list(want.columns)
+    assert got.astype("int64").equals(want.astype("int64"))
+
+    # groups genuinely learned different models (planted per-seg slopes)
+    assert len(set(got.w0_micro)) == 3
+
+    # single group ≡ the ungrouped trainer on the slice
+    sl = pdf[pdf.seg == 1]
+    w, b = fixed_point_logistic_gd(
+        spark.createDataFrame(sl), ["x0", "x1"], "y", steps=4
+    )
+    row = got[got.seg == 1].iloc[0]
+    assert [row.w0_micro, row.w1_micro, row.bias_micro] == [*w, b]
+
+    # partitioning invariance
+    again = fixed_point_logistic_gd_by(
+        df.repartition(16), "seg", ["x0", "x1"], "y", steps=4
+    ).toPandas().sort_values("seg", ignore_index=True)
+    assert again.astype("int64").equals(got.astype("int64"))
