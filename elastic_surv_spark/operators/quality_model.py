@@ -308,6 +308,80 @@ def fit_quality_classifier(
 # --------------------------------------------------------------------------- #
 # Certified distributed training: fixed-point full-batch GD
 # --------------------------------------------------------------------------- #
+# THE certified recipe, defined once — the Spark trainers (global and
+# grouped), the driver-side update, and the SQL generators all assemble
+# from these fragments, so a change to the quantum/rounding/activation
+# cannot silently split the cross-engine or grouped-vs-ungrouped parity.
+
+
+def _fp_sigmoid(z):
+    """Rational sigmoid σ̃(z) = 0.5 + 0.5·z/(1+|z|) as a Column — pure
+    IEEE add/mul/div/abs, no libm (rule 1 of the determinism contract)."""
+    return F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
+
+
+def _fp_z_from_literals(feats: list[str], w: list[int], b: int):
+    """Left-associated logit from integer micro-weights as literals."""
+    z = F.lit(w[0] / 1_000_000.0) * F.col(feats[0])
+    for j in range(1, len(feats)):
+        z = z + F.lit(w[j] / 1_000_000.0) * F.col(feats[j])
+    return z + F.lit(b / 1_000_000.0)
+
+
+def _fp_grad_aggs(feats: list[str], g) -> list:
+    """Integer gradient aggregates: floor(g·x·1e9 + 0.5) per feature plus
+    the bias term — int64 sums, order-free (rule 2)."""
+    return [
+        F.sum(
+            F.floor((g * F.col(c)) * F.lit(1e9) + F.lit(0.5)).cast("long")
+        ).alias(f"g{j}")
+        for j, c in enumerate(feats)
+    ] + [F.sum(F.floor(g * F.lit(1e9) + F.lit(0.5)).cast("long")).alias("gb")]
+
+
+def _fp_delta(grad_sum, n: int, lr_micro: int) -> int:
+    """One weight update: floor((G/(n·1e9))·lr + 0.5) — a single rounding
+    per (step, weight) over exactly-known integers (rule 3)."""
+    return math.floor((int(grad_sum) / (n * 1e9)) * lr_micro + 0.5)
+
+
+def _fp_sql_step(
+    feats: list[str],
+    label_col: str,
+    wref: str,
+) -> tuple[str, str]:
+    """The SQL twins of the step fragments: ``(gsums, gb)`` select-list
+    strings computing the integer gradient aggregates under the weights
+    referenced through alias ``wref`` (``wref.w<j>``, ``wref.b``)."""
+    terms = " + ".join(
+        f"({wref}.w{j} / 1000000.0) * r.{c}" for j, c in enumerate(feats)
+    )
+    z = f"{terms} + {wref}.b / 1000000.0"
+    p = f"0.5 + (0.5 * ({z})) / (1.0 + abs({z}))"
+    gsums = ", ".join(
+        f"CAST(sum(CAST(floor(((({p}) - r.{label_col}) * r.{c}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+        for j, c in enumerate(feats)
+    )
+    gb = (
+        f"CAST(sum(CAST(floor((({p}) - r.{label_col}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb"
+    )
+    return gsums, gb
+
+
+def _fp_sql_update(
+    nf: int, wref: str, gref: str, nref: str, lr_micro: int
+) -> str:
+    """The SQL twin of :func:`_fp_delta` for every weight plus the bias."""
+    upd = ", ".join(
+        f"{wref}.w{j} - CAST(floor(({gref}.g{j} / ({nref} * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) AS w{j}"
+        for j in range(nf)
+    )
+    return (
+        f"{upd}, {wref}.b - CAST(floor(({gref}.gb / ({nref} * 1000000000.0))"
+        f" * {lr_micro} + 0.5) AS BIGINT) AS b"
+    )
+
+
 def fixed_point_logistic_gd(
     df: DataFrame,
     feature_cols: list[str],
@@ -375,18 +449,9 @@ def fixed_point_logistic_gd(
     )
     n = None
     for _ in range(steps):
-        z = F.lit(w[0] / 1_000_000.0) * F.col(feats[0])
-        for j in range(1, len(feats)):
-            z = z + F.lit(w[j] / 1_000_000.0) * F.col(feats[j])
-        z = z + F.lit(b / 1_000_000.0)
-        p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
-        g = p - F.col("_y")
-        aggs = [
-            F.sum(
-                F.floor((g * F.col(c)) * F.lit(1e9) + F.lit(0.5)).cast("long")
-            ).alias(f"g{j}")
-            for j, c in enumerate(feats)
-        ] + [F.sum(F.floor(g * F.lit(1e9) + F.lit(0.5)).cast("long")).alias("gb")]
+        z = _fp_z_from_literals(feats, w, b)
+        g = _fp_sigmoid(z) - F.col("_y")
+        aggs = _fp_grad_aggs(feats, g)
         if n is None:
             aggs.append(F.count("*").alias("n"))
         row = base.agg(*aggs).collect()[0]  # bounded: nf+2 ints, once per step
@@ -395,10 +460,8 @@ def fixed_point_logistic_gd(
             if n == 0:
                 raise ValueError("fixed_point_logistic_gd: empty training frame")
         for j in range(len(feats)):
-            w[j] -= math.floor(
-                (int(row[f"g{j}"]) / (n * 1e9)) * lr_micro + 0.5
-            )
-        b -= math.floor((int(row["gb"]) / (n * 1e9)) * lr_micro + 0.5)
+            w[j] -= _fp_delta(row[f"g{j}"], n, lr_micro)
+        b -= _fp_delta(row["gb"], n, lr_micro)
     return w, b
 
 
@@ -411,14 +474,21 @@ def fixed_point_logit_scores(
 ) -> "F.Column":
     """The trained model's map-only scoring expression: the SAME
     fixed-shape logit the trainer used, rounded for engine parity.
-    ``df`` is only consulted for column resolution; attach with
+    ``df`` validates the shape up front (every feature column present,
+    weight count == feature count) so a mismatch raises here instead of
+    surfacing as a misaligned dot product; attach with
     ``df.withColumn("score", …)``."""
     feats = list(feature_cols)
-    z = F.lit(weights_micro[0] / 1_000_000.0) * F.col(feats[0])
-    for j in range(1, len(feats)):
-        z = z + F.lit(weights_micro[j] / 1_000_000.0) * F.col(feats[j])
-    z = z + F.lit(bias_micro / 1_000_000.0)
-    return F.round(F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z)), round_to)
+    if len(weights_micro) != len(feats):
+        raise ValueError(
+            "fixed_point_logit_scores: "
+            f"{len(weights_micro)} weights for {len(feats)} feature columns"
+        )
+    missing = [c for c in feats if c not in df.columns]
+    if missing:
+        raise ValueError(f"fixed_point_logit_scores: missing columns {missing}")
+    z = _fp_z_from_literals(feats, [int(v) for v in weights_micro], int(bias_micro))
+    return F.round(_fp_sigmoid(z), round_to)
 
 
 def fixed_point_gd_sql(
@@ -435,38 +505,18 @@ def fixed_point_gd_sql(
     trainer's integers EXACTLY — no rounding tolerance anywhere."""
     feats = list(feature_cols)
     nf = len(feats)
-
-    def logit(prev: str) -> str:
-        terms = " + ".join(
-            f"({prev}.w{j} / 1000000.0) * r.{c}" for j, c in enumerate(feats)
-        )
-        return f"{terms} + {prev}.b / 1000000.0"
-
     parts = [
         f"w0 AS (SELECT {', '.join(f'CAST(0 AS BIGINT) AS w{j}' for j in range(nf))},"
         " CAST(0 AS BIGINT) AS b)"
     ]
     for s in range(1, steps + 1):
         prev = f"w{s - 1}"
-        z = logit(prev)
-        p = f"0.5 + (0.5 * ({z})) / (1.0 + abs({z}))"
-        gsums = ", ".join(
-            f"CAST(sum(CAST(floor(((({p}) - r.{label_col}) * r.{c}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
-            for j, c in enumerate(feats)
-        )
-        gb = (
-            f"CAST(sum(CAST(floor((({p}) - r.{label_col}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb"
-        )
+        gsums, gb = _fp_sql_step(feats, label_col, prev)
         parts.append(
             f"g{s} AS (SELECT {gsums}, {gb}, count(*) AS n FROM {source} r, {prev})"
         )
-        upd = ", ".join(
-            f"{prev}.w{j} - CAST(floor((g{s}.g{j} / (g{s}.n * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) AS w{j}"
-            for j in range(nf)
-        )
-        parts.append(
-            f"w{s} AS (SELECT {upd}, {prev}.b - CAST(floor((g{s}.gb / (g{s}.n * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) AS b FROM w{s - 1} {prev}, g{s})"
-        )
+        upd = _fp_sql_update(nf, prev, f"g{s}", f"g{s}.n", lr_micro)
+        parts.append(f"w{s} AS (SELECT {upd} FROM {prev}, g{s})")
     cols = ", ".join(f"w{j} AS w{j}_micro" for j in range(nf))
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT {cols}, b AS bias_micro FROM w{steps}"
@@ -565,8 +615,21 @@ def quality_features_sql(
     ``label_expr`` is any SQL expression over the source row (e.g. a
     heuristic-quality distillation label). Compose with
     :func:`fixed_point_gd_sql` for end-to-end certified training
-    (:func:`certified_quality_training_sql`)."""
-    lab = f", max(s.{label_expr}) AS label" if label_expr else ""
+    (:func:`certified_quality_training_sql`).
+
+    Precondition: ``id_col`` values are UNIQUE (they key the dedup
+    pipeline). The Python twin features each ROW independently, while SQL
+    can only aggregate per id — duplicate ids would pool their tokens
+    into one histogram and the parity claim would not hold. The label is
+    aggregated per id (``max``) rather than joined back, so there is no
+    row fan-out anywhere in this statement."""
+    lab = ", max(l.label) AS label" if label_expr else ""
+    labjoin = (
+        f" JOIN (SELECT {id_col}, max({label_expr}) AS label"
+        f" FROM {source} GROUP BY {id_col}) l ON b.{id_col} = l.{id_col}"
+        if label_expr
+        else ""
+    )
     xcols = ", ".join(
         f"coalesce(sum(CASE WHEN b.j = {j} THEN b.c END), 0)::DOUBLE"
         f" / max(b.n) AS x{j}"
@@ -596,7 +659,7 @@ def quality_features_sql(
         GROUP BY b.{id_col}, b.j
     )
     SELECT b.{id_col}{lab}, {xcols}
-    FROM _qhist b JOIN {source} s ON b.{id_col} = s.{id_col}
+    FROM _qhist b{labjoin}
     GROUP BY b.{id_col}
     """
 
@@ -653,7 +716,9 @@ def fixed_point_logistic_gd_by(
     is the per-group weight table per step (bounded: segments × (nf+1)
     ints — the closure registry bound, models/grouped.py). Persist the
     input if recomputing it is expensive — the trainer reads it ``steps``
-    times; empty groups simply don't appear (no rows → no gradient).
+    times; empty groups simply don't appear (no rows → no gradient), and
+    rows with a NULL group are dropped up front (an equi-join key can
+    never match NULL — both engines agree by construction).
     """
     feats = list(feature_cols)
     if not feats:
@@ -665,6 +730,12 @@ def fixed_point_logistic_gd_by(
         F.col(group_col).alias("_g"),
         *[F.col(c).cast("double").alias(c) for c in feats],
         F.col(label_col).cast("double").alias("_y"),
+    ).filter(
+        # NULL groups are dropped UP FRONT: the weight hand-off join (and
+        # the SQL mirror's equi-joins) can never match a NULL key, so
+        # without this filter a NULL group would train for one step, then
+        # silently freeze while the mirror drops it — a parity split
+        F.col("_g").isNotNull()
     )
     spark = df.sparkSession
     # state: {group: ([w_micro...], b_micro)}; populated lazily from the
@@ -692,28 +763,18 @@ def fixed_point_logistic_gd_by(
             # zero weights everywhere: z = 0 exactly, same as the mirror's w0
             cur = base
             z = F.lit(0.0)
-        p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
-        g = p - F.col("_y")
-        aggs = [
-            F.sum(
-                F.floor((g * F.col(c)) * F.lit(1e9) + F.lit(0.5)).cast("long")
-            ).alias(f"g{j}")
-            for j, c in enumerate(feats)
-        ] + [
-            F.sum(F.floor(g * F.lit(1e9) + F.lit(0.5)).cast("long")).alias("gb"),
-            F.count("*").alias("n"),
-        ]
+        g = _fp_sigmoid(z) - F.col("_y")
+        aggs = _fp_grad_aggs(feats, g) + [F.count("*").alias("n")]
         rows = cur.groupBy("_g").agg(*aggs).collect()  # bounded: one row/group
         for r in rows:
             gval = r["_g"]
             n = counts.setdefault(gval, int(r["n"]))
             w, b = state.get(gval, ([0] * len(feats), 0))
             w = [
-                w[j]
-                - math.floor((int(r[f"g{j}"]) / (n * 1e9)) * lr_micro + 0.5)
+                w[j] - _fp_delta(r[f"g{j}"], n, lr_micro)
                 for j in range(len(feats))
             ]
-            b = b - math.floor((int(r["gb"]) / (n * 1e9)) * lr_micro + 0.5)
+            b = b - _fp_delta(r["gb"], n, lr_micro)
             state[gval] = (w, b)
     out = [
         (g, *state[g][0], state[g][1], counts[g]) for g in sorted(state, key=str)
@@ -744,33 +805,19 @@ def fixed_point_gd_by_sql(
     parts = [
         f"w0 AS (SELECT {gc}, "
         + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(nf))
-        + f", CAST(0 AS BIGINT) AS b, count(*) AS n FROM {source} GROUP BY {gc})"
+        + f", CAST(0 AS BIGINT) AS b, count(*) AS n FROM {source}"
+        f" WHERE {gc} IS NOT NULL GROUP BY {gc})"
     ]
     for s in range(1, steps + 1):
         prev = f"w{s - 1}"
-        terms = " + ".join(
-            f"(w.w{j} / 1000000.0) * r.{c}" for j, c in enumerate(feats)
-        )
-        z = f"{terms} + w.b / 1000000.0"
-        p = f"0.5 + (0.5 * ({z})) / (1.0 + abs({z}))"
-        gsums = ", ".join(
-            f"CAST(sum(CAST(floor(((({p}) - r.{label_col}) * r.{c}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
-            for j, c in enumerate(feats)
-        )
-        gb = (
-            f"CAST(sum(CAST(floor((({p}) - r.{label_col}) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gb"
-        )
+        gsums, gb = _fp_sql_step(feats, label_col, "w")
         parts.append(
             f"g{s} AS (SELECT r.{gc}, {gsums}, {gb} FROM {source} r "
             f"JOIN {prev} w ON r.{gc} = w.{gc} GROUP BY r.{gc})"
         )
-        upd = ", ".join(
-            f"w.w{j} - CAST(floor((g.g{j} / (w.n * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) AS w{j}"
-            for j in range(nf)
-        )
+        upd = _fp_sql_update(nf, "w", "g", "w.n", lr_micro)
         parts.append(
             f"w{s} AS (SELECT w.{gc}, {upd}, "
-            f"w.b - CAST(floor((g.gb / (w.n * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) AS b, "
             f"w.n FROM {prev} w JOIN g{s} g ON w.{gc} = g.{gc})"
         )
     wcols = ", ".join(f"w{j} AS w{j}_micro" for j in range(nf))

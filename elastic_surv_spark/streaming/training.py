@@ -93,18 +93,24 @@ def training_batch_incremental(
     w0, b0, _ = read_latest_weights(
         spark, weights_path, before_batch_id=batch_id, n_features=len(feats)
     )
-    n_rows = batch_df.count()
-    if n_rows == 0:
-        w, b = w0, b0  # carry the chain forward; never wedge on empty
-    else:
-        w, b = fixed_point_logistic_gd(
-            batch_df,
-            feats,
-            label_col,
-            steps=steps_per_batch,
-            lr_micro=lr_micro,
-            init=(w0, b0),
-        )
+    # persist: the count below plus one integer aggregate per GD step all
+    # re-read the micro-batch source otherwise (steps+1 scans per epoch)
+    batch_df = batch_df.persist()
+    try:
+        n_rows = batch_df.count()
+        if n_rows == 0:
+            w, b = w0, b0  # carry the chain forward; never wedge on empty
+        else:
+            w, b = fixed_point_logistic_gd(
+                batch_df,
+                feats,
+                label_col,
+                steps=steps_per_batch,
+                lr_micro=lr_micro,
+                init=(w0, b0),
+            )
+    finally:
+        batch_df.unpersist()
     row = spark.createDataFrame(
         [(w, b, int(n_rows), int(batch_id))],
         "weights_micro array<long>, bias_micro long, n_rows long, _batch_id int",

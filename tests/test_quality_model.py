@@ -518,3 +518,40 @@ def test_fixed_point_gd_by_duckdb_parity_and_single_group(spark):
         df.repartition(16), "seg", ["x0", "x1"], "y", steps=4
     ).toPandas().sort_values("seg", ignore_index=True)
     assert again.astype("int64").equals(got.astype("int64"))
+
+
+def test_fixed_point_gd_by_drops_null_groups_both_engines(spark):
+    """NULL group rows are dropped up front in BOTH engines (an equi-join
+    key never matches NULL) — without the guard the Spark side trained a
+    NULL group for exactly one step and then froze, silently diverging
+    from the mirror (review finding, r11)."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_gd_by_sql,
+        fixed_point_logistic_gd_by,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "seg": [None if i % 5 == 0 else float(i % 2) for i in range(n)],
+            "x0": np.round(rng.normal(size=n), 3),
+            "y": rng.integers(0, 2, size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"seg": "object"}),
+                               "seg double, x0 double, y long")
+    got = fixed_point_logistic_gd_by(
+        df, "seg", ["x0"], "y", steps=3
+    ).toPandas().sort_values("seg", ignore_index=True)
+    assert sorted(got.seg) == [0.0, 1.0]  # NULL group absent, not frozen
+
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    want = con.execute(
+        fixed_point_gd_by_sql("seg", ["x0"], "y", steps=3) + " ORDER BY seg"
+    ).df()
+    assert got.astype("float64").equals(want.astype("float64"))
