@@ -56,6 +56,7 @@ __all__ = [
     "quality_feature_frame",
     "fit_quality_classifier_distributed",
     "fixed_point_logistic_gd_by",
+    "fixed_point_logit_scores_by",
     "fixed_point_gd_by_sql",
     "quality_features_sql",
     "certified_quality_training_sql",
@@ -826,4 +827,41 @@ def fixed_point_gd_by_sql(
         + ",\n".join(parts)
         + f"\nSELECT {gc}, {wcols}, b AS bias_micro, CAST(n AS BIGINT) AS n_rows"
         f" FROM w{steps}"
+    )
+
+
+def fixed_point_logit_scores_by(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Grouped certified SCORING — the inference half of
+    :func:`fixed_point_logistic_gd_by`: every row scored under ITS group's
+    integer micro-weights, ``df``'s columns plus ``score``. ``weights`` is
+    the trainer's output frame (``group, w<j>_micro …, bias_micro``),
+    broadcast-joined on the group key (the ``score_per_group``
+    registry-as-table shape, models/grouped.py) — zero fact-side shuffle,
+    and the arithmetic is the exp-free rational sigmoid over IEEE
+    add/mul/div/abs, so scores are engine-portable at ``round_to`` digits
+    exactly like the trainer's weights. Rows of groups absent from the
+    weights frame drop (no model, no score — the score_per_group rule).
+    """
+    feats = list(feature_cols)
+    wcols = [f"w{j}_micro" for j in range(len(feats))]
+    missing = [c for c in (*wcols, "bias_micro") if c not in weights.columns]
+    if missing:
+        raise ValueError(f"fixed_point_logit_scores_by: weights frame lacks {missing}")
+    joined = df.join(
+        F.broadcast(weights.select(group_col, *wcols, "bias_micro")),
+        group_col,
+        "inner",
+    )
+    z = F.col(wcols[0]) / F.lit(1_000_000.0) * F.col(feats[0])
+    for j in range(1, len(feats)):
+        z = z + F.col(wcols[j]) / F.lit(1_000_000.0) * F.col(feats[j])
+    z = z + F.col("bias_micro") / F.lit(1_000_000.0)
+    return joined.withColumn("score", F.round(_fp_sigmoid(z), round_to)).drop(
+        *wcols, "bias_micro"
     )

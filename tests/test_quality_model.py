@@ -555,3 +555,48 @@ def test_fixed_point_gd_by_drops_null_groups_both_engines(spark):
         fixed_point_gd_by_sql("seg", ["x0"], "y", steps=3) + " ORDER BY seg"
     ).df()
     assert got.astype("float64").equals(want.astype("float64"))
+
+
+def test_fixed_point_logit_scores_by_matches_per_group_local(spark):
+    """Grouped certified scoring: each row's score under ITS group's
+    trained integer weights equals the ungrouped scorer applied per group
+    slice, groups without weights drop, and the join is broadcast (the
+    score_per_group registry-as-table shape)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_logistic_gd_by,
+        fixed_point_logit_scores,
+        fixed_point_logit_scores_by,
+    )
+
+    rng = np.random.default_rng(51)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "seg": (np.arange(n) % 3).astype("int32"),
+            "x0": np.round(rng.normal(size=n), 3),
+            "x1": np.round(rng.normal(size=n), 3),
+        }
+    )
+    pdf["y"] = ((1 + pdf.seg) * pdf.x0 - pdf.x1 > 0).astype("int64")
+    df = spark.createDataFrame(pdf)
+    wdf = fixed_point_logistic_gd_by(df, "seg", ["x0", "x1"], "y", steps=3)
+    weights = wdf.filter(F.col("seg") < 2)  # drop seg 2's model on purpose
+
+    scored = fixed_point_logit_scores_by(df, weights, "seg", ["x0", "x1"])
+    got = {r.rid: r.score for r in scored.collect()}
+    assert set(got) == set(pdf[pdf.seg < 2].rid)  # unmodeled group dropped
+
+    wlocal = {r.seg: ([r.w0_micro, r.w1_micro], r.bias_micro)
+              for r in wdf.collect()}
+    for g in (0, 1):
+        sl = spark.createDataFrame(pdf[pdf.seg == g])
+        expr = fixed_point_logit_scores(sl, ["x0", "x1"], *wlocal[g])
+        want = {r.rid: r.s for r in sl.withColumn("s", expr).collect()}
+        assert {k: got[k] for k in want} == want, f"seg {g}"
+
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
