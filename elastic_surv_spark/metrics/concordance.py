@@ -304,7 +304,10 @@ def harrell_cindex_by(
     parallel sweeps. Scale contract: one GROUP fits one task (the
     segmented-population shape — many bounded segments); a single giant
     group belongs to the ungrouped size-gated ``harrell_cindex_counts``.
-    ``c_index`` is NULL for groups with no comparable pair.
+    ``c_index`` is NULL for groups with no comparable pair. Rows with
+    NULL time or risk are excluded up front — the same EVERY-mode
+    convention as ``harrell_cindex_counts`` (they would otherwise enter
+    the sweep as NaN and count as latest-time comparables).
     """
     gtype = df.schema[group_col].dataType.simpleString()
     base = df.select(
@@ -312,7 +315,7 @@ def harrell_cindex_by(
         F.col(time_col).cast("double").alias("t"),
         F.col(event_col).cast("int").alias("e"),
         F.col(risk_col).cast("double").alias("r"),
-    )
+    ).where(F.col("t").isNotNull() & F.col("r").isNotNull())
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         out = _local_harrell(pdf)
@@ -453,6 +456,11 @@ def concordance_td_by(
         F.col(time_col).cast("double").alias("t"),
         F.col(event_col).cast("int").alias("e"),
         F.col(surv_col).alias("s"),
+    ).where(
+        # the EVERY-mode missing-value convention: a NULL curve would make
+        # np.asarray raise on the ragged input and fail the whole task; a
+        # NULL t would corrupt the sort/cut index as NaN
+        F.col("t").isNotNull() & F.col("s").isNotNull()
     )
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import math
+import warnings
 from typing import Any, Sequence
 
 import numpy as np
@@ -66,7 +67,22 @@ def sample_configs(
             continue
         seen.add(key)
         out.append((fam, params))
+    if len(out) < n_configs:
+        warnings.warn(
+            f"sample_configs: dedup space exhausted at {len(out)}/"
+            f"{n_configs} distinct configs — the search runs smaller than "
+            "requested",
+            stacklevel=2,
+        )
     return out
+
+
+def _s_max(max_iter: int, eta: int) -> int:
+    """Hyperband's bracket exponent ⌊log_eta(max_iter)⌋ — computed with an
+    epsilon because the float ratio undershoots on exact powers
+    (log(243)/log(3) = 4.999999999999999; a bare int() would silently drop
+    the most exploratory bracket and derail B)."""
+    return int(math.log(max_iter) / math.log(eta) + 1e-9)
 
 
 def _clean(params: dict[str, Any]) -> dict[str, Any]:
@@ -114,8 +130,14 @@ def successive_halving_per_segment(
     feats = list(feature_cols)
     # every rung re-evaluates `base` (filter + groupBy + grouped-map), so an
     # un-persisted parent re-scans the source O(rungs) times — persist once,
-    # release in finally (the metric modules' r10 pattern; VERDICT r10 #3)
-    base = df.select(group_col, order_col, time_col, event_col, *feats).persist()
+    # release in finally (the metric modules' r10 pattern; VERDICT r10 #3).
+    # NULL-group rows drop up front (isin(active) never matches NULL — the
+    # grouped-trainer NULL contract)
+    base = (
+        df.select(group_col, order_col, time_col, event_col, *feats)
+        .where(F.col(group_col).isNotNull())
+        .persist()
+    )
     try:
         groups = [r[0] for r in base.select(group_col).distinct().collect()]
         scored = _halving_winners(
@@ -182,11 +204,18 @@ def hyperband_per_segment(
     # persisted across ALL brackets × rungs (each is a full re-evaluation of
     # this frame — O(brackets·rungs) source scans without the cache);
     # released in the finally below (VERDICT r10 #3)
-    base = df.select(group_col, order_col, time_col, event_col, *feats).persist()
-    groups = [r[0] for r in base.select(group_col).distinct().collect()]
-
+    # NULL-group rows are dropped up front: `isin(active)` never matches a
+    # NULL key, so such a segment would never train yet still emit a
+    # config_idx -1 row — the grouped-trainer NULL contract applies here
+    base = (
+        df.select(group_col, order_col, time_col, event_col, *feats)
+        .where(F.col(group_col).isNotNull())
+        .persist()
+    )
     try:
-        s_max = int(math.log(max_iter) / math.log(eta))
+        # collect INSIDE the try: a failure here must still unpersist
+        groups = [r[0] for r in base.select(group_col).distinct().collect()]
+        s_max = _s_max(max_iter, eta)
         B = (s_max + 1) * max_iter
         rng = np.random.default_rng(seed)
         seen: set[str] = set()
@@ -208,6 +237,12 @@ def hyperband_per_segment(
                 seen.add(key)
                 bracket_idxs.append(len(configs))
                 configs.append((fam, params))
+            if len(bracket_idxs) < n:
+                warnings.warn(
+                    f"hyperband bracket s={s}: dedup space exhausted at "
+                    f"{len(bracket_idxs)}/{n} fresh configs",
+                    stacklevel=2,
+                )
             if not bracket_idxs:
                 continue
             scored = _halving_winners(

@@ -473,12 +473,18 @@ def incremental_near_dedup(
             .dropDuplicates(["id_a", "id_b"])
         )
         if history is not None:
-            # verification tokenizes ONLY candidate history docs
+            # verification tokenizes ONLY candidate history docs.
+            # dropDuplicates(id): a compact_history promote-then-crash
+            # legitimately leaves a doc in BOTH the -1 partition and its
+            # source epoch until the next fold heals it — duplicated
+            # postings would double the intersection counts
+            # (j = 2i/(na+nb-2i)) and flip replay keep decisions,
+            # breaking the byte-identical exactly-once contract
             cand_hist = history.join(
                 cross_cand.select(F.col("id_a").alias(id_col)).distinct(),
                 id_col,
                 "left_semi",
-            )
+            ).dropDuplicates([id_col])
             tok_h = _tok_slice(cand_hist).localCheckpoint(eager=False)
             cross = _verified_jaccard_pairs(
                 cross_cand, tok_b.unionByName(tok_h), id_col, threshold, round_to

@@ -224,7 +224,13 @@ def compact_history(
     consolidated partition is range-sorted on the key so the dedup scan
     prunes on parquet row-group min/max.
     """
-    hist = spark.read.parquet(history_path)
+    hist = _read_table_or_none(spark, history_path)
+    if hist is None:
+        # nothing committed yet (e.g. every epoch so far was empty —
+        # _SUCCESS only, no footers): an unguarded read would raise
+        # UNABLE_TO_INFER_SCHEMA, fail the micro-batch, and wedge the
+        # stream on replay (the _read_history lesson applied here)
+        return 0
     old = hist.filter(F.col("_batch_id") < committed_batch_id)
     old_ids = sorted(
         r["_batch_id"]

@@ -307,3 +307,46 @@ def test_full_hyperband_per_segment(spark):
     assert {s: (r.config_idx, r.family, r.model_json) for s, r in out.items()} == {
         s: (r.config_idx, r.family, r.model_json) for s, r in again.items()
     }
+
+
+def test_s_max_exact_power_not_floored():
+    """log(243)/log(3) = 4.999999999999999 — a bare int() would drop the
+    most exploratory bracket on exact-power max_iter (review finding)."""
+    from elastic_surv_spark.models.grouped_hyperband import _s_max
+
+    assert _s_max(243, 3) == 5
+    assert _s_max(9, 3) == 2
+    assert _s_max(81, 3) == 4
+    assert _s_max(256, 2) == 8
+    assert _s_max(10, 3) == 2  # non-power still floors
+
+
+def test_halving_drops_null_group_rows(spark):
+    """A NULL-group segment would never match isin(active) and emitted a
+    NULL-model row regardless of size — now it is dropped up front."""
+    import pandas as pd
+
+    from elastic_surv_spark.models.grouped_hyperband import (
+        successive_halving_per_segment,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "seg": [None if i % 3 == 0 else float(i % 2) for i in range(n)],
+            "x0": rng.normal(size=n),
+            "t": np.exp(rng.normal(size=n)),
+            "e": rng.integers(0, 2, size=n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = successive_halving_per_segment(
+        df, "seg", "rid", "t", "e", ["x0"],
+        configs=[("cox_ph", {"hidden_nodes": [1], "batch_norm": False,
+                             "dropout": 0.0, "lr": 0.01})],
+        output_epochs=2,
+    ).collect()
+    segs = [r.seg for r in out]
+    assert None not in segs and sorted(segs) == [0.0, 1.0]

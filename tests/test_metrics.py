@@ -938,3 +938,47 @@ def test_concordance_td_exact_before_first_cut_all_tied(spark):
     comp, conc, tied, cidx = concordance_td_exact(df, "t", "e", "surv", cuts)
     assert (comp, conc, tied) == (2, 0, 2)
     assert cidx == 0.5
+
+
+def test_harrell_cindex_by_drops_null_time_and_risk(spark):
+    """The EVERY-mode NULL convention (harrell_cindex_counts) applies to
+    the grouped twin: NULL time/risk rows are excluded, not swept as NaN
+    latest-time comparables (review finding, r11)."""
+    from elastic_surv_spark.metrics.concordance import harrell_cindex_by
+
+    clean = [(0, 1.0, 1, 3.0), (0, 2.0, 1, 2.0), (0, 3.0, 0, 1.0)]
+    dirty = clean + [(0, None, 1, 9.0), (0, 4.0, 1, None)]
+    a = harrell_cindex_by(
+        spark.createDataFrame(clean, "g int, t double, e int, risk double"),
+        "g", "t", "e", "risk",
+    ).first()
+    b = harrell_cindex_by(
+        spark.createDataFrame(dirty, "g int, t double, e int, risk double"),
+        "g", "t", "e", "risk",
+    ).first()
+    assert (a.n_comparable, a.n_concordant, a.n_tied, a.c_index) == (
+        b.n_comparable, b.n_concordant, b.n_tied, b.c_index,
+    )
+
+
+def test_concordance_td_by_drops_null_rows_instead_of_crashing(spark):
+    """A NULL survival curve made np.asarray raise on ragged input and
+    failed the whole task; now the row drops per the missing-value
+    convention (review finding, r11)."""
+    from elastic_surv_spark.metrics.concordance import concordance_td_by
+
+    cuts = [1.0, 2.0]
+    clean = [
+        (0, 1.0, 1, [0.9, 0.8]),
+        (0, 2.0, 1, [0.7, 0.5]),
+        (0, 3.0, 0, [0.6, 0.4]),
+    ]
+    dirty = clean + [(0, 2.5, 1, None), (0, None, 1, [0.5, 0.3])]
+    schema = "g int, t double, e int, s array<double>"
+    a = concordance_td_by(
+        spark.createDataFrame(clean, schema), "g", "t", "e", "s", cuts
+    ).first()
+    b = concordance_td_by(
+        spark.createDataFrame(dirty, schema), "g", "t", "e", "s", cuts
+    ).first()
+    assert (a.n_comparable, a.c_index) == (b.n_comparable, b.c_index)

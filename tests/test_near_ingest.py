@@ -295,3 +295,27 @@ def test_bucketed_band_index_candidate_join_shuffles_only_the_batch(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_incremental_near_dedup_tolerates_duplicated_history_ids(spark):
+    """A compact_history promote-then-crash legitimately leaves a doc in
+    BOTH the -1 partition and its source epoch until the next fold heals
+    it; duplicated postings would double intersection counts and flip
+    replay keep decisions (review finding, r11). Decisions must equal the
+    deduped-history run exactly."""
+    hist_rows = [(1, "alpha beta gamma delta"), (2, "one two three four")]
+    batch_rows = [(10, "alpha beta gamma delta"), (11, "five six seven eight")]
+    schema = "doc_id long, text string"
+    hist = spark.createDataFrame(hist_rows, schema)
+    hist_dup = spark.createDataFrame(hist_rows + [hist_rows[0]], schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    def decide(h):
+        return {
+            r.doc_id: (r.dup_of_history, r.keep)
+            for r in incremental_near_dedup(batch, h, n=2).collect()
+        }
+
+    want = decide(hist)
+    assert want[10] == (True, False) and want[11] == (False, True)
+    assert decide(hist_dup) == want

@@ -250,3 +250,17 @@ def test_incremental_ingest_duplicate_only_batch(spark, tmp_path):
     )
     got = spark.read.parquet(hist)
     assert [r.doc_id for r in got.collect()] == [1]
+
+
+def test_compact_history_no_committed_data_is_noop(spark, tmp_path):
+    """compact_history on a path with no readable parquet (nothing
+    committed yet — e.g. every epoch so far was empty) returns 0 instead
+    of raising and wedging the stream on replay (review finding)."""
+    from elastic_surv_spark.streaming.ingest import compact_history
+
+    assert compact_history(spark, str(tmp_path / "nohist"), 5) == 0
+    # _SUCCESS-only directory (an empty epoch write): same contract
+    d = tmp_path / "emptyhist"
+    d.mkdir()
+    (d / "_SUCCESS").touch()
+    assert compact_history(spark, str(d), 5) == 0
