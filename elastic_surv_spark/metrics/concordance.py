@@ -60,55 +60,16 @@ def _bucket(col, boundaries: list[float]):
 
 
 def _local_harrell(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Exact Harrell counts among the rows of ONE time bucket (class 1)."""
+    """Exact Harrell counts among the rows of ONE time bucket (class 1):
+    sort by time, then the shared Fenwick sweep with the index-event set =
+    the event column — ONE exact kernel (``_masked_harrell_sweep``), so a
+    fix there cannot diverge from this caller (review finding, r11)."""
     t = pdf["t"].to_numpy(dtype=float)
     e = pdf["e"].to_numpy(dtype=float)
     r = pdf["r"].to_numpy(dtype=float)
     order = np.argsort(t, kind="stable")
     t, e, r = t[order], e[order], r[order]
-    m = len(t)
-    # sweep in increasing time over tie-groups; a Fenwick tree over locally
-    # rank-compressed risks counts, for each event i, later-time rows with
-    # smaller / equal risk in O(log m) per query
-    ranks = np.searchsorted(np.unique(r), r)
-    nrank = int(ranks.max()) + 1 if m else 0
-    tree = np.zeros(nrank + 1, dtype=np.int64)
-
-    def bit_add(i):
-        i += 1
-        while i <= nrank:
-            tree[i] += 1
-            i += i & (-i)
-
-    def bit_sum(i):  # count of inserted ranks <= i
-        i += 1
-        s = 0
-        while i > 0:
-            s += tree[i]
-            i -= i & (-i)
-        return s
-
-    comparable = concordant = tied = 0
-    # iterate time tie-groups from LATEST to EARLIEST, inserting each group
-    # after querying: at query time the tree holds exactly the strictly-later
-    # rows
-    idx = m
-    inserted = 0
-    while idx > 0:
-        lo = idx - 1
-        while lo > 0 and t[lo - 1] == t[idx - 1]:
-            lo -= 1
-        for i in range(lo, idx):
-            if e[i] == 1 and inserted > 0:
-                comparable += inserted
-                le = bit_sum(ranks[i])
-                lt = bit_sum(ranks[i] - 1) if ranks[i] > 0 else 0
-                concordant += lt
-                tied += le - lt
-        for i in range(lo, idx):
-            bit_add(ranks[i])
-            inserted += 1
-        idx = lo
+    comparable, concordant, tied = _masked_harrell_sweep(t, e == 1, r)
     return pd.DataFrame(
         {"n_comparable": [comparable], "n_concordant": [concordant], "n_tied": [tied]}
     )

@@ -262,6 +262,28 @@ def band_index(
     )
 
 
+def _band_candidates(
+    a_bands: DataFrame,
+    b_bands: DataFrame | None,
+    id_col: str,
+    ordered: bool = True,
+) -> DataFrame:
+    """THE candidate contract, defined once (review finding, r11): distinct
+    (id_a, id_b) pairs sharing at least one LSH band key. ``b_bands=None``
+    is the self-join (within one corpus, ``id_a < id_b`` dedupes the
+    unordered pair); ``ordered=False`` keeps cross-corpus pairs as
+    (a-side, b-side) without the id inequality."""
+    left = (b_bands if b_bands is not None else a_bands).select(
+        F.col(id_col).alias("id_b"), "band", "key"
+    )
+    cand = a_bands.select(F.col(id_col).alias("id_a"), "band", "key").join(
+        left, ["band", "key"]
+    )
+    if ordered:
+        cand = cand.filter(F.col("id_a") < F.col("id_b"))
+    return cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -289,14 +311,7 @@ def minhash_lsh_pairs(
     # re-join afterwards (from the tokenized barrier) for the (few)
     # surviving candidate pairs, so signature and array stay decoupled.
     exploded = band_index(None, id_col, text_col, n, k, bands, tokenized=tokenized)
-    left = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
-    cand = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _band_candidates(exploded, None, id_col)
     return _verified_jaccard_pairs(cand, tokenized, id_col, threshold, round_to)
 
 
@@ -358,24 +373,19 @@ def minhash_lsh_certified_pairs(
         )
     if band_rows is None:
         band_rows = band_index(None, id_col, text_col, n, k, bands, tokenized=tokenized)
-    left = band_rows.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = band_rows.select(F.col(id_col).alias("id_b"), "band", "key")
-    cand = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _band_candidates(band_rows, None, id_col)
     found = _verified_jaccard_pairs(cand, tokenized, id_col, threshold, round_to).select(
         "id_a", "id_b", F.lit(1).alias("_f")
     )
     # per exact pair: did ANY of its band keys match? (both docs of an exact
     # pair have shingles, hence exactly `bands` band rows each — inner joins
     # lose nothing)
+    ka = band_rows.select(F.col(id_col).alias("id_a"), "band", F.col("key").alias("_ka"))
+    kb = band_rows.select(F.col(id_col).alias("id_b"), "band", F.col("key").alias("_kb"))
     match = (
         exact.select("id_a", "id_b")
-        .join(left.withColumnRenamed("key", "_ka"), "id_a")
-        .join(right.withColumnRenamed("key", "_kb"), ["id_b", "band"])
+        .join(ka, "id_a")
+        .join(kb, ["id_b", "band"])
         .groupBy("id_a", "id_b")
         .agg(F.max((F.col("_ka") == F.col("_kb")).cast("int")).alias("_bm"))
     )
@@ -463,14 +473,8 @@ def incremental_near_dedup(
             history_bands = band_index(
                 None, id_col, text_col, n, k, bands, tokenized=_tok_slice(history)
             )
-        cross_cand = (
-            bands_b.select(F.col(id_col).alias("id_b"), "band", "key")
-            .join(
-                history_bands.select(F.col(id_col).alias("id_a"), "band", "key"),
-                ["band", "key"],
-            )
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
+        cross_cand = _band_candidates(
+            history_bands, bands_b, id_col, ordered=False
         )
         if history is not None:
             # verification tokenizes ONLY candidate history docs.
@@ -499,13 +503,7 @@ def incremental_near_dedup(
             .distinct()
             .withColumn("dup_of_history", F.lit(True))
         )
-    within_cand = (
-        bands_b.select(F.col(id_col).alias("id_a"), "band", "key")
-        .join(bands_b.select(F.col(id_col).alias("id_b"), "band", "key"), ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    within_cand = _band_candidates(bands_b, None, id_col)
     within = _verified_jaccard_pairs(within_cand, tok_b, id_col, threshold, round_to)
     flags.append(
         within.select(F.col("id_b").alias(id_col))
