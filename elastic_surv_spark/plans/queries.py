@@ -8216,6 +8216,11 @@ _RECERT_FIRST = {
     # row out (the r10 VERDICT's task #1). Both rows were value-verified
     # at all three SFs in-round (oracle_check sweeps) and, being r10-green,
     # rotate into the r12 window at the FRONT of the stale queue anyway.
+    # Same decision for harrell_cindex_cohorts (late-r11 NULL-convention
+    # filter in harrell_cindex_by): the changed kernel recertifies THIS
+    # round through segmented_cox_pipeline / segmented_discrete_pipeline
+    # (both in the window), and the row itself was value-verified at
+    # sf0.001 + sf0.1 in-round. Queue all three for r12's _RECERT_FIRST.
 }
 
 
