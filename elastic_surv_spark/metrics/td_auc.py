@@ -48,8 +48,12 @@ def cumulative_dynamic_auc(
 
     Higher risk must mean earlier events: AUC ≫ 0.5 ⇔ the score
     discriminates. Horizons with no cases or no controls are dropped
-    (AUC undefined there).
+    (AUC undefined there). Rows with NULL time or risk are excluded up
+    front (the library-wide convention, harrell_cindex_counts): F.least
+    skips NULLs, so an unfiltered NULL risk would silently land in the
+    TOP bin and count as a maximal-risk subject.
     """
+    df = df.where(F.col(time_col).isNotNull() & F.col(risk_col).isNotNull())
     bounds = df.agg(
         F.min(time_col).alias("_tmin"),
         F.max(time_col).alias("_tmax"),
@@ -80,7 +84,12 @@ def cumulative_dynamic_auc(
     # the distinct each subject would be classified once PER duplicate row and
     # the groupBy would inflate n_cases/n_controls by the collision factor
     # (auc itself cancels it — the counts wouldn't). _rmin/_rmax are constant,
-    # so the row-level distinct dedups exactly on _gt.
+    # so the row-level distinct dedups exactly on _gt. DELIBERATE tradeoff:
+    # integer horizon offsets are exactly representable, which is what lets
+    # the DuckDB oracle reproduce the grid bit-for-bit; the cost is that a
+    # sub-unit time span (tmax - tmin < 1) degenerates to the single
+    # horizon t = tmin — rescale such times before calling (the IPCW
+    # variant uses exact float horizons and does not coarsen).
     # map-side classify + bin: subjects × n_times rows, integer statuses
     r_span = F.col("_rmax") - F.col("_rmin")
     bin_col = F.when(r_span <= 0, F.lit(0)).otherwise(
@@ -168,8 +177,11 @@ def cumulative_dynamic_auc_by(
     O(n·horizons) + one bounded aggregate regardless of group count —
     never a per-group driver loop. Risk bins are per-group (each group's
     own min/max), so AUC values match running the ungrouped operator on
-    each group's slice exactly.
+    each group's slice exactly. NULL time/risk rows are excluded up front
+    (the F.least NULL-skip would bin them as maximal risk); NULL groups
+    drop at the grid equi-join.
     """
+    df = df.where(F.col(time_col).isNotNull() & F.col(risk_col).isNotNull())
     g = F.col(group_col)
     bounds = df.groupBy(group_col).agg(
         F.min(time_col).alias("_tmin"),
@@ -210,9 +222,14 @@ def cumulative_dynamic_auc_by(
             ),
         )
     )
+    # no broadcast HINT on the grid: it is groups × n_times rows —
+    # bounded per group but UNBOUNDED in group count (a ~1M-segment
+    # population would force-ship millions of rows through the driver).
+    # Left to Catalyst/AQE, small grids still broadcast automatically and
+    # huge ones fall back to a shuffled join that scales.
     cls = (
         df.select(group_col, time_col, event_col, risk_col)
-        .join(F.broadcast(grid), group_col)
+        .join(grid, group_col)
         .select(
             g,
             F.col("_gt"),
@@ -299,7 +316,7 @@ def cumulative_dynamic_auc_ipcw(
         F.col(time_col).cast("double").alias("_t"),
         F.col(event_col).cast("int").alias("_e"),
         F.col(risk_col).cast("double").alias("_r"),
-    )
+    ).where(F.col("_t").isNotNull() & F.col("_r").isNotNull())
     # The persist covers ONLY the eager prep jobs below (censoring curve,
     # bounds) and is released in the finally — a metric call must not leak
     # cached partitions into a long-lived session that runs the whole

@@ -341,10 +341,11 @@ def pseudo_cox_registry(
     schema = f"{group_col} {gtype}, model_json string"
 
     def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from elastic_surv_spark.operators.quality_model import pseudo_weights
+
         gval = pdf[group_col].iloc[0]
         seg = int(gval)
-        idx = np.arange(nf, dtype=np.int64) + np.int64(seg) * nf
-        w = ((idx * 2654435761) % 2001 - 1000) / 1000.0
+        w = pseudo_weights(nf, offset=seg * nf)  # THE certification spread
 
         m = CoxPHModel(
             in_features=nf, hidden_nodes=[], batch_norm=False, dropout=0.0,
@@ -355,7 +356,14 @@ def pseudo_cox_registry(
         m.net.set_state(w)
 
         # deterministic float-sum order within the engine (grouped-map row
-        # arrival order is not stable across runs)
+        # arrival order is not stable across runs).
+        # The Breslow body below intentionally mirrors _local_breslow
+        # INLINE rather than calling it: _local_breslow scores through
+        # m.net.forward (an (n,1) GEMM) while the SQL oracle's twin is the
+        # vector product X @ w (a GEMV) — BLAS may order those sums
+        # differently in the last ulp, and this row is hash-certified at
+        # 1e-6 where a boundary flip would be a cross-engine mismatch. The
+        # GEMV form is the one the oracle reproduces.
         pdf = pdf.sort_values(id_col, ignore_index=True)
         X = pdf[feats].to_numpy(dtype=float)
         t = pdf[time_col].to_numpy(dtype=float)
@@ -400,6 +408,8 @@ def pseudo_logistic_registry(
       with the max-subtracted softmax — replicate the SAME max-subtract in
       the SQL mirror or last-ulp parity is lost.
     """
+    from elastic_surv_spark.operators.quality_model import pseudo_weights
+
     nf, K = int(feature_count), int(num_durations)
     classes: dict[str, type[SurvModel]] = {
         "logistic_hazard": LogisticHazardModel,
@@ -417,8 +427,8 @@ def pseudo_logistic_registry(
         m.labtrans = LabelTransform(m.cuts)
         m.net = MLP(nf, [], K, batch_norm=False, dropout=0.0,
                     output_bias=True, seed=0)
-        idx = np.arange(nf * K, dtype=np.int64) + np.int64(int(seg)) * nf * K
-        w = ((idx * 2654435761) % 2001 - 1000) / 1000.0  # W.ravel() order
+        # THE certification spread (one definition), in W.ravel() order
+        w = pseudo_weights(nf * K, offset=int(seg) * nf * K)
         m.net.set_state(np.concatenate([w, np.zeros(K)]))  # zero biases
         docs.append((int(seg), model_to_json(m)))
     return spark.createDataFrame(docs, "seg int, model_json string")

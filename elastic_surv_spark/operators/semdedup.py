@@ -205,20 +205,12 @@ def semantic_dedup(
     base = spread_partitions(corpus).select(F.col(id_col), F.col(vec_col))
     centroids = fit_coarse_centroids(base, vec_col, n_cells, fit_sample, seed, n=n)
 
-    @F.pandas_udf("int")
-    def assign_cell(embs: pd.Series) -> pd.Series:
-        X = np.stack(embs.to_numpy()).astype(np.float64)
-        d2 = (
-            (X * X).sum(1, keepdims=True)
-            - 2.0 * (X @ centroids.T)
-            + (centroids * centroids).sum(1)
-        )
-        return pd.Series(d2.argmin(1).astype(np.int32))
-
     assigned = base.select(
         F.col(id_col),
         F.col(vec_col),
-        assign_cell(F.col(vec_col)).alias("cell"),
+        # the SHARED assignment step — one definition for the one-shot and
+        # incremental paths, so a tie-break/dtype fix cannot diverge them
+        assign_cells(base, centroids, vec_col).alias("cell"),
     )
 
     def cell_dedup(pdf: pd.DataFrame) -> pd.DataFrame:

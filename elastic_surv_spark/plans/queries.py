@@ -8217,10 +8217,13 @@ _RECERT_FIRST = {
     # at all three SFs in-round (oracle_check sweeps) and, being r10-green,
     # rotate into the r12 window at the FRONT of the stale queue anyway.
     # Same decision for harrell_cindex_cohorts (late-r11 NULL-convention
-    # filter in harrell_cindex_by): the changed kernel recertifies THIS
-    # round through segmented_cox_pipeline / segmented_discrete_pipeline
-    # (both in the window), and the row itself was value-verified at
-    # sf0.001 + sf0.1 in-round. Queue all three for r12's _RECERT_FIRST.
+    # filter in harrell_cindex_by), td_auc_user_activity,
+    # td_auc_ipcw_user_activity and td_auc_cohorts (NULL filters; the
+    # grouped grid also dropped its forced-broadcast hint): the changed
+    # kernels recertify THIS round through segmented_cox_pipeline /
+    # segmented_discrete_pipeline / td_concordance_cohorts (in window),
+    # and every named row was value-verified in-round (sf0.001 full +
+    # targeted sf0.01). Queue all of them for r12's _RECERT_FIRST.
 }
 
 
