@@ -223,6 +223,37 @@ def score_per_group(
     id_part = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
     schema = f"{group_col} {gtype}, {id_part}risk double"
 
+    # ONE scoring closure for both delivery paths (review finding, r11 —
+    # two hand-synced copies could drift): `resolve` is the only varying
+    # piece — closure dict lookup vs the broadcast-joined model_json
+    # column. Returning None skips the group (no model, no score).
+    def make_score(resolve):
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cache: dict[Any, Any] = {}
+            for pdf in batches:
+                outs = []
+                for gval, sl in pdf.groupby(group_col, sort=False):
+                    m = cache.get(gval)
+                    if m is None:
+                        mjson = resolve(gval, sl)
+                        if mjson is None:
+                            continue
+                        m = model_from_json(mjson)
+                        cache[gval] = m
+                    X = sl[feats].to_numpy(dtype=float)
+                    surv = m._surv_from_output(m.net.forward(X, training=False))
+                    res = {group_col: sl[group_col], "risk": -surv.sum(axis=1)}
+                    if id_col:
+                        res[id_col] = sl[id_col]
+                    outs.append(pd.DataFrame(res)[out_cols])
+                yield (
+                    pd.concat(outs, ignore_index=True)
+                    if outs
+                    else pd.DataFrame({c: [] for c in out_cols})
+                )
+
+        return score
+
     if registry_as_table:
         if not isinstance(models, DataFrame):
             raise ValueError(
@@ -239,29 +270,9 @@ def score_per_group(
             group_col,
             "inner",  # groups without a trained model drop, ≡ closure path
         )
-
-        def score_joined(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cache: dict[Any, Any] = {}
-            for pdf in batches:
-                outs = []
-                for gval, sl in pdf.groupby(group_col, sort=False):
-                    m = cache.get(gval)
-                    if m is None:
-                        m = model_from_json(sl["model_json"].iloc[0])
-                        cache[gval] = m
-                    X = sl[feats].to_numpy(dtype=float)
-                    surv = m._surv_from_output(m.net.forward(X, training=False))
-                    res = {group_col: sl[group_col], "risk": -surv.sum(axis=1)}
-                    if id_col:
-                        res[id_col] = sl[id_col]
-                    outs.append(pd.DataFrame(res)[out_cols])
-                yield (
-                    pd.concat(outs, ignore_index=True)
-                    if outs
-                    else pd.DataFrame({c: [] for c in out_cols})
-                )
-
-        return joined.mapInPandas(score_joined, schema=schema)
+        return joined.mapInPandas(
+            make_score(lambda gval, sl: sl["model_json"].iloc[0]), schema=schema
+        )
 
     if isinstance(models, DataFrame):
         reg = {
@@ -272,31 +283,9 @@ def score_per_group(
     else:
         reg = {g: mj for g, mj in models.items() if mj is not None}
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[Any, Any] = {}
-        for pdf in batches:
-            outs = []
-            for gval, sl in pdf.groupby(group_col, sort=False):
-                mjson = reg.get(gval)
-                if mjson is None:
-                    continue
-                m = cache.get(gval)
-                if m is None:
-                    m = model_from_json(mjson)
-                    cache[gval] = m
-                X = sl[feats].to_numpy(dtype=float)
-                surv = m._surv_from_output(m.net.forward(X, training=False))
-                res = {group_col: sl[group_col], "risk": -surv.sum(axis=1)}
-                if id_col:
-                    res[id_col] = sl[id_col]
-                outs.append(pd.DataFrame(res)[out_cols])
-            yield (
-                pd.concat(outs, ignore_index=True)
-                if outs
-                else pd.DataFrame({c: [] for c in out_cols})
-            )
-
-    return df.select(*cols).mapInPandas(score, schema=schema)
+    return df.select(*cols).mapInPandas(
+        make_score(lambda gval, sl: reg.get(gval)), schema=schema
+    )
 
 
 def pseudo_cox_registry(

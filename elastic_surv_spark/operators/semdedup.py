@@ -139,18 +139,22 @@ def semantic_dedup_incremental(
 
         Xn = normed(new[vec_col].to_numpy())
         anchor_ids = list(hist[id_col])
-        A = (
-            normed(hist[vec_col].to_numpy())
-            if len(hist)
-            else np.zeros((0, Xn.shape[1]))
-        )
+        # preallocated anchor matrix: history rows once, new keepers
+        # written in place — the earlier np.vstack-per-keeper copied the
+        # whole matrix every iteration, an O(m²·d) allocation tax on top
+        # of the O(m²·d) dot products (review finding, r11)
+        n_hist = len(hist)
+        A = np.zeros((n_hist + m, Xn.shape[1]))
+        if n_hist:
+            A[:n_hist] = normed(hist[vec_col].to_numpy())
+        n_anchors = n_hist
         ids = new[id_col].to_numpy()
         keep = np.ones(m, dtype=bool)
         kept_by = np.full(m, None, dtype=object)
         kept_cos = np.full(m, np.nan)
         for i in range(m):
-            if len(anchor_ids):
-                sims = np.round(A @ Xn[i], round_to)
+            if n_anchors:
+                sims = np.round(A[:n_anchors] @ Xn[i], round_to)
                 j = int(np.argmax(sims))  # first occurrence = earliest anchor
                 if sims[j] >= tau:
                     keep[i] = False
@@ -158,7 +162,8 @@ def semantic_dedup_incremental(
                     kept_cos[i] = sims[j]
                     continue
             anchor_ids.append(ids[i])
-            A = np.vstack([A, Xn[i]])
+            A[n_anchors] = Xn[i]
+            n_anchors += 1
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -228,16 +233,21 @@ def semantic_dedup(
         # derived schema type
         kept_by = np.full(m, None, dtype=object)
         kept_cos = np.full(m, np.nan)
+        # anchors packed contiguously as they are kept: A[:n_kept] @ x is
+        # one GEMV with no per-iteration fancy-index copy of all kept rows
+        # (Xn[kept_rows] re-copied O(m²·d) bytes overall — review finding)
+        A = np.zeros_like(Xn)
         kept_rows: list[int] = []
         for i in range(m):
             if kept_rows:
-                sims = np.round(Xn[kept_rows] @ Xn[i], round_to)
+                sims = np.round(A[: len(kept_rows)] @ Xn[i], round_to)
                 j = int(np.argmax(sims))  # first occurrence = earliest kept id
                 if sims[j] >= tau:
                     keep[i] = False
                     kept_by[i] = ids[kept_rows[j]]
                     kept_cos[i] = sims[j]
                     continue
+            A[len(kept_rows)] = Xn[i]
             kept_rows.append(i)
         return pd.DataFrame(
             {
