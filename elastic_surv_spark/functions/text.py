@@ -89,20 +89,10 @@ def pii_match_count(col: Column) -> Column:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Guarded for short texts (< n words).
-
-    Built from n shifted ``slice``s zipped together rather than per-index
-    ``element_at`` lookups: higher-order functions run interpreted (no
-    codegen/CSE), so every embedded reference to the tokenization re-runs
-    the regex split — the zip_with form evaluates it O(n) times per row
-    instead of O(n × grams)."""
-    w = words(col)
-    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
-    grams = F.slice(w, 1, m)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams, F.slice(w, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.array_distinct(grams)
+    Exactly ``array_distinct`` over :func:`ngrams_with_repeats` — one
+    definition of the shifted-slice zip construction (and its O(n)
+    tokenization guarantee) for both the dedup and repetition signals."""
+    return F.array_distinct(ngrams_with_repeats(col, n))
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:

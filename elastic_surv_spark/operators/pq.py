@@ -65,6 +65,31 @@ def _lloyd(X: np.ndarray, k: int, rng: np.random.Generator, iters: int = 12) -> 
     return centroids
 
 
+def _bounded_sample_matrix(
+    corpus, vec_col: str, fit_sample: int, seed: int, n: int | None, who: str
+) -> np.ndarray:
+    """THE quantizer sampling posture, defined once (review finding, r11):
+    Bernoulli sample at fraction fit_sample/n (whole corpus when it already
+    fits), collected and stacked float64. Raises explicitly on an empty
+    corpus AND on an empty draw (Bernoulli can return zero rows at tiny
+    fractions — np.stack([]) would raise an opaque ValueError)."""
+    n = corpus.count() if n is None else n
+    if n == 0:
+        raise ValueError(f"{who}: empty corpus")
+    sample = (
+        corpus.sample(fraction=min(1.0, fit_sample / n), seed=seed)
+        if n > fit_sample
+        else corpus
+    )
+    rows = sample.select(vec_col).collect()
+    if not rows:
+        raise ValueError(
+            f"{who}: the Bernoulli fit sample drew zero rows "
+            f"(n={n}, fit_sample={fit_sample}) — raise fit_sample"
+        )
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
 def fit_coarse_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -81,19 +106,8 @@ def fit_coarse_centroids(
     whose 10 driver-scheduled iterations cost seconds of job overhead per
     query at any data size; assignment stays distributed (one Arrow argmin
     pass with the centroids broadcast as a numpy closure)."""
-    n = corpus.count() if n is None else n
-    if n == 0:
-        raise ValueError("fit_coarse_centroids: empty corpus")
-    sample = (
-        corpus.sample(fraction=min(1.0, fit_sample / n), seed=seed)
-        if n > fit_sample
-        else corpus
-    )
-    X = np.stack(
-        [
-            np.asarray(r[vec_col], dtype=np.float64)
-            for r in sample.select(vec_col).collect()
-        ]
+    X = _bounded_sample_matrix(
+        corpus, vec_col, fit_sample, seed, n, "fit_coarse_centroids"
     )
     return _lloyd(X, n_cells, np.random.default_rng(seed))
 
@@ -109,16 +123,8 @@ def fit_pq_codebooks(
 ) -> np.ndarray:
     """(m, n_codes, dim//m) codebooks fit on an L2-normalized bounded sample.
     Pass ``n`` (corpus row count) when the caller already knows it."""
-    n = corpus.count() if n is None else n
-    if n == 0:
-        raise ValueError("fit_pq_codebooks: empty corpus")
-    sample = (
-        corpus.sample(fraction=min(1.0, fit_sample / n), seed=seed)
-        if n > fit_sample
-        else corpus
-    )
-    X = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in sample.select(vec_col).collect()]
+    X = _bounded_sample_matrix(
+        corpus, vec_col, fit_sample, seed, n, "fit_pq_codebooks"
     )
     X /= _safe_norm(X)
     dim = X.shape[1]
@@ -136,9 +142,14 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>) — one Arrow pass, argmin per subspace."""
+    """(id, codes array<int>[, carry…]) — one Arrow pass, argmin per
+    subspace. ``carry_cols`` pass through unchanged (e.g. a precomputed
+    cell id), so a caller never has to join the encoding back onto its own
+    input (that join re-ran the whole assignment subplan — review r11)."""
     m, k, sub = codebooks.shape
+    carry = list(carry_cols or [])
 
     def encode(batches):
         for pdf in batches:
@@ -147,16 +158,17 @@ def pq_encode(
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 Xs = X[:, j * sub : (j + 1) * sub]
-                d2 = (
-                    (Xs * Xs).sum(1, keepdims=True)
-                    - 2.0 * Xs @ codebooks[j].T
-                    + (codebooks[j] * codebooks[j]).sum(1)
-                )
-                codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)})
+                codes[:, j] = _pairwise_d2(Xs, codebooks[j]).argmin(1)
+            out = {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in carry:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
+    carry_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}" for c in carry
+    )
     return spread_partitions(corpus).mapInPandas(
-        encode, schema="vec_id long, codes array<int>"
+        encode, schema="vec_id long, codes array<int>" + carry_schema
     )
 
 
@@ -184,7 +196,13 @@ def _partial_shortlist(
     if not len(cand):
         return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
     take = min(shortlist, len(cand))
-    top = cand[np.argpartition(-scores[cand], take - 1)[:take]]
+    # keep ADC ties at the boundary (the bucket_rerank/cosine_topk_fast
+    # discipline): identical codes score identically, and an arbitrary
+    # argpartition cut could drop the tied candidate with the higher TRUE
+    # cosine depending on batch/partition layout — nondeterministic top-k
+    part = np.argpartition(-scores[cand], take - 1)[:take]
+    thresh = scores[cand[part]].min()
+    top = cand[scores[cand] >= thresh]
     return pd.DataFrame(
         {"q_id": np.full(len(top), q_id, dtype=np.int64),
          "n_id": ids[top].astype(np.int64),
@@ -338,17 +356,15 @@ def ivfpq_topk(
     assigned = base.select(
         F.col(id_col), F.col(vec_col), assign_cell(F.col(vec_col)).alias("_cell")
     )
-    encoded = pq_encode(assigned, codebooks, id_col, vec_col).join(
-        assigned.select(F.col(id_col).alias("vec_id"), "_cell"), "vec_id"
-    )
+    # _cell rides THROUGH the encode pass: the earlier join-back re-ran the
+    # whole scan + assignment kernel a second time and paid a corpus-wide
+    # shuffle just to reattach one int column (review r11)
+    encoded = pq_encode(assigned, codebooks, id_col, vec_col, carry_cols=["_cell"])
 
     q_ids, Q, Qn, tables = _query_tables(queries, id_col, vec_col, m, codebooks)
     # probe lists: n_probe nearest cells per query by squared euclidean on
     # the raw query (matching the KMeans assignment metric)
-    d2 = (
-        (Q * Q).sum(1, keepdims=True) - 2.0 * (Q @ centroids.T)
-        + (centroids * centroids).sum(1)
-    )
+    d2 = _pairwise_d2(Q, centroids)
     order = np.argsort(d2, axis=1)[:, :n_probe]
     cell_to_queries: dict[int, list[int]] = {}
     for qi, cells in enumerate(order):

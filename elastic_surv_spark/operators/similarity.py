@@ -15,8 +15,9 @@ magnitude at bulk volume.
 Scale notes:
 - brute force is O(|Q|·|C|) — correct tool when |Q| is small (broadcast the
   queries, stream the corpus: no shuffle at all, embarrassingly parallel).
-- for |Q| ~ |C| use ``lsh_bucket_candidates`` (random-hyperplane signatures,
-  band-join on signature prefix) to cut candidates, then exact re-rank.
+- for |Q| ~ |C| use ``lsh_members``/``lsh_topk`` (multi-table
+  random-hyperplane signatures, bucket-local re-rank) to cut candidates,
+  then exact re-rank.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from elastic_surv_spark.operators.pq import _pairwise_d2, _safe_norm
 from elastic_surv_spark.sources.parquet import spread_partitions
 
 
@@ -198,6 +200,8 @@ def lsh_members(
     anyway; recall loss is marginal (asserted in tests on a skewed corpus).
     """
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("lsh_members: empty corpus")
     dim = int(dim_row["d"])
     all_planes = np.concatenate(
         [
@@ -295,7 +299,7 @@ def lsh_topk(
         if m < 2:
             return pd.DataFrame({"q_id": [], "n_id": [], "cosine": []})
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / _safe_norm(X)  # zero vectors score 0, never NaN
         C = np.round(Xn @ Xn.T, round_to)
         np.fill_diagonal(C, -np.inf)
         kk = min(k, m - 1)
@@ -372,12 +376,7 @@ def ivf_topk(
     @F.pandas_udf("int")
     def assign_cell(embs: pd.Series) -> pd.Series:
         X = np.stack(embs.to_numpy()).astype(np.float64)  # (B, dim)
-        d2 = (
-            (X * X).sum(1, keepdims=True)
-            - 2.0 * (X @ centroids.T)
-            + (centroids * centroids).sum(1)
-        )
-        return pd.Series(d2.argmin(1).astype(np.int32))
+        return pd.Series(_pairwise_d2(X, centroids).argmin(1).astype(np.int32))
 
     assigned = (
         base.select(
@@ -391,11 +390,7 @@ def ivf_topk(
     @F.pandas_udf("array<int>")
     def probe_cells(embs: pd.Series) -> pd.Series:
         X = np.stack(embs.to_numpy()).astype(np.float64)  # (B, dim)
-        d2 = (
-            (X * X).sum(1, keepdims=True)
-            - 2.0 * (X @ centroids.T)
-            + (centroids * centroids).sum(1)
-        )  # squared euclidean, matching KMeans assignment
+        d2 = _pairwise_d2(X, centroids)  # sq. euclidean ≡ KMeans assignment
         order = np.argpartition(d2, min(n_probe, d2.shape[1] - 1), axis=1)[:, :n_probe]
         return pd.Series([row.astype(np.int32) for row in order])
 
@@ -422,8 +417,8 @@ def ivf_topk(
             return pd.DataFrame({"q_id": [], "n_id": [], "cosine": []})
         Q = np.stack(q[vec_col].to_numpy()).astype(np.float64)
         M = np.stack(mbr[vec_col].to_numpy()).astype(np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Qn = Q / _safe_norm(Q)
+        Mn = M / _safe_norm(M)
         # per-(query, cell) top-k + rounded-value ties: lossless for the
         # global top-k (a member outranked by k better ones in the same
         # probed cell can never win) and shrinks the dedup/window shuffle
@@ -441,10 +436,12 @@ def ivf_topk(
             {"q_id": q_ids[qi], "n_id": m_ids[mi], "cosine": C[qi, mi]}
         )
 
-    scored = (
-        grouped.groupBy("_cell")
-        .applyInPandas(cell_rerank, schema="q_id long, n_id long, cosine double")
-        .dropDuplicates(["q_id", "n_id"])
+    # NO dropDuplicates here (unlike lsh_topk, where multiple tables emit
+    # the same pair): each member has ONE home cell and a query probes any
+    # cell at most once, so (q_id, n_id) can be emitted at most once — the
+    # dedup was a full extra exchange for zero semantic effect
+    scored = grouped.groupBy("_cell").applyInPandas(
+        cell_rerank, schema="q_id long, n_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
@@ -473,12 +470,12 @@ def cosine_topk_fast(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    Qn = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T  # (dim, |Q|)
+    Qn = (Q / _safe_norm(Q)).T  # (dim, |Q|)
 
     def partial_topk(batches):
         for pdf in batches:
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / _safe_norm(X)
             # round BEFORE the per-batch selection so the partial top-k uses
             # the exact ordering the global window ranks by — (rounded
             # cosine desc, id asc); raw-value selection could discard the
@@ -552,42 +549,4 @@ def ann_recall_summary(
             F.col("_hits").cast("double") / F.col("exact_pairs").cast("double")
             >= F.lit(floor)
         ).alias("recall_ok"),
-    )
-
-
-def _signature(
-    vec_col: str, n_planes: int = 16, seed: int = 42, dim: int = 64
-) -> Column:
-    """Random-hyperplane signature column: sign bits of ``n_planes``
-    Gaussian projections packed into a long."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = None
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
-        proj = _dot(F.col(vec_col), plane)
-        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig * 2 + bit
-    return sig.cast("long")
-
-
-def lsh_bucket_candidates(
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 16,
-    seed: int = 42,
-    dim: int = 64,
-) -> DataFrame:
-    """Random-hyperplane LSH signatures for approximate all-pairs search.
-
-    Rows sharing a signature are near-duplicate candidates; the signature is a
-    deterministic function of (seed, dim), computed JVM-side: each plane is a
-    pseudo-random ±1 vector derived from xxhash64-mixed constants folded over
-    the embedding. Candidate pairs are found with a signature self-join
-    (shuffle on 8-byte signatures — scale-safe), then re-ranked exactly.
-    """
-    return corpus.select(
-        F.col(id_col),
-        _signature(vec_col, n_planes=n_planes, seed=seed, dim=dim).alias("signature"),
     )

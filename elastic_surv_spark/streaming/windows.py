@@ -252,9 +252,20 @@ def stream_static_enrich(
     )
 
 
-def stateful_running_max(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def stateful_running_max(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    state_ttl_ms: int = 3_600_000,
+) -> DataFrame:
     """Custom stateful operator: per-user running max event value via
-    ``applyInPandasWithState`` (state = one float; event-time timeout)."""
+    ``applyInPandasWithState`` (state = (peak double, n long); REAL
+    event-time timeout). A user whose last activity falls ``state_ttl_ms``
+    behind the watermark has their state evicted — without it the store
+    grows one row per ever-seen user forever (the pre-r11 version passed
+    NoTimeout while claiming expiry — review finding). Update-mode
+    consumers already hold the user's latest peak, so eviction emits
+    nothing; a reappearing user simply restarts their running max.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -262,12 +273,18 @@ def stateful_running_max(events: DataFrame, watermark: str = "1 hour") -> DataFr
     state_schema = "peak double, n long"
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         peak, n = state.get if state.exists else (float("-inf"), 0)
         for pdf in pdfs:
             if len(pdf):
                 peak = max(peak, float(pdf["value"].max()))
                 n += len(pdf)
         state.update((peak, n))
+        # expire once the watermark passes this key's quiet period; the
+        # timestamp must exceed the current watermark, which wm + ttl does
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
         yield pd.DataFrame({"user_id": [key[0]], "peak": [peak], "n": [n]})
 
     return (
@@ -278,7 +295,7 @@ def stateful_running_max(events: DataFrame, watermark: str = "1 hour") -> DataFr
             outputStructType=output_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
