@@ -179,9 +179,19 @@ def km_curve_by(
     return curve.select(group_col, "t", "n_risk", "n_event", "n_censored", "survival")
 
 
-def km_survival_at(df: DataFrame, time_col: str, event_col: str, t) -> float:
-    """S(t) lookup — the last curve point at or before t."""
-    curve = km_curve(df, time_col, event_col, round_to=None)
+def km_survival_at(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    t,
+    max_curve_points: int | None = None,
+) -> float:
+    """S(t) lookup — the last curve point at or before t.
+    ``max_curve_points`` bounds the curve on continuous times (see rmst)."""
+    curve = km_curve(
+        df, time_col, event_col, round_to=None,
+        max_curve_points=max_curve_points,
+    )
     row = (
         curve.filter(F.col("t") <= t)
         .orderBy(F.desc("t"))
@@ -247,6 +257,7 @@ def rmst(
     time_col: str,
     event_col: str,
     round_to: int = 6,
+    max_curve_points: int | None = None,
 ) -> DataFrame:
     """Restricted mean survival time: ∫₀^τ S(t) dt with τ = the largest
     observed time — the step-function integral of the KM curve,
@@ -255,8 +266,16 @@ def rmst(
     One row (tau, rmst_value). Computed from the ROUNDED survival curve so
     the SQL oracle reproduces it bit-for-bit; the segment products pass
     through DECIMAL(38,18) for an order-free exact sum. Runs on the
-    O(|distinct times|) curve table only."""
-    curve = km_curve(df, time_col, event_col)
+    O(|distinct times|) curve table only.
+
+    ``max_curve_points`` passes through to :func:`km_curve` — on
+    CONTINUOUS times (one distinct time per subject) the curve's
+    constant-partition window otherwise funnels all n times into one
+    task's sort; the default stays None because the registry oracles pin
+    the exact (uncapped) curve. ``round_to`` rounds the final integral;
+    the curve itself stays at km_curve's 6-digit rounding (the
+    engine-parity hinge the oracle mirrors)."""
+    curve = km_curve(df, time_col, event_col, max_curve_points=max_curve_points)
     curve = curve.withColumn("_p", F.pmod(F.col("n_risk"), F.lit(1)))
     w = Window.partitionBy("_p").orderBy(F.asc("t"))
     seg = curve.select(

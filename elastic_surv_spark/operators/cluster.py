@@ -43,6 +43,11 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # the edge list is static across rounds but every round's join
+        # would otherwise re-run the union + |E| distinct shuffle from the
+        # raw source (labels are checkpointed per round; the edges were
+        # not — review finding, r11)
+        .localCheckpoint()
     )
     labels = (
         bidir.select(F.col("a").alias("v"))

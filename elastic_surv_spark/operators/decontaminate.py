@@ -21,11 +21,17 @@ from pyspark.sql import functions as F
 from elastic_surv_spark.functions.text import shingles
 
 
-def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, _g) — xxhash64 of each distinct word n-gram of each doc."""
+def _gram_hashes(
+    df: DataFrame, id_col: str | None, text_col: str, n: int
+) -> DataFrame:
+    """(id, _g) — xxhash64 of each distinct word n-gram of each doc.
+    ``id_col=None`` emits grams only (the holdout side: its ids are
+    discarded immediately, and requiring one made a text-only benchmark
+    frame fail on a spurious schema constraint — review finding, r11)."""
+    ids = [F.col(id_col)] if id_col else []
     return (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_s"))
-        .select(F.col(id_col), F.xxhash64("_s").alias("_g"))
+        df.select(*ids, F.explode(shingles(F.col(text_col), n)).alias("_s"))
+        .select(*ids, F.xxhash64("_s").alias("_g"))
     )
 
 
@@ -41,7 +47,7 @@ def contamination_report(
     holdout. ``n_shared_grams`` counts the doc's distinct contaminated
     grams — the audit number reviewers ask for before dropping data."""
     cg = _gram_hashes(corpus, id_col, text_col, n)
-    hg = _gram_hashes(holdout, id_col, text_col, n).select("_g").distinct()
+    hg = _gram_hashes(holdout, None, text_col, n).distinct()
     if broadcast_holdout:
         hg = F.broadcast(hg)
     return (

@@ -8,7 +8,11 @@ Near-dup variants (MinHash/LSH, SimHash, n-gram Jaccard) live in
 Scale: ``groupBy(key)`` is a single map-side-combinable shuffle on the dedup
 key — the canonical 100 TB dedup plan. For long text keys, group on a
 fixed-width fingerprint (xxhash64 of the normalized text) instead of the raw
-text to cut shuffle bytes ~100×; collisions are then resolved within groups.
+text to cut shuffle bytes ~100×. The fingerprint modes accept the repo-wide
+64-bit caveat: two distinct texts colliding on xxhash64 group together and
+the higher id drops — there is NO within-group text comparison (use the raw
+text key where that matters; at 64 bits the corpus-level collision odds are
+~n²/2⁶⁵).
 """
 
 from __future__ import annotations
@@ -96,7 +100,16 @@ def incremental_dedup(
         )
     )
     hist_keys = history.select(key(F.col(text_col))).distinct()
-    return collapsed.join(hist_keys, key_name, "left_anti")
+    # null-SAFE anti-join: xxhash64(NULL) is a concrete value, so the
+    # fingerprint mode matches NULL-text history rows — a plain left_anti
+    # on the raw text key (NULL never equals NULL) would let the same row
+    # survive in text mode, silently diverging the two documented-
+    # equivalent modes on NULL texts (review finding, r11)
+    return collapsed.join(
+        hist_keys,
+        collapsed[key_name].eqNullSafe(hist_keys[key_name]),
+        "left_anti",
+    )
 
 
 def fingerprint_dedup(

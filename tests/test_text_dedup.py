@@ -561,3 +561,24 @@ def test_incremental_dedup_registry_row_matches_full_dedup(spark):
     got = {(r.text, r.keep_id) for r in inc.select("text", "keep_id").collect()}
     want = {(r.text, r.keep_id) for r in expect.collect()}
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_modes_agree_on_null_text(spark):
+    """xxhash64(NULL) is a concrete value but a plain anti-join on the raw
+    text key never matches NULL=NULL — the two documented-equivalent modes
+    diverged on NULL-text rows until the null-safe join (review, r11)."""
+    from elastic_surv_spark.operators.dedup import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [(1, None), (2, "alpha")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, "beta"), (12, None)], "doc_id long, text string"
+    )
+    by_text = incremental_dedup(batch, hist, "text", "doc_id")
+    by_fp = incremental_dedup(
+        batch, hist, "text", "doc_id", use_fingerprint=True
+    )
+    # NULL text already exists in history: both modes must drop it
+    assert sorted(r.keep_id for r in by_text.collect()) == [11]
+    assert sorted(r.keep_id for r in by_fp.collect()) == [11]
