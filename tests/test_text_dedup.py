@@ -272,7 +272,11 @@ def _cc_sets(df):
     comps = {}
     for r in rows:
         comps.setdefault(r["comp"], set()).add(r["v"])
-    return sorted(frozenset(s) for s in comps.values())
+    # a SET of frozensets: sorted() over frozensets compares by the SUBSET
+    # partial order, so the list arrangement depended on collect order —
+    # equality could fail on identical partitions (latent test bug exposed
+    # when connected_components started checkpointing its edge list)
+    return {frozenset(s) for s in comps.values()}
 
 
 def test_star_cc_equals_label_propagation(spark):
