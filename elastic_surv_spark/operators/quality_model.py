@@ -346,6 +346,40 @@ def _fp_delta(grad_sum, n: int, lr_micro: int) -> int:
     return math.floor((int(grad_sum) / (n * 1e9)) * lr_micro + 0.5)
 
 
+def _fp_check_nonnull(row, cols: list[str], group=None) -> None:
+    """First-step degenerate-input check (ADVICE r11 #2): an all-NULL
+    label or feature column makes the int64 gradient SUM NULL — Python
+    would crash with an opaque ``int(None)`` TypeError while the SQL
+    mirror silently emits NULL weights, so the engines diverge. The
+    first-step aggregate carries ``count(col)`` per column; any zero
+    raises a ValueError naming the column(s) (and group, per-segment)."""
+    dead = [c for j, c in enumerate(cols) if int(row[f"_c{j}"]) == 0]
+    if dead:
+        where = f" in group {group!r}" if group is not None else ""
+        raise ValueError(
+            "fixed_point_logistic_gd: column(s) "
+            f"{dead}{where} are all-NULL over the training rows — "
+            "the gradient sum would be NULL and the SQL mirror would "
+            "silently emit NULL weights"
+        )
+
+
+def _fp_grad_checked(grad_sum, group=None):
+    """Fallback NULL-gradient guard behind :func:`_fp_check_nonnull`: a
+    NULL sum can still arise when no single column is all-NULL but every
+    row has a NULL in SOME feature (the logit goes NULL row-wise). Keep
+    the failure descriptive rather than an ``int(None)`` TypeError."""
+    if grad_sum is None:
+        where = f" in group {group!r}" if group is not None else ""
+        raise ValueError(
+            "fixed_point_logistic_gd: gradient sum is NULL"
+            f"{where} — every training row has a NULL label or feature "
+            "(the per-row logit is NULL); the SQL mirror would silently "
+            "emit NULL weights on this input"
+        )
+    return grad_sum
+
+
 def _fp_sql_step(
     feats: list[str],
     label_col: str,
@@ -419,13 +453,16 @@ def fixed_point_logistic_gd(
        integers through three IEEE doubles ops and one floor — identical
        everywhere; weights stay int64 micro-units between steps.
 
-    Scale: one scan + one map-side-combined integer aggregate per step
+    Scale: the projected input is persisted HERE (released in
+    ``finally``) so the ``steps`` aggregates hit the cache instead of
+    re-running the source plan per step (VERDICT r11 #1 — the same miss
+    class the hyperband base had; scan-count-guarded in tests). One
+    materialization + one map-side-combined integer aggregate per step
     (S bounded, default 8); the only driver traffic is the (nf+1)-int
     gradient row per step. Caller contract: |x_j| ≤ ~1e3 and n ≤ ~1e9
     keep every int64 far from overflow (Spark ANSI mode would raise
     loudly, not wrap). Features should be pre-normalized (as any GD
-    needs). Persist the input if it is expensive to recompute — the
-    trainer reads it ``steps`` times.
+    needs).
     """
     feats = list(feature_cols)
     if not feats:
@@ -447,22 +484,36 @@ def fixed_point_logistic_gd(
     base = df.select(
         *[F.col(c).cast("double").alias(c) for c in feats],
         F.col(label_col).cast("double").alias("_y"),
-    )
-    n = None
-    for _ in range(steps):
-        z = _fp_z_from_literals(feats, w, b)
-        g = _fp_sigmoid(z) - F.col("_y")
-        aggs = _fp_grad_aggs(feats, g)
-        if n is None:
-            aggs.append(F.count("*").alias("n"))
-        row = base.agg(*aggs).collect()[0]  # bounded: nf+2 ints, once per step
-        if n is None:
-            n = int(row["n"])
-            if n == 0:
-                raise ValueError("fixed_point_logistic_gd: empty training frame")
-        for j in range(len(feats)):
-            w[j] -= _fp_delta(row[f"g{j}"], n, lr_micro)
-        b -= _fp_delta(row["gb"], n, lr_micro)
+    ).persist()
+    try:
+        n = None
+        for _ in range(steps):
+            z = _fp_z_from_literals(feats, w, b)
+            g = _fp_sigmoid(z) - F.col("_y")
+            aggs = _fp_grad_aggs(feats, g)
+            if n is None:
+                # first step only: row count + per-column non-NULL counts
+                # for the degenerate-input check — a handful of extra
+                # int64 cells in the same one aggregate
+                aggs.append(F.count("*").alias("n"))
+                aggs.extend(
+                    F.count(c).alias(f"_c{j}")
+                    for j, c in enumerate([*feats, "_y"])
+                )
+            # bounded: nf+2 ints, once per step
+            row = base.agg(*aggs).collect()[0]
+            if n is None:
+                n = int(row["n"])
+                if n == 0:
+                    raise ValueError(
+                        "fixed_point_logistic_gd: empty training frame"
+                    )
+                _fp_check_nonnull(row, [*feats, label_col])
+            for j in range(len(feats)):
+                w[j] -= _fp_delta(_fp_grad_checked(row[f"g{j}"]), n, lr_micro)
+            b -= _fp_delta(_fp_grad_checked(row["gb"]), n, lr_micro)
+    finally:
+        base.unpersist()
     return w, b
 
 
@@ -585,20 +636,20 @@ def fit_quality_classifier_distributed(
     ``(weights, bias)`` in the float units :func:`apply_quality_model`
     consumes (micro-int / 1e6 — exact).
 
-    Scale: one tokenize pass materialized once (persisted here, released
-    in ``finally``), then ``steps`` map-side-combined integer aggregates;
-    driver traffic is (n_buckets+1) ints per step.
+    Scale: one tokenize pass materialized once (the trainer persists its
+    projection of it — r12 moved the persist INSIDE
+    :func:`fixed_point_logistic_gd`, so the outer cache here became a
+    redundant double-materialization and was dropped), then ``steps``
+    map-side-combined integer aggregates; driver traffic is
+    (n_buckets+1) ints per step.
     """
     feats = [f"x{j}" for j in range(n_buckets)]
     frame = quality_feature_frame(
         df, id_col, text_col, label_col=label_col, n_buckets=n_buckets
-    ).persist()
-    try:
-        w_micro, b_micro = fixed_point_logistic_gd(
-            frame, feats, label_col, steps=steps, lr_micro=lr_micro
-        )
-    finally:
-        frame.unpersist()
+    )
+    w_micro, b_micro = fixed_point_logistic_gd(
+        frame, feats, label_col, steps=steps, lr_micro=lr_micro
+    )
     return np.asarray(w_micro, dtype=np.float64) / 1e6, b_micro / 1e6
 
 
@@ -621,9 +672,15 @@ def quality_features_sql(
     Precondition: ``id_col`` values are UNIQUE (they key the dedup
     pipeline). The Python twin features each ROW independently, while SQL
     can only aggregate per id — duplicate ids would pool their tokens
-    into one histogram and the parity claim would not hold. The label is
-    aggregated per id (``max``) rather than joined back, so there is no
-    row fan-out anywhere in this statement."""
+    into one histogram and the parity claim would not hold. The
+    precondition is ENFORCED, not documentation (ADVICE r11 #4): a
+    ``_qguard`` CTE raises through DuckDB's ``error()`` when
+    ``count(*) <> count(DISTINCT id)``, referenced from the final WHERE
+    so the optimizer cannot prune it — a duplicate id fails the oracle
+    loudly instead of silently de-certifying the parity. Cost: one
+    two-count aggregate over the source. The label is aggregated per id
+    (``max``) rather than joined back, so there is no row fan-out
+    anywhere in this statement."""
     lab = ", max(l.label) AS label" if label_expr else ""
     labjoin = (
         f" JOIN (SELECT {id_col}, max({label_expr}) AS label"
@@ -658,9 +715,17 @@ def quality_features_sql(
         SELECT b.{id_col}, b.j, count(*) AS c, max(n.n) AS n
         FROM _qbuck b JOIN _qn n ON b.{id_col} = n.{id_col}
         GROUP BY b.{id_col}, b.j
+    ), _qguard AS (
+        SELECT CASE WHEN count(*) <> count(DISTINCT {id_col})
+                    THEN CAST(error('quality_features_sql: duplicate '
+                                    || '{id_col} values in {source}'
+                             ) AS BIGINT)
+                    ELSE 1 END AS ok
+        FROM {source}
     )
     SELECT b.{id_col}{lab}, {xcols}
-    FROM _qhist b{labjoin}
+    FROM _qhist b{labjoin} CROSS JOIN _qguard
+    WHERE _qguard.ok = 1
     GROUP BY b.{id_col}
     """
 
@@ -715,11 +780,13 @@ def fixed_point_logistic_gd_by(
     over the whole input — a single shuffle of (groups × (nf+1)) int64
     cells per step, so a group may span the entire cluster. Driver traffic
     is the per-group weight table per step (bounded: segments × (nf+1)
-    ints — the closure registry bound, models/grouped.py). Persist the
-    input if recomputing it is expensive — the trainer reads it ``steps``
-    times; empty groups simply don't appear (no rows → no gradient), and
-    rows with a NULL group are dropped up front (an equi-join key can
-    never match NULL — both engines agree by construction).
+    ints — the closure registry bound, models/grouped.py). The projected
+    input is persisted HERE (released in ``finally``) so the ``steps``
+    grouped aggregates hit the cache instead of re-running the source
+    plan per step (VERDICT r11 #1; scan-count-guarded in tests); empty
+    groups simply don't appear (no rows → no gradient), and rows with a
+    NULL group are dropped up front (an equi-join key can never match
+    NULL — both engines agree by construction).
     """
     feats = list(feature_cols)
     if not feats:
@@ -737,46 +804,62 @@ def fixed_point_logistic_gd_by(
         # without this filter a NULL group would train for one step, then
         # silently freeze while the mirror drops it — a parity split
         F.col("_g").isNotNull()
-    )
+    ).persist()
     spark = df.sparkSession
     # state: {group: ([w_micro...], b_micro)}; populated lazily from the
     # first step's group list (count once, constant thereafter)
     state: dict = {}
     counts: dict = {}
-    for _s in range(steps):
-        # current per-group weights ride a small broadcast-joined frame
-        # (segments bounded like the registry path in score_per_group) —
-        # never a per-group CASE chain, never the task closure
-        if state:
-            wrows = [
-                (g, [int(v) for v in wb[0]], int(wb[1]))
-                for g, wb in state.items()
-            ]
-            wdf = spark.createDataFrame(
-                wrows, f"_g {gtype}, _w array<long>, _b long"
-            )
-            cur = base.join(F.broadcast(wdf), "_g")
-            z = F.col("_w")[0] / F.lit(1_000_000.0) * F.col(feats[0])
-            for j in range(1, len(feats)):
-                z = z + F.col("_w")[j] / F.lit(1_000_000.0) * F.col(feats[j])
-            z = z + F.col("_b") / F.lit(1_000_000.0)
-        else:
-            # zero weights everywhere: z = 0 exactly, same as the mirror's w0
-            cur = base
-            z = F.lit(0.0)
-        g = _fp_sigmoid(z) - F.col("_y")
-        aggs = _fp_grad_aggs(feats, g) + [F.count("*").alias("n")]
-        rows = cur.groupBy("_g").agg(*aggs).collect()  # bounded: one row/group
-        for r in rows:
-            gval = r["_g"]
-            n = counts.setdefault(gval, int(r["n"]))
-            w, b = state.get(gval, ([0] * len(feats), 0))
-            w = [
-                w[j] - _fp_delta(r[f"g{j}"], n, lr_micro)
-                for j in range(len(feats))
-            ]
-            b = b - _fp_delta(r["gb"], n, lr_micro)
-            state[gval] = (w, b)
+    try:
+        for _s in range(steps):
+            # current per-group weights ride a small broadcast-joined frame
+            # (segments bounded like the registry path in score_per_group) —
+            # never a per-group CASE chain, never the task closure
+            if state:
+                wrows = [
+                    (g, [int(v) for v in wb[0]], int(wb[1]))
+                    for g, wb in state.items()
+                ]
+                wdf = spark.createDataFrame(
+                    wrows, f"_g {gtype}, _w array<long>, _b long"
+                )
+                cur = base.join(F.broadcast(wdf), "_g")
+                z = F.col("_w")[0] / F.lit(1_000_000.0) * F.col(feats[0])
+                for j in range(1, len(feats)):
+                    z = z + F.col("_w")[j] / F.lit(1_000_000.0) * F.col(feats[j])
+                z = z + F.col("_b") / F.lit(1_000_000.0)
+            else:
+                # zero weights everywhere: z = 0 exactly, same as the mirror's w0
+                cur = base
+                z = F.lit(0.0)
+            g = _fp_sigmoid(z) - F.col("_y")
+            aggs = _fp_grad_aggs(feats, g) + [F.count("*").alias("n")]
+            if _s == 0:
+                # first step only: per-column non-NULL counts per group
+                # for the degenerate-input check
+                aggs.extend(
+                    F.count(c).alias(f"_c{j}")
+                    for j, c in enumerate([*feats, "_y"])
+                )
+            # bounded: one row/group
+            rows = cur.groupBy("_g").agg(*aggs).collect()
+            for r in rows:
+                gval = r["_g"]
+                n = counts.setdefault(gval, int(r["n"]))
+                if _s == 0:
+                    _fp_check_nonnull(r, [*feats, label_col], group=gval)
+                w, b = state.get(gval, ([0] * len(feats), 0))
+                w = [
+                    w[j]
+                    - _fp_delta(
+                        _fp_grad_checked(r[f"g{j}"], group=gval), n, lr_micro
+                    )
+                    for j in range(len(feats))
+                ]
+                b = b - _fp_delta(_fp_grad_checked(r["gb"], group=gval), n, lr_micro)
+                state[gval] = (w, b)
+    finally:
+        base.unpersist()
     out = [
         (g, *state[g][0], state[g][1], counts[g]) for g in sorted(state, key=str)
     ]

@@ -8208,22 +8208,24 @@ _RECERT_FIRST = {
     "dcal_km_user_lifetimes": 10,  # r10 single-pass masses + unpersist
     "minhash_lsh_dupes": 11,  # r11 law certification (+2 columns)
     "near_dedup_incremental_batch": 11,  # r11 law certification (+2 columns)
-    # NOT listed for r11 (deliberate): doc_quality_model_scores and
-    # quality_filter_agreement also changed in r11 (tokenizer alignment,
-    # ADVICE r10 #3 — Spark UDF + oracle SQL both moved to one explicit
-    # whitespace class), but 3 new + 2 recert rows already fill the
-    # window's headroom exactly — a 7th front slot would push an r08-stale
-    # row out (the r10 VERDICT's task #1). Both rows were value-verified
-    # at all three SFs in-round (oracle_check sweeps) and, being r10-green,
-    # rotate into the r12 window at the FRONT of the stale queue anyway.
-    # Same decision for harrell_cindex_cohorts (late-r11 NULL-convention
-    # filter in harrell_cindex_by), td_auc_user_activity,
-    # td_auc_ipcw_user_activity and td_auc_cohorts (NULL filters; the
-    # grouped grid also dropped its forced-broadcast hint): the changed
-    # kernels recertify THIS round through segmented_cox_pipeline /
-    # segmented_discrete_pipeline / td_concordance_cohorts (in window),
-    # and every named row was value-verified in-round (sf0.001 full +
-    # targeted sf0.01). Queue all of them for r12's _RECERT_FIRST.
+    # r12 recerts (VERDICT r11 task #1): the three r11-plan-changed rows
+    # that were value-swept in-round but deliberately left out of the r11
+    # window — tokenizer alignment moved both engines' text splitting for
+    # the first two; the third picked up the harrell_cindex_by
+    # NULL-convention filter.
+    "doc_quality_model_scores": 11,  # r11 tokenizer alignment (ADVICE r10 #3)
+    "quality_filter_agreement": 11,  # r11 tokenizer alignment (ADVICE r10 #3)
+    "harrell_cindex_cohorts": 11,  # r11 NULL-convention filter
+    # NOT queued for r12 (deliberate, same window math as r11):
+    # td_auc_user_activity, td_auc_ipcw_user_activity and td_auc_cohorts
+    # also changed plan in r11 (NULL filters; the grouped grid dropped its
+    # forced-broadcast hint). The r12 window is exactly full — 46 r9-stale
+    # rows + the 3 recerts above + 1 new row = 50 — so queueing them would
+    # push three r9-stale rows out (violating "zero rows older than r10 at
+    # round end"). All three were value-verified in-round at sf0.001/0.01,
+    # are r10-green (not stale), and being r10-green they form the FRONT
+    # of the r13 stale frontier by construction. Queue them for r13's
+    # _RECERT_FIRST if any are not yet re-green by then.
 }
 
 

@@ -600,3 +600,139 @@ def test_fixed_point_logit_scores_by_matches_per_group_local(spark):
 
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_fixed_point_gd_input_scanned_once_not_per_step(spark):
+    """The trainer persists its projected input internally (VERDICT r11
+    #1 — the hyperband-base miss class): an accumulator-instrumented
+    source must be evaluated ~once, not once per step. Before the fix
+    every step's aggregate re-ran the parent plan (steps full corpus
+    scans at 100 TB)."""
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_logistic_gd,
+    )
+
+    pdf = _gd_frame(n=800, seed=5)
+    src = spark.createDataFrame(pdf)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    counted = src.mapInPandas(counting, schema=src.schema)
+    w, b = fixed_point_logistic_gd(counted, ["x0", "x1"], "y", steps=6)
+    assert any(v != 0 for v in w)
+    # one materialization fills the cache; 2x headroom absorbs an evicted
+    # partition, but the un-persisted shape (6 scans) trips the bound.
+    assert len(pdf) <= acc.value <= 2 * len(pdf), acc.value
+
+
+def test_fixed_point_gd_by_input_scanned_once_not_per_step(spark):
+    """Same scan-count guard for the per-segment trainer: steps grouped
+    aggregates must hit the internal cache, not re-run the source."""
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_logistic_gd_by,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 900
+    pdf = pd.DataFrame(
+        {
+            "seg": (np.arange(n) % 3).astype("int32"),
+            "x0": np.round(rng.normal(size=n), 3),
+            "x1": np.round(rng.normal(size=n), 3),
+        }
+    )
+    pdf["y"] = (pdf.x0 - pdf.x1 > 0).astype("int64")
+    src = spark.createDataFrame(pdf)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    counted = src.mapInPandas(counting, schema=src.schema)
+    out = fixed_point_logistic_gd_by(
+        counted, "seg", ["x0", "x1"], "y", steps=5
+    ).collect()
+    assert len(out) == 3
+    assert n <= acc.value <= 2 * n, acc.value
+
+
+def test_fixed_point_gd_null_column_raises_descriptive(spark):
+    """ADVICE r11 #2: an all-NULL label or feature column makes the int64
+    gradient SUM NULL — the trainer now raises a ValueError naming the
+    offending column (and group, per-segment) instead of crashing with an
+    opaque int(None) TypeError while the SQL mirror silently emits NULL
+    weights."""
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_logistic_gd,
+        fixed_point_logistic_gd_by,
+    )
+
+    rows = [(1.0, None), (2.0, None), (-1.0, None)]
+    df = spark.createDataFrame(rows, "x0 double, y double")
+    with pytest.raises(ValueError, match=r"\['y'\].*all-NULL"):
+        fixed_point_logistic_gd(df, ["x0"], "y", steps=2)
+
+    nullfeat = spark.createDataFrame(
+        [(None, 1.0, 1), (None, 2.0, 0)], "x0 double, x1 double, y int"
+    )
+    with pytest.raises(ValueError, match=r"\['x0'\].*all-NULL"):
+        fixed_point_logistic_gd(nullfeat, ["x0", "x1"], "y", steps=2)
+
+    # per-segment: only group "b" is degenerate — the error names it
+    grouped = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", -1.0, 0), ("b", None, 1), ("b", None, 0)],
+        "seg string, x0 double, y int",
+    )
+    with pytest.raises(ValueError, match=r"\['x0'\] in group 'b'.*all-NULL"):
+        fixed_point_logistic_gd_by(grouped, "seg", ["x0"], "y", steps=2)
+
+    # no single column all-NULL, but every row has a NULL somewhere: the
+    # logit is NULL row-wise — the fallback guard still fails descriptively
+    crosswise = spark.createDataFrame(
+        [(None, 1.0, 1), (2.0, None, 0)], "x0 double, x1 double, y int"
+    )
+    with pytest.raises(ValueError, match="gradient sum is NULL"):
+        fixed_point_logistic_gd(crosswise, ["x0", "x1"], "y", steps=2)
+
+
+def test_quality_features_sql_duplicate_id_guard():
+    """ADVICE r11 #4: the uniqueness precondition is enforced in the
+    generated SQL — a duplicate doc_id fails the oracle with a named
+    error instead of silently pooling two documents' tokens into one
+    histogram (which would break certified parity on both engines with
+    no signal)."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        quality_features_sql,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": [1, 2, 1], "text": ["a b", "c", "d e f"],
+             "label": [1, 0, 1]},
+        ),
+    )
+    with pytest.raises(duckdb.Error, match="duplicate doc_id"):
+        con.execute(quality_features_sql(label_expr="label", n_buckets=8))
+    con2 = duckdb.connect()
+    con2.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "c"],
+                      "label": [1, 0]}),
+    )
+    out = con2.execute(
+        quality_features_sql(label_expr="label", n_buckets=8)
+    ).df()
+    assert len(out) == 2
