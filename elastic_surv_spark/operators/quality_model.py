@@ -581,13 +581,16 @@ def quality_feature_frame(
     text_col: str = "text",
     label_col: str | None = None,
     n_buckets: int = 64,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document hashed bag-of-tokens features as COLUMNS: ``(id[,
-    label], x0 … x{n_buckets-1})`` with ``x_j = count(bucket j) /
-    n_tokens`` — the training-side twin of :func:`apply_quality_model`'s
+    label][, carry…], x0 … x{n_buckets-1})`` with ``x_j = count(bucket j)
+    / n_tokens`` — the training-side twin of :func:`apply_quality_model`'s
     scoring fold (same tokenizer, same 31-poly bucket hash), emitted as a
     map-only Arrow pass so :func:`fixed_point_logistic_gd` can consume the
     corpus distributed. Zero-token documents are dropped (no features).
+    ``carry_cols`` ride through unchanged (e.g. a segment key for the
+    per-group trainer) so no post-hoc id join is needed to recover them.
 
     The features are SQL-expressible (the ``doc_quality_model_scores``
     oracle folds the same hash per token; a bucket histogram is one
@@ -596,10 +599,14 @@ def quality_feature_frame(
     n_buckets bounded (64 default) keeps the row width trivial.
     """
     id_type = df.schema[id_col].dataType.simpleString()
-    cols = [id_col] + ([label_col] if label_col else [])
+    carry = list(carry_cols or [])
+    cols = [id_col] + ([label_col] if label_col else []) + carry
     feat_names = [f"x{j}" for j in range(n_buckets)]
     lab = f", {label_col} {df.schema[label_col].dataType.simpleString()}" if label_col else ""
-    schema = f"{id_col} {id_type}{lab}, " + ", ".join(
+    cc = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry
+    )
+    schema = f"{id_col} {id_type}{lab}{cc}, " + ", ".join(
         f"{c} double" for c in feat_names
     )
 
@@ -610,6 +617,8 @@ def quality_feature_frame(
             out = {id_col: pdf[id_col][mask]}
             if label_col:
                 out[label_col] = pdf[label_col][mask]
+            for c in carry:
+                out[c] = pdf[c][mask]
             for j, c in enumerate(feat_names):
                 out[c] = X[mask, j]
             yield pd.DataFrame(out)
@@ -659,14 +668,17 @@ def quality_features_sql(
     text_col: str = "text",
     label_expr: str | None = None,
     n_buckets: int = 64,
+    carry_exprs: dict[str, str] | None = None,
 ) -> str:
     """DuckDB mirror of :func:`quality_feature_frame`: one SELECT yielding
-    ``(id[, label], x0 … x{n_buckets-1})`` with the SAME ASCII-whitespace
-    tokenizer, 31-poly bucket hash, and count/n normalization (int counts
-    divide exactly in IEEE doubles — bit-parity needs no rounding).
-    ``label_expr`` is any SQL expression over the source row (e.g. a
-    heuristic-quality distillation label). Compose with
-    :func:`fixed_point_gd_sql` for end-to-end certified training
+    ``(id[, label][, carry…], x0 … x{n_buckets-1})`` with the SAME
+    ASCII-whitespace tokenizer, 31-poly bucket hash, and count/n
+    normalization (int counts divide exactly in IEEE doubles — bit-parity
+    needs no rounding). ``label_expr`` is any SQL expression over the
+    source row (e.g. a heuristic-quality distillation label);
+    ``carry_exprs`` maps extra output names to source-row expressions
+    (e.g. a segment key), aggregated per id alongside the label. Compose
+    with :func:`fixed_point_gd_sql` for end-to-end certified training
     (:func:`certified_quality_training_sql`).
 
     Precondition: ``id_col`` values are UNIQUE (they key the dedup
@@ -681,11 +693,18 @@ def quality_features_sql(
     two-count aggregate over the source. The label is aggregated per id
     (``max``) rather than joined back, so there is no row fan-out
     anywhere in this statement."""
-    lab = ", max(l.label) AS label" if label_expr else ""
+    carried = dict(carry_exprs or {})
+    side = ([("label", label_expr)] if label_expr else []) + list(
+        carried.items()
+    )
+    lab = "".join(f", max(l.{name}) AS {name}" for name, _ in side)
     labjoin = (
-        f" JOIN (SELECT {id_col}, max({label_expr}) AS label"
-        f" FROM {source} GROUP BY {id_col}) l ON b.{id_col} = l.{id_col}"
-        if label_expr
+        " JOIN (SELECT "
+        + ", ".join(
+            [id_col] + [f"max({expr}) AS {name}" for name, expr in side]
+        )
+        + f" FROM {source} GROUP BY {id_col}) l ON b.{id_col} = l.{id_col}"
+        if side
         else ""
     )
     xcols = ", ".join(
@@ -755,6 +774,103 @@ def certified_quality_training_sql(
     )
     assert chain.startswith("WITH ")
     return "WITH _qfeat AS (" + body + "),\n" + chain[len("WITH "):]
+
+
+def certified_quality_training_by(
+    df: DataFrame,
+    segment_col: str,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+    all_segment: str = "__all__",
+) -> DataFrame:
+    """Certified training as a FLEET: one independent integer-GD quality
+    model per segment PLUS a whole-corpus model, in a single grouped
+    chain. The feature frame (:func:`quality_feature_frame`, segment key
+    carried — no id join-back) is unioned with itself under the synthetic
+    ``all_segment`` key, and :func:`fixed_point_logistic_gd_by` trains
+    every segment in the same ``steps`` grouped aggregates — the
+    ``__all__`` row is integer-identical to the ungrouped whole-corpus
+    trainer by the single-group ≡ ungrouped law (pytest-proven), so one
+    output frame certifies BOTH the per-segment and the global training
+    dataflows. Output: ``(segment, w0_micro …, bias_micro, n_rows)``, all
+    int64 — cross-engine hash parity needs no float rounding at all
+    (:func:`certified_quality_training_by_sql` is the mirror).
+
+    Scale: one Arrow tokenize pass per union branch at cache-fill (the
+    trainer persists the union internally; segments bounded by the
+    registry rule), then ``steps`` map-side-combined grouped integer
+    aggregates — NO group has to fit one task.
+    """
+    feats = [f"x{j}" for j in range(n_buckets)]
+    frame = quality_feature_frame(
+        df,
+        id_col,
+        text_col,
+        label_col=label_col,
+        n_buckets=n_buckets,
+        carry_cols=[segment_col],
+    )
+    per = frame.select(
+        F.col(segment_col).cast("string").alias("segment"), label_col, *feats
+    )
+    alls = frame.select(
+        F.lit(all_segment).alias("segment"), label_col, *feats
+    )
+    return fixed_point_logistic_gd_by(
+        per.unionByName(alls),
+        "segment",
+        feats,
+        label_col,
+        steps=steps,
+        lr_micro=lr_micro,
+    )
+
+
+def certified_quality_training_by_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_expr: str = "label",
+    segment_expr: str = "source",
+    n_buckets: int = 64,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+    all_segment: str = "__all__",
+) -> str:
+    """DuckDB mirror of :func:`certified_quality_training_by`: the hashed
+    feature CTE (segment carried per id), the same self-union under the
+    synthetic ``all_segment`` key, and the grouped unrolled integer-GD
+    chain (:func:`fixed_point_gd_by_sql`). Every output cell is int64 and
+    must equal the Spark frame exactly."""
+    feats = [f"x{j}" for j in range(n_buckets)]
+    body = quality_features_sql(
+        source,
+        id_col,
+        text_col,
+        label_expr=label_expr,
+        n_buckets=n_buckets,
+        carry_exprs={"segment": f"CAST({segment_expr} AS VARCHAR)"},
+    )
+    xsel = ", ".join(feats)
+    chain = fixed_point_gd_by_sql(
+        "segment", feats, "label", steps=steps, lr_micro=lr_micro,
+        source="_qfeat",
+    )
+    assert chain.startswith("WITH ")
+    return (
+        "WITH _qfeat0 AS ("
+        + body
+        + "),\n_qfeat AS (\n"
+        f"    SELECT segment, label, {xsel} FROM _qfeat0\n"
+        "    UNION ALL\n"
+        f"    SELECT '{all_segment}' AS segment, label, {xsel} FROM _qfeat0\n"
+        "),\n"
+        + chain[len("WITH "):]
+    )
 
 
 def fixed_point_logistic_gd_by(

@@ -2141,6 +2141,63 @@ def quality_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from elastic_surv_spark.operators.quality_model import (  # noqa: E402
+    certified_quality_training_by_sql as _cqt_by_sql,
+)
+
+
+@query(
+    "certified_quality_training",
+    # TRAINING itself as a hash-certified stage (VERDICT r11 task #2):
+    # the oracle is the generated feature CTE (same tokenizer/31-poly
+    # hash as doc_quality_model_scores, duplicate-id guarded) self-unioned
+    # under the synthetic '__all__' segment and fed through the unrolled
+    # per-group integer-GD chain — 4 full-batch steps of fixed-point
+    # logistic GD per segment, every output cell an int64 micro-weight, so
+    # the cross-engine hash needs NO float rounding anywhere. The
+    # reference's training (opaque torch, reference
+    # src/elastic_surv/models/base.py:39-50) could never certify this way.
+    _cqt_by_sql(
+        source="documents",
+        id_col="doc_id",
+        text_col="text",
+        label_expr="CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        segment_expr="source",
+        n_buckets=16,
+        steps=4,
+        lr_micro=500_000,
+    ),
+)
+def certified_quality_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified distributed TRAINING as a registry row
+    (operators/quality_model.py:certified_quality_training_by): one
+    independent fixed-point logistic quality model per source segment
+    PLUS a whole-corpus '__all__' model — label = (lang = 'en'), hashed
+    bag-of-tokens features (16 buckets), 4 full-batch integer-GD steps —
+    trained in ONE grouped-aggregate-per-step chain and emitted as
+    ``(segment, w0_micro … w15_micro, bias_micro, n_rows)``. Every cell
+    is int64: the rational-sigmoid/quantized-gradient recipe makes the
+    weights bit-identical at any partitioning AND regenerable by DuckDB's
+    unrolled CTE chain, so the driver hash certifies the whole training
+    dataflow, not a sampled surrogate.
+
+    Scale: one Arrow tokenize pass per union branch at cache-fill (the
+    trainer persists its input; scan-count-guarded in tests), then
+    steps × ONE map-side-combined grouped integer aggregate — a segment
+    may span the whole cluster (no group-fits-one-task limit), and driver
+    traffic is segments × 17 ints per step."""
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_by,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    return certified_quality_training_by(
+        d, "source", "label", n_buckets=16, steps=4, lr_micro=500_000
+    )
+
+
 def _shared_frames(cache: dict, max_entries: int, spark, key, build):
     """Session-scoped persisted-frame cache with a single lifecycle rule
     shared by every module-level cache here (_DOC_SHINGLES, _VOCAB_COUNTS,

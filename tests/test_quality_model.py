@@ -736,3 +736,61 @@ def test_quality_features_sql_duplicate_id_guard():
         quality_features_sql(label_expr="label", n_buckets=8)
     ).df()
     assert len(out) == 2
+
+
+def test_certified_quality_training_by_parity_and_all_law(spark):
+    """The fleet assembly (per-segment + synthetic '__all__' union) is
+    integer-exact across engines, and the '__all__' row equals the
+    ungrouped whole-corpus trainer — one frame certifies BOTH training
+    dataflows (the r12 registry row's kernel)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_by,
+        certified_quality_training_by_sql,
+        fit_quality_classifier_distributed,
+    )
+
+    rng = random.Random(3)
+    vocab = ["alpha beta gamma delta".split(), "zork quux fnord blip".split()]
+    rows = [
+        (
+            i,
+            " ".join(rng.choice(vocab[i % 2]) for _ in range(12)),
+            f"s{i % 4}",
+            int(i % 2 == 0),
+        )
+        for i in range(200)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "src", "label"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        certified_quality_training_by(df, "src", "label", n_buckets=8, steps=3)
+        .toPandas()
+        .sort_values("segment", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        certified_quality_training_by_sql(
+            "documents", "doc_id", "text", "label", "src",
+            n_buckets=8, steps=3,
+        )
+        + " ORDER BY segment"
+    ).df()
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.equals(want.astype(got.dtypes.to_dict())), "engine drift"
+    assert set(got.segment) == {"__all__", "s0", "s1", "s2", "s3"}
+
+    # the '__all__' row IS the ungrouped whole-corpus trainer
+    w, b = fit_quality_classifier_distributed(
+        df, "label", n_buckets=8, steps=3
+    )
+    allrow = got[got.segment == "__all__"].iloc[0]
+    assert [allrow[f"w{j}_micro"] for j in range(8)] == list(
+        np.round(np.asarray(w) * 1e6).astype(np.int64)
+    )
+    assert allrow.bias_micro == round(b * 1e6)
