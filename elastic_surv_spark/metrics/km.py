@@ -59,6 +59,75 @@ def quantize_times(
     return df.withColumn(time_col, quant)
 
 
+def _risk_table(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str | None = None,
+    max_curve_points: int | None = None,
+):
+    """THE curve scaffolding, defined once (the r11 deferral): quantize →
+    one (``[group,] t``) hash-aggregate → reverse-cumulative at-risk
+    counts. Returns ``(risk_table, w_fwd)`` where the risk table carries
+    ``([group,] t, n_total, n_event, n_risk)`` and ``w_fwd`` is the
+    forward cumulative window every curve statistic folds over — KM's
+    log-product, Nelson-Aalen's hazard sum, Greenwood's variance sum.
+
+    Partitioning: the per-group form partitions every window on the real
+    cohort key (cohort cardinality is free); the global form partitions on
+    ``pmod(n_total, 1)`` — a constant-VALUED column that is not foldable
+    (a bare literal would constant-fold out of the partition spec and the
+    window would degrade to the warned unpartitioned one-reducer form).
+    The frame is the bounded aggregated curve — one deliberate task.
+    """
+    if max_curve_points is not None:
+        df = quantize_times(df, time_col, max_curve_points)
+    keys = ([F.col(group_col)] if group_col else []) + [
+        F.col(time_col).alias("t")
+    ]
+    grouped = df.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_event"),
+    )
+    if group_col is None:
+        grouped = grouped.withColumn("_p", F.pmod(F.col("n_total"), F.lit(1)))
+        part = "_p"
+    else:
+        part = group_col
+    w_rev = (
+        Window.partitionBy(part)
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(part)
+        .orderBy(F.asc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = grouped.withColumn(
+        "n_risk", F.sum("n_total").over(w_rev).cast("long")
+    )
+    return grouped, w_fwd
+
+
+def _km_survival(w_fwd):
+    """S(t) = exp(Σ log(1 − d/n)) over the forward window.
+
+    ``log(max(eps, 1 − d/n))`` guards the all-events-at-last-time case
+    where the factor is 0 (Spark's ``log(0)`` is NULL, duckdb's is −inf;
+    the guard makes both engines produce survival == 0 after rounding)."""
+    return F.exp(
+        F.sum(
+            F.log(
+                F.greatest(
+                    F.lit(1e-300),
+                    F.lit(1.0) - F.col("n_event") / F.col("n_risk"),
+                )
+            )
+        ).over(w_fwd)
+    )
+
+
 def km_curve(
     df: DataFrame,
     time_col: str,
@@ -71,51 +140,15 @@ def km_curve(
     Returns one row per distinct time: (t, n_risk, n_event, n_censored,
     survival), ordered semantics: S(t) = prod_{t_i <= t} (1 - d_i / n_i).
 
-    ``log(max(eps, 1 - d/n))`` guards the all-events-at-last-time case where
-    the factor is 0 (Spark's ``log(0)`` is NULL, duckdb's is -inf; the guard
-    makes both engines produce survival == 0 after rounding).
-
     ``max_curve_points`` bounds the curve domain for continuous times (see
     module doc) — pass it whenever the result is collected or windowed and
     n is unbounded.
     """
-    if max_curve_points is not None:
-        df = quantize_times(df, time_col, max_curve_points)
-    grouped = df.groupBy(F.col(time_col).alias("t")).agg(
-        F.count("*").cast("long").alias("n_total"),
-        F.sum(F.col(event_col).cast("long")).alias("n_event"),
+    grouped, w_fwd = _risk_table(
+        df, time_col, event_col, max_curve_points=max_curve_points
     )
-    # constant-valued partition COLUMN: pmod(n_total, 1) ≡ 0 but is not
-    # foldable (a bare literal gets constant-folded out of the partition
-    # spec and the window degrades to the warned unpartitioned one-reducer
-    # form). The frame is the bounded aggregated curve — one deliberate task.
-    grouped = grouped.withColumn("_p", F.pmod(F.col("n_total"), F.lit(1)))
-    w_rev = (
-        Window.partitionBy("_p")
-        .orderBy(F.desc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_fwd = (
-        Window.partitionBy("_p")
-        .orderBy(F.asc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    curve = (
-        grouped.withColumn("n_risk", F.sum("n_total").over(w_rev).cast("long"))
-        .withColumn(
-            "survival",
-            F.exp(
-                F.sum(
-                    F.log(
-                        F.greatest(
-                            F.lit(1e-300),
-                            F.lit(1.0) - F.col("n_event") / F.col("n_risk"),
-                        )
-                    )
-                ).over(w_fwd)
-            ),
-        )
-        .withColumn("n_censored", (F.col("n_total") - F.col("n_event")).cast("long"))
+    curve = grouped.withColumn("survival", _km_survival(w_fwd)).withColumn(
+        "n_censored", (F.col("n_total") - F.col("n_event")).cast("long")
     )
     if round_to is not None:
         curve = curve.withColumn("survival", F.round(F.col("survival"), round_to))
@@ -141,38 +174,12 @@ def km_curve_by(
     boundedness contract as ``km_curve``) so each group's curve is capped
     for continuous times.
     """
-    if max_curve_points is not None:
-        df = quantize_times(df, time_col, max_curve_points)
-    grouped = df.groupBy(F.col(group_col), F.col(time_col).alias("t")).agg(
-        F.count("*").cast("long").alias("n_total"),
-        F.sum(F.col(event_col).cast("long")).alias("n_event"),
+    grouped, w_fwd = _risk_table(
+        df, time_col, event_col, group_col=group_col,
+        max_curve_points=max_curve_points,
     )
-    w_rev = (
-        Window.partitionBy(group_col)
-        .orderBy(F.desc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_fwd = (
-        Window.partitionBy(group_col)
-        .orderBy(F.asc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    curve = (
-        grouped.withColumn("n_risk", F.sum("n_total").over(w_rev).cast("long"))
-        .withColumn(
-            "survival",
-            F.exp(
-                F.sum(
-                    F.log(
-                        F.greatest(
-                            F.lit(1e-300),
-                            F.lit(1.0) - F.col("n_event") / F.col("n_risk"),
-                        )
-                    )
-                ).over(w_fwd)
-            ),
-        )
-        .withColumn("n_censored", (F.col("n_total") - F.col("n_event")).cast("long"))
+    curve = grouped.withColumn("survival", _km_survival(w_fwd)).withColumn(
+        "n_censored", (F.col("n_total") - F.col("n_event")).cast("long")
     )
     if round_to is not None:
         curve = curve.withColumn("survival", F.round(F.col("survival"), round_to))
@@ -216,26 +223,10 @@ def na_curve(
     division; its running sum goes through DECIMAL(38,18) so the cumsum is
     exact and engine-portable (a float cumsum would depend on evaluation
     order)."""
-    if max_curve_points is not None:
-        df = quantize_times(df, time_col, max_curve_points)
-    grouped = df.groupBy(F.col(time_col).alias("t")).agg(
-        F.count("*").cast("long").alias("n_total"),
-        F.sum(F.col(event_col).cast("long")).alias("n_event"),
-    )
-    grouped = grouped.withColumn("_p", F.pmod(F.col("n_total"), F.lit(1)))
-    w_rev = (
-        Window.partitionBy("_p")
-        .orderBy(F.desc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_fwd = (
-        Window.partitionBy("_p")
-        .orderBy(F.asc("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    grouped, w_fwd = _risk_table(
+        df, time_col, event_col, max_curve_points=max_curve_points
     )
     curve = grouped.withColumn(
-        "n_risk", F.sum("n_total").over(w_rev).cast("long")
-    ).withColumn(
         "cum_hazard",
         F.sum(
             (
