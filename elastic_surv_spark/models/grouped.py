@@ -182,11 +182,15 @@ def score_per_group(
     feature_cols: list[str],
     id_col: str | None = None,
     registry_as_table: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed inference half of "many models": score every row under
-    ITS group's serde model in one grouped-map pass — ``(group[, id],
-    risk)`` with ``risk = -Σ S(t)`` (the family-standard ranking score the
-    metric quartet consumes).
+    ITS group's serde model in one grouped-map pass — ``(group[, id][,
+    carry…], risk)`` with ``risk = -Σ S(t)`` (the family-standard ranking
+    score the metric quartet consumes). ``carry_cols`` ride through the
+    scoring pass unchanged (e.g. the (t, e) outcome columns a downstream
+    metric needs) so composed pipelines keep them without a post-scoring
+    re-join against the parent frame (VERDICT r11 #3).
 
     ``models`` is the per-group registry: either a ``(group, model_json)``
     DataFrame (e.g. :func:`fit_per_group`'s output) or a prebuilt dict.
@@ -218,10 +222,17 @@ def score_per_group(
 
     gtype = df.schema[group_col].dataType.simpleString()
     feats = list(feature_cols)
-    cols = [group_col, *([id_col] if id_col else []), *feats]
-    out_cols = [group_col, *([id_col] if id_col else []), "risk"]
-    id_part = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " if id_col else ""
-    schema = f"{group_col} {gtype}, {id_part}risk double"
+    carry = list(carry_cols or [])
+    clash = set(carry) & {group_col, id_col, *feats, "risk"}
+    if clash:
+        raise ValueError(f"score_per_group: carry_cols collide with {clash}")
+    passthru = [*([id_col] if id_col else []), *carry]
+    cols = [group_col, *passthru, *feats]
+    out_cols = [group_col, *passthru, "risk"]
+    pass_part = "".join(
+        f"{c} {df.schema[c].dataType.simpleString()}, " for c in passthru
+    )
+    schema = f"{group_col} {gtype}, {pass_part}risk double"
 
     # ONE scoring closure for both delivery paths (review finding, r11 —
     # two hand-synced copies could drift): `resolve` is the only varying
@@ -243,8 +254,8 @@ def score_per_group(
                     X = sl[feats].to_numpy(dtype=float)
                     surv = m._surv_from_output(m.net.forward(X, training=False))
                     res = {group_col: sl[group_col], "risk": -surv.sum(axis=1)}
-                    if id_col:
-                        res[id_col] = sl[id_col]
+                    for c in passthru:
+                        res[c] = sl[c]
                     outs.append(pd.DataFrame(res)[out_cols])
                 yield (
                     pd.concat(outs, ignore_index=True)

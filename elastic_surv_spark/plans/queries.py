@@ -1447,10 +1447,12 @@ def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score_per_group(
         surv, docs, "seg", ["x0", "x1"], id_col="user_id",
         registry_as_table=True,
+        carry_cols=["t", "e"],  # (t, e) ride the scoring pass — no
+        # post-scoring re-join against the checkpointed parent (r12)
     )
     scored = scored.select(
-        "seg", "user_id", F.round("risk", 6).alias("risk")
-    ).join(surv.select("user_id", "t", "e"), "user_id").localCheckpoint(
+        "seg", "user_id", "t", "e", F.round("risk", 6).alias("risk")
+    ).localCheckpoint(
         eager=False  # scoring (grouped-map registry + broadcast apply)
         # also runs once, not once per metric leg
     )
@@ -1615,7 +1617,7 @@ def segmented_discrete_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every user scored under BOTH families: explode to (user, gseg) with
     # gseg = seg (LogisticHazard) and seg + 4 (DeepHit)
     fact = surv.select(
-        "user_id", "x0", "x1",
+        "user_id", "t", "e", "x0", "x1",
         F.explode(
             F.array(F.col("seg"), (F.col("seg") + F.lit(4)).cast("int"))
         ).alias("gseg"),
@@ -1623,10 +1625,12 @@ def segmented_discrete_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score_per_group(
         fact, docs, "gseg", ["x0", "x1"], id_col="user_id",
         registry_as_table=True,
+        carry_cols=["t", "e"],  # outcomes ride the scoring pass — no
+        # post-scoring re-join against the checkpointed parent (r12)
     )
     scored = scored.select(
-        "gseg", "user_id", F.round("risk", 6).alias("risk")
-    ).join(surv.select("user_id", "t", "e"), "user_id").localCheckpoint(
+        "gseg", "user_id", "t", "e", F.round("risk", 6).alias("risk")
+    ).localCheckpoint(
         eager=False  # scoring runs once, not once per metric consumer
     )
     har = harrell_cindex_by(scored, "gseg", "t", "e", "risk")

@@ -554,3 +554,41 @@ def test_score_per_group_mixed_family_registry(spark):
             ).collect()
         }
         assert got == want, f"registry_as_table={table}"
+
+
+def test_score_per_group_carry_cols(spark, seg_df):
+    """carry_cols ride the scoring pass unchanged (VERDICT r11 #3): the
+    scored frame keeps (t, e) without a post-scoring re-join, identical
+    on both delivery paths to joining them back afterwards, and name
+    clashes fail fast."""
+    from elastic_surv_spark.models.grouped import score_per_group
+
+    fitted = fit_per_group(
+        seg_df.filter("seg < 2"), "seg", "rid", "t", "e", ["x0", "x1"],
+        model="logistic_hazard", epochs=5, patience=5, hidden_nodes=[8],
+    ).localCheckpoint(eager=True)
+
+    plain = score_per_group(
+        seg_df, fitted, "seg", ["x0", "x1"], id_col="rid"
+    )
+    joined = {
+        (r.seg, r.rid): (r.t, r.e, r.risk)
+        for r in plain.join(
+            seg_df.select("rid", "t", "e"), "rid"
+        ).collect()
+    }
+    for as_table in (False, True):
+        carried = score_per_group(
+            seg_df, fitted, "seg", ["x0", "x1"], id_col="rid",
+            registry_as_table=as_table, carry_cols=["t", "e"],
+        )
+        assert carried.columns == ["seg", "rid", "t", "e", "risk"]
+        got = {
+            (r.seg, r.rid): (r.t, r.e, r.risk) for r in carried.collect()
+        }
+        assert got == joined, f"as_table={as_table}"
+
+    with pytest.raises(ValueError, match="collide"):
+        score_per_group(
+            seg_df, fitted, "seg", ["x0", "x1"], carry_cols=["x0"]
+        )
