@@ -7350,7 +7350,16 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the output to genuinely associated pairs.
     """
     l = _t(spark, sf_dir, "lineitem")
-    li = l.select("l_orderkey", "l_partkey").distinct()
+    # the distinct (order, part) frame feeds THREE consumers (per-part
+    # counts, the order total, and both sides of the pair self-join);
+    # without the checkpoint each consumer re-scans + re-distincts
+    # lineitem (3 pruned FileScans). LAZY so the shuffle stays inside the
+    # measured execution (the established r11 recipe).
+    li = (
+        l.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     pc = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
     tot = li.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
     pairs = (
