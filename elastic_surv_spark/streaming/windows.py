@@ -277,14 +277,26 @@ def stateful_running_max(
             state.remove()
             return
         peak, n = state.get if state.exists else (float("-inf"), 0)
+        max_ev_ms = 0
         for pdf in pdfs:
             if len(pdf):
                 peak = max(peak, float(pdf["value"].max()))
                 n += len(pdf)
+                max_ev_ms = max(
+                    max_ev_ms,
+                    int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000),
+                )
         state.update((peak, n))
-        # expire once the watermark passes this key's quiet period; the
-        # timestamp must exceed the current watermark, which wm + ttl does
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + state_ttl_ms)
+        # expire once the watermark passes this key's quiet period. The
+        # base is max(watermark, this batch's max event time): during the
+        # FIRST micro-batch the watermark is still 0, so wm + ttl would be
+        # ~epoch + ttl — every first-batch key would be evicted as soon as
+        # the watermark advanced, silently restarting its running max long
+        # before the advertised quiet period (ADVICE r11 #1). The chosen
+        # timestamp always exceeds the current watermark, as the API
+        # requires, since ttl > 0.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(wm, max_ev_ms) + state_ttl_ms)
         yield pd.DataFrame({"user_id": [key[0]], "peak": [peak], "n": [n]})
 
     return (

@@ -77,8 +77,32 @@ def test_session_window_stream_matches_batch_sessionize(spark, stream_dir):
         assert bmap[(r.user_id, r.session_start_us)] == (r.n_events, r.sum_value)
 
 
-def test_stateful_running_max(spark, stream_dir):
-    stream = read_events_stream(spark, stream_dir)
+def _ordered_copy(stream_dir: str, dst_dir: str) -> str:
+    """Private copy of the stream fixture with strictly increasing mtimes
+    in range-partition (= event-time) order. The parallel fixture writer
+    stamps near-equal mtimes and FileStreamSource replays by mtime, so
+    without this the 4 micro-batches can arrive out of event-time order —
+    the watermark then jumps ahead and silently late-drops whole earlier
+    chunks (a latent flake that surfaced in r12; the transitions test
+    already used this recipe)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stream_dir, "part-*")))):
+        dst = os.path.join(dst_dir, os.path.basename(f))
+        shutil.copyfile(f, dst)
+        os.utime(dst, (now + i, now + i))
+    return dst_dir
+
+
+def test_stateful_running_max(spark, stream_dir, tmp_path_factory):
+    ordered = _ordered_copy(
+        stream_dir, str(tmp_path_factory.mktemp("events_peaks_ordered"))
+    )
+    stream = read_events_stream(spark, ordered)
     got = run_to_memory(
         stateful_running_max(stream), "peaks_out", output_mode="update"
     ).toPandas()
@@ -131,17 +155,11 @@ def test_stateful_transitions_stitch_across_batches(spark, stream_dir, tmp_path_
 
     from elastic_surv_spark.streaming.windows import stateful_transitions
 
-    # The writer stamps every part file with the same mtime, and the file
-    # source orders ties arbitrarily. stateful_transitions' contract is
-    # event-time-ordered batch arrival, so work on a PRIVATE copy (the
-    # module-scoped fixture is shared) and make the modification times
-    # strictly increasing in range-partition (= time) order.
-    ordered_dir = str(tmp_path_factory.mktemp("events_stream_ordered"))
-    now = time.time()
-    for i, f in enumerate(sorted(glob.glob(os.path.join(stream_dir, "part-*")))):
-        dst = os.path.join(ordered_dir, os.path.basename(f))
-        shutil.copyfile(f, dst)
-        os.utime(dst, (now + i, now + i))
+    # stateful_transitions' contract is event-time-ordered batch arrival:
+    # work on a PRIVATE ordered copy (see _ordered_copy).
+    ordered_dir = _ordered_copy(
+        stream_dir, str(tmp_path_factory.mktemp("events_stream_ordered"))
+    )
 
     stream = read_events_stream(spark, ordered_dir, max_files_per_trigger=1)
     pairs = run_to_memory(
@@ -247,3 +265,67 @@ def test_document_pipeline_stream_matches_batch(spark, docs_stream_dir):
         assert batch_totals[w] == vals, (w, vals, batch_totals.get(w))
     # emitted ⊆ batch and strictly informative
     assert set(got_totals) <= set(batch_totals)
+
+
+def test_stateful_running_max_survives_first_batch_watermark_zero(
+    spark, tmp_path_factory
+):
+    """ADVICE r11 #1: during the FIRST micro-batch the watermark is 0, so
+    a timeout of wm + ttl put every first-batch key at ~epoch + ttl — the
+    key was evicted as soon as the watermark advanced, silently restarting
+    its running max long before the advertised quiet period. The timeout
+    base is now max(watermark, batch max event time): a user seen only in
+    batch 1 and again in batch 3 (within ttl) must keep one continuous
+    state."""
+    import os
+    import time
+
+    from elastic_surv_spark.streaming.windows import (
+        run_to_memory,
+        stateful_running_max,
+    )
+
+    t0 = 1704067200  # 2024-01-01
+    batches = [
+        [(1, t0, 1, "view", 10.0), (2, t0, 2, "view", 1.0)],
+        [(3, t0 + 1800, 2, "view", 2.0)],  # user 1 absent: eviction window
+        [(4, t0 + 2400, 1, "view", 5.0), (5, t0 + 2400, 2, "view", 3.0)],
+    ]
+    out = str(tmp_path_factory.mktemp("peak_stream"))
+    now = time.time()
+    for i, rows in enumerate(batches):
+        (
+            spark.createDataFrame(
+                rows, "event_id long, sec long, user_id long, "
+                "event_type string, value double"
+            )
+            .select(
+                "event_id",
+                F.timestamp_seconds("sec").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                F.lit(None).cast("string").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out)
+        )
+    # file source replays by mtime: make arrival order = event-time order
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-")
+    )
+    for i, f in enumerate(
+        sorted(parts, key=lambda f: os.path.getmtime(os.path.join(out, f)))
+    ):
+        os.utime(os.path.join(out, f), (now + i, now + i))
+
+    from elastic_surv_spark.streaming.windows import read_events_stream
+
+    stream = read_events_stream(spark, out, max_files_per_trigger=1)
+    got = run_to_memory(
+        stateful_running_max(stream), "peaks_wm0", output_mode="update"
+    ).toPandas()
+    u1 = got[got.user_id == 1]
+    # continuous state: the batch-3 emission still remembers batch 1
+    assert (u1.n.max(), u1[u1.n == u1.n.max()].peak.iloc[0]) == (2, 10.0)
