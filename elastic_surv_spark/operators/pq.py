@@ -196,13 +196,21 @@ def _partial_shortlist(
     if not len(cand):
         return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
     take = min(shortlist, len(cand))
-    # keep ADC ties at the boundary (the bucket_rerank/cosine_topk_fast
-    # discipline): identical codes score identically, and an arbitrary
-    # argpartition cut could drop the tied candidate with the higher TRUE
-    # cosine depending on batch/partition layout — nondeterministic top-k
-    part = np.argpartition(-scores[cand], take - 1)[:take]
-    thresh = scores[cand[part]].min()
-    top = cand[scores[cand] >= thresh]
+    # deterministic AND bounded (ADVICE r11 #3): cut by the TOTAL order
+    # (adc desc, id asc) — the same order the global shortlist window
+    # uses — so the per-batch top-`take` provably contains every global
+    # top-`shortlist` row at any partition layout, with no layout
+    # dependence (ids are unique) and no unbounded keep-all-ties
+    # expansion (coarse codebooks/duplicated vectors could tie far more
+    # than `shortlist` rows at the boundary). Boundary ties beyond the
+    # cap are dropped by id, exactly as the global window would drop them.
+    s = scores[cand]
+    part = np.argpartition(-s, take - 1)[:take]
+    thresh = s[part].min()
+    above = cand[s > thresh]
+    tied = cand[s == thresh]
+    tied = tied[np.argsort(ids[tied], kind="stable")][: take - len(above)]
+    top = np.concatenate([above, tied])
     return pd.DataFrame(
         {"q_id": np.full(len(top), q_id, dtype=np.int64),
          "n_id": ids[top].astype(np.int64),

@@ -586,3 +586,26 @@ def test_incremental_dedup_modes_agree_on_null_text(spark):
     # NULL text already exists in history: both modes must drop it
     assert sorted(r.keep_id for r in by_text.collect()) == [11]
     assert sorted(r.keep_id for r in by_fp.collect()) == [11]
+
+
+def test_pq_partial_shortlist_bounded_under_mass_ties():
+    """ADVICE r11 #3: the per-batch ADC shortlist keeps boundary ties by
+    the TOTAL order (adc desc, id asc) and caps at `shortlist` rows — a
+    coarse codebook tying hundreds of candidates at the boundary must not
+    blow the documented per-partition bound, and the kept set must be the
+    same set the global shortlist window would keep (layout-independent)."""
+    import numpy as np
+
+    from elastic_surv_spark.operators.pq import _partial_shortlist
+
+    ids = np.arange(500, dtype=np.int64)
+    all_tied = _partial_shortlist(-1, np.ones(500), ids, 10)
+    assert len(all_tied) == 10
+    assert sorted(all_tied.n_id) == list(range(10))  # ties drop by id
+
+    mixed = np.ones(500)
+    mixed[[7, 400, 123]] = 2.0
+    out = _partial_shortlist(-1, mixed, ids, 10)
+    assert len(out) == 10
+    assert {7, 400, 123} <= set(out.n_id)  # strictly-above always kept
+    assert sorted(set(out.n_id) - {7, 400, 123}) == [0, 1, 2, 3, 4, 5, 6]
