@@ -531,6 +531,7 @@ def concordance_td(
     cuts: list[float],
     exact_threshold: int = 20_000,
     seed: int = 42,
+    mode: str = "auto",
 ) -> float:
     """Antolini time-dependent C-index over a survival-curve column.
 
@@ -538,19 +539,38 @@ def concordance_td(
     Pair (i, j) comparable iff T_i < T_j and E_i = 1; concordant iff
     S_i(T_i) < S_j(T_i) (higher risk at the event time of i), ties 0.5.
 
+    ``mode`` mirrors the Harrell auto-switch (VERDICT r11 stretch #8) —
+    population-scale Antolini is now EXACT by default, not sampled:
+
+    - ``"auto"`` (default): ≤ ``exact_threshold`` rows → the pairwise
+      self-join below (O(n²) pair work, fine at gate size); above it →
+      :func:`concordance_td_exact`, the per-cut decomposition over the
+      bucketed Harrell kernel (≤ |cuts|+1 linear-shuffle passes, no
+      nested-loop join). Both are exact, so the gate is a plan choice,
+      not a semantics change.
+    - ``"pairwise"`` / ``"exact"``: force one kernel.
+    - ``"sample"``: the pre-r12 estimator — uniformly sample to
+      ~``exact_threshold`` rows first; kept for quick sweeps where an
+      unbiased estimate beats the extra passes.
+
     The curve lookup S(t) = surv[max {k : cuts[k] <= t}] is a JVM-side
-    higher-order expression; the pairwise part is a self-join like Harrell's.
-    Size gate: above ``exact_threshold`` rows the frame is uniformly sampled
-    down to ~that size first — an unbiased estimate of the same ratio with
-    bounded O(threshold²) pair work instead of a 100×-scale nested-loop
-    blowup. The EXACT any-scale form is :func:`concordance_td_exact`
-    (per-cut decomposition over the bucketed Harrell kernel, ≤ |cuts|+1
-    linear-shuffle passes); sampling stays this function's default because
-    score() tolerance is statistical anyway.
+    higher-order expression; the pairwise part is a self-join like
+    Harrell's.
     """
-    n = pred.count()
-    if n > exact_threshold:
-        pred = pred.sample(fraction=exact_threshold / n, seed=seed)
+    if mode not in ("auto", "pairwise", "exact", "sample"):
+        raise ValueError(f"concordance_td: unknown mode {mode!r}")
+    if mode in ("auto", "sample"):
+        n = pred.count()
+        if n > exact_threshold:
+            if mode == "auto":
+                mode = "exact"
+            else:
+                pred = pred.sample(fraction=exact_threshold / n, seed=seed)
+    if mode == "exact":
+        _, _, _, cidx = concordance_td_exact(
+            pred, time_col, event_col, surv_col, cuts
+        )
+        return float("nan") if cidx is None else float(cidx)
     cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
 
     def surv_at(surv, t):

@@ -982,3 +982,40 @@ def test_concordance_td_by_drops_null_rows_instead_of_crashing(spark):
         spark.createDataFrame(dirty, schema), "g", "t", "e", "s", cuts
     ).first()
     assert (a.n_comparable, a.c_index) == (b.n_comparable, b.c_index)
+
+
+def test_concordance_td_auto_routes_to_exact_above_gate(spark, surv_pdf):
+    """VERDICT r11 stretch #8: above the size gate concordance_td now
+    routes to the EXACT per-cut decomposition instead of sampling — the
+    routed value must equal the pairwise kernel (to the exact kernel's
+    6-digit rounding) at a threshold-boundary case, and mode='sample'
+    keeps the old estimator."""
+    from elastic_surv_spark.metrics.concordance import concordance_td
+
+    rng = np.random.default_rng(23)
+    cuts = np.quantile(surv_pdf["t"], np.linspace(0, 1, 6)).tolist()
+    n = len(surv_pdf)
+    base = rng.uniform(0.5, 1.0, (n, len(cuts)))
+    surv_matrix = np.round(np.minimum.accumulate(base, axis=1), 1)
+    pdf = surv_pdf.copy()
+    pdf["surv"] = [row.tolist() for row in surv_matrix]
+    df = spark.createDataFrame(pdf)
+
+    pairwise = concordance_td(df, "t", "e", "surv", cuts, mode="pairwise")
+    # exact_threshold below n forces the auto route onto the exact kernel
+    routed = concordance_td(
+        df, "t", "e", "surv", cuts, exact_threshold=n - 1, mode="auto"
+    )
+    assert abs(routed - round(pairwise, 6)) <= 5e-7, (routed, pairwise)
+    # boundary: exactly at the threshold the pairwise kernel still runs
+    at_gate = concordance_td(
+        df, "t", "e", "surv", cuts, exact_threshold=n, mode="auto"
+    )
+    assert at_gate == pairwise
+    # the sampling estimator is still reachable and statistically sane
+    sampled = concordance_td(
+        df, "t", "e", "surv", cuts, exact_threshold=n - 20, mode="sample"
+    )
+    assert 0.0 <= sampled <= 1.0
+    with pytest.raises(ValueError, match="unknown mode"):
+        concordance_td(df, "t", "e", "surv", cuts, mode="nope")
