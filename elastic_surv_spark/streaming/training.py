@@ -32,12 +32,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elastic_surv_spark.operators.quality_model import fixed_point_logistic_gd
-from elastic_surv_spark.streaming.ingest import _read_table_or_none
+from elastic_surv_spark.streaming.ingest import (
+    COMPACTED_BATCH_ID,
+    _fs_and_path,
+    _read_table_or_none,
+)
 
 __all__ = [
     "read_latest_weights",
     "training_batch_incremental",
     "run_incremental_training",
+    "compact_weights_table",
 ]
 
 
@@ -155,3 +160,71 @@ def run_incremental_training(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def compact_weights_table(
+    spark: SparkSession,
+    weights_path: str,
+    committed_batch_id: int,
+) -> int:
+    """Fold committed weight epochs into the consolidated ``_batch_id=-1``
+    partition — the ingest family's ``compact_history`` applied to the
+    training state, completing the symmetry (VERDICT r11 stretch #9): the
+    table otherwise grows one partition per epoch forever. Returns how
+    many epoch partitions were folded.
+
+    Unlike the row-union history fold, weight epochs SUPERSEDE each other:
+    the consolidated partition keeps exactly ONE row — the highest folded
+    epoch's state (a prior ``-1`` row participates and always loses to
+    any newer epoch, which is also what heals a promote-then-crash
+    overlap: re-folding the same epochs reproduces the same single row).
+
+    ``committed_batch_id`` must be a replay frontier (epochs strictly
+    below it can never re-run — ``latest_committed_batch`` + 1 offline).
+    Warm-start semantics are preserved by construction:
+    ``read_latest_weights`` orders by ``_batch_id`` and filters
+    ``< before_batch_id`` — the ``-1`` partition passes every replay
+    filter (a replayed LIVE epoch is ≥ the frontier > -1) and sorts below
+    every live epoch, so a post-fold replay reads exactly the state the
+    pre-fold table would have given it (byte-parity asserted in tests).
+    The folded row's ``n_rows`` keeps its epoch's batch size; the epoch
+    number itself is the one thing the fold forgets (reads from ``-1``
+    report epoch -1).
+    """
+    tbl = _read_table_or_none(spark, weights_path)
+    if tbl is None:
+        return 0
+    old = tbl.filter(F.col("_batch_id") < int(committed_batch_id))
+    old_ids = sorted(
+        r["_batch_id"]
+        for r in old.select("_batch_id").distinct().collect()  # bounded: epochs
+    )
+    fold_ids = [i for i in old_ids if i != COMPACTED_BATCH_ID]
+    if not fold_ids:
+        return 0
+
+    staging = f"{weights_path.rstrip('/')}.compact.tmp"
+    (
+        old.orderBy(F.col("_batch_id").desc())
+        .limit(1)  # the latest folded state supersedes everything below it
+        .drop("_batch_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    (
+        spark.read.parquet(staging)
+        .withColumn("_batch_id", F.lit(int(COMPACTED_BATCH_ID)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(weights_path)
+    )
+    fs, root = _fs_and_path(spark, weights_path)
+    for bid in fold_ids:
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(root, f"_batch_id={bid}"), True
+        )
+    stage_fs, stage_path = _fs_and_path(spark, staging)
+    stage_fs.delete(stage_path, True)
+    return len(fold_ids)

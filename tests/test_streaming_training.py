@@ -135,3 +135,63 @@ def test_training_empty_batch_carries_state_forward(spark, tmp_path):
 def test_read_latest_weights_requires_sizing_without_state(spark, tmp_path):
     with pytest.raises(ValueError, match="n_features"):
         read_latest_weights(spark, str(tmp_path / "nope"))
+
+
+def test_compact_weights_table_replay_byte_parity(spark, tmp_path):
+    """VERDICT r11 stretch #9: folding committed weight epochs into the
+    -1 partition keeps warm-start reads and crash replays byte-identical
+    — the epoch-per-partition state compacts like the ingest family's
+    history tables."""
+    from elastic_surv_spark.streaming.training import compact_weights_table
+
+    batches = _batches(seed=9, n_batches=4, n=60)
+    wpath = str(tmp_path / "weights")
+    for i, rows in enumerate(batches):
+        training_batch_incremental(
+            spark.createDataFrame(rows, SCHEMA), i, wpath, ["x0", "x1"], "y"
+        )
+    w_pre, b_pre, _ = read_latest_weights(spark, wpath, n_features=2)
+    # replay frontier: epochs 0-2 committed, epoch 3 still live
+    assert compact_weights_table(spark, wpath, committed_batch_id=3) == 3
+    ids = sorted(
+        r._batch_id for r in spark.read.parquet(wpath)
+        .select("_batch_id").distinct().collect()
+    )
+    assert ids == [-1, 3]
+    # latest state unchanged by the fold
+    assert read_latest_weights(spark, wpath, n_features=2)[:2] == (w_pre, b_pre)
+    # the -1 row is epoch 2's state exactly (the highest folded epoch)
+    w2, b2 = _local_mirror(batches[:3], steps=1)
+    folded = spark.read.parquet(wpath).filter(F.col("_batch_id") == -1).collect()
+    assert len(folded) == 1
+    assert (list(folded[0].weights_micro), folded[0].bias_micro) == (w2, b2)
+
+    # replay-after-compaction byte parity: re-running the live epoch 3
+    # (any number of times) reproduces the identical table — its
+    # exclude-own-epoch read now lands on the -1 partition
+    before = sorted(
+        (r._batch_id, list(r.weights_micro), r.bias_micro, r.n_rows)
+        for r in spark.read.parquet(wpath).collect()
+    )
+    for _ in range(2):
+        training_batch_incremental(
+            spark.createDataFrame(batches[3], SCHEMA), 3, wpath,
+            ["x0", "x1"], "y",
+        )
+    after = sorted(
+        (r._batch_id, list(r.weights_micro), r.bias_micro, r.n_rows)
+        for r in spark.read.parquet(wpath).collect()
+    )
+    assert after == before
+
+    # idempotent: re-folding with the same frontier is a no-op; folding
+    # the now-committed epoch 3 collapses the table to one -1 row whose
+    # state is the full-run final weights
+    assert compact_weights_table(spark, wpath, committed_batch_id=3) == 0
+    assert compact_weights_table(spark, wpath, committed_batch_id=4) == 1
+    allrows = spark.read.parquet(wpath).collect()
+    assert [r._batch_id for r in allrows] == [-1]
+    assert read_latest_weights(spark, wpath, n_features=2)[:2] == (w_pre, b_pre)
+
+    # empty / nothing-to-fold guards
+    assert compact_weights_table(spark, str(tmp_path / "nope"), 5) == 0
