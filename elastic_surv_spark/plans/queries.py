@@ -8296,6 +8296,18 @@ _RECERT_FIRST = {
     # are r10-green (not stale), and being r10-green they form the FRONT
     # of the r13 stale frontier by construction. Queue them for r13's
     # _RECERT_FIRST if any are not yet re-green by then.
+    #
+    # QUEUE FOR r13 (plans changed in r12; adding them NOW would claim r12
+    # front slots and push r9-stale rows out — the same deferral as above;
+    # every row below was value-verified at ALL THREE SFs in-round):
+    #   "segmented_cox_pipeline": 12,      # carry_cols dropped the re-join
+    #   "segmented_discrete_pipeline": 12, # carry_cols dropped the re-join
+    #   "user_peak_stateful_stream": 12,   # watermark-0 state-expiry fix
+    # embedding_pq_topk / embedding_ann_ivfpq (r12 bounded-tie shortlist)
+    # are r10-green and therefore lead the r13 stale frontier on their
+    # own; part_affinity_pairs (r12 lazy-checkpoint) is r9-stale and
+    # recertifies inside the r12 window itself. The r11→r12 td_auc trio
+    # above joins the r13 frontier the same way (r10-green).
 }
 
 
