@@ -2297,6 +2297,7 @@ def family_stages(name: str) -> list:
         "near_dedup_incremental_batch": [tokenize, exact, bandrows],
         "simhash_near_dupes": [tokenize, exact, sigs],
         "simhash_near_dupes_wide": [tokenize, exact, sigs],
+        "crosssource_dup_leakage": [tokenize, exact],  # r12: family member
         "doc_bpe_learned_merges": [bpe],
         "doc_bpe_tokenize_stats": [bpe],
         "doc_vocab_coverage": [vocab],
@@ -7049,15 +7050,17 @@ def crosssource_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpora).
 
     Scale: edges come from the exact inverted-index Jaccard plan (postings
-    join on 8-byte shingle hashes — O(postings + co-pairs), never n²);
-    the two doc_id→source resolutions are equi-joins on the pair ids
+    join on 8-byte shingle hashes — O(postings + co-pairs), never n²) —
+    specifically the session-shared dedup-family truth frame
+    (_EXACT_PAIRS, identical parameters n=3/threshold=0.5), so this row
+    re-tokenizes nothing the family already built (r12; it previously
+    rebuilt the whole postings derivation privately). The two
+    doc_id→source resolutions are equi-joins on the pair ids
     (output-size-bound), and the final matrix is |sources|² rows.
     """
-    from elastic_surv_spark.operators.dedup_fuzzy import shingle_jaccard_pairs
-
     d = _t(spark, sf_dir, "documents")
     src = d.select("doc_id", "source")
-    pairs = shingle_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = _exact_dup_pairs(spark, sf_dir)
     return (
         pairs.select("id_a", "id_b")
         .join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")), "id_a")
