@@ -5857,6 +5857,11 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct("spend", "c_custkey").alias("_ord"),
             F.lit(1).alias("_one"),
         )
+        # three consumers (the sharded cumsum's two passes + the total
+        # count) each re-ran the join+aggregate: 3 orders scans → 1 (r12,
+        # the part_affinity_pairs recipe); LAZY so the work stays on the
+        # measured clock
+        .localCheckpoint(eager=False)
     )
     ranked = sharded_cumsum(
         spend,
@@ -7284,6 +7289,10 @@ def embedding_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(dec(F.col("x")).alias("_sx"))
         .join(F.broadcast(nlab), "label")
         .select("label", "idx", (F.col("_sx") / F.col("nl")).alias("c"))
+        # tiny (labels × dims rows) but its two consumers (the norm agg
+        # and the membership join) each re-ran the exploded corpus
+        # aggregate behind it: 3 embeddings scans → 2 (r12)
+        .localCheckpoint(eager=False)
     )
     cn = cent.groupBy("label").agg(dec(F.col("c") * F.col("c")).alias("cn2"))
     mem = (
