@@ -4,7 +4,10 @@ exactly-once state — online learning joining the exactly-once ingest family
 (``operators/quality_model.py:fixed_point_logistic_gd``).
 
 The model state is an epoch-partitioned weights table, one row per epoch:
-``(weights_micro array<long>, bias_micro long, n_rows long, _batch_id)``.
+``(weights_micro array<long>, bias_micro long, n_rows long, epoch,
+_batch_id)`` — ``epoch`` rides as a data column so the compaction fold
+(``compact_weights_table``) keeps the true epoch while the partition
+collapses to ``-1``.
 Epoch *k* warm-starts from the LAST COMMITTED epoch strictly below *k*
 (exclude-own-epoch read, exactly like ``_read_history``), runs
 ``steps_per_batch`` integer-exact GD steps on the micro-batch, and
@@ -56,15 +59,21 @@ def read_latest_weights(
     highest epoch row (optionally strictly below ``before_batch_id`` — the
     exclude-own-epoch read a replayed batch needs). Returns zeros and epoch
     ``-1`` when no state exists yet (``n_features`` sizes the zero vector;
-    required in that case)."""
+    required in that case).
+
+    Filtering and ordering use the ``epoch`` DATA column, not the
+    ``_batch_id`` partition: the two agree on live epoch rows, but the
+    compacted ``-1`` partition keeps the folded state's true epoch
+    (r12), so reads after a fold report the real epoch and the
+    exclude-own-epoch comparison stays exact."""
     tbl = _read_table_or_none(spark, weights_path)
     if tbl is not None and before_batch_id is not None:
-        tbl = tbl.filter(F.col("_batch_id") < int(before_batch_id))
+        tbl = tbl.filter(F.col("epoch") < int(before_batch_id))
     row = (
         None
         if tbl is None
         else (
-            tbl.orderBy(F.col("_batch_id").desc()).limit(1).collect() or [None]
+            tbl.orderBy(F.col("epoch").desc()).limit(1).collect() or [None]
         )[0]  # bounded: one row — the state is one weight vector per epoch
     )
     if row is None:
@@ -74,7 +83,7 @@ def read_latest_weights(
                 "to size the zero init"
             )
         return [0] * int(n_features), 0, -1
-    return list(row["weights_micro"]), int(row["bias_micro"]), int(row["_batch_id"])
+    return list(row["weights_micro"]), int(row["bias_micro"]), int(row["epoch"])
 
 
 def training_batch_incremental(
@@ -117,8 +126,11 @@ def training_batch_incremental(
     finally:
         batch_df.unpersist()
     row = spark.createDataFrame(
-        [(w, b, int(n_rows), int(batch_id))],
-        "weights_micro array<long>, bias_micro long, n_rows long, _batch_id int",
+        # epoch rides as a DATA column too: the compaction fold keeps it
+        # while the _batch_id partition collapses to -1 (r12)
+        [(w, b, int(n_rows), int(batch_id), int(batch_id))],
+        "weights_micro array<long>, bias_micro long, n_rows long,"
+        " epoch int, _batch_id int",
     )
     (
         row.write.mode("overwrite")
@@ -182,14 +194,11 @@ def compact_weights_table(
     ``committed_batch_id`` must be a replay frontier (epochs strictly
     below it can never re-run — ``latest_committed_batch`` + 1 offline).
     Warm-start semantics are preserved by construction:
-    ``read_latest_weights`` orders by ``_batch_id`` and filters
-    ``< before_batch_id`` — the ``-1`` partition passes every replay
-    filter (a replayed LIVE epoch is ≥ the frontier > -1) and sorts below
-    every live epoch, so a post-fold replay reads exactly the state the
-    pre-fold table would have given it (byte-parity asserted in tests).
-    The folded row's ``n_rows`` keeps its epoch's batch size; the epoch
-    number itself is the one thing the fold forgets (reads from ``-1``
-    report epoch -1).
+    ``read_latest_weights`` orders and filters on the ``epoch`` DATA
+    column, which the fold KEEPS (the ``-1`` partition's single row
+    carries its true epoch and batch size), so a post-fold replay reads
+    exactly the state the pre-fold table would have given it — byte
+    parity asserted in tests — and audit reads still see the real epoch.
     """
     tbl = _read_table_or_none(spark, weights_path)
     if tbl is None:
@@ -205,7 +214,7 @@ def compact_weights_table(
 
     staging = f"{weights_path.rstrip('/')}.compact.tmp"
     (
-        old.orderBy(F.col("_batch_id").desc())
+        old.orderBy(F.col("epoch").desc())
         .limit(1)  # the latest folded state supersedes everything below it
         .drop("_batch_id")
         .coalesce(1)

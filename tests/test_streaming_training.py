@@ -158,13 +158,15 @@ def test_compact_weights_table_replay_byte_parity(spark, tmp_path):
         .select("_batch_id").distinct().collect()
     )
     assert ids == [-1, 3]
-    # latest state unchanged by the fold
-    assert read_latest_weights(spark, wpath, n_features=2)[:2] == (w_pre, b_pre)
-    # the -1 row is epoch 2's state exactly (the highest folded epoch)
+    # latest state (and its true epoch) unchanged by the fold
+    assert read_latest_weights(spark, wpath, n_features=2) == (w_pre, b_pre, 3)
+    # the -1 row is epoch 2's state exactly (the highest folded epoch),
+    # and the fold KEEPS the true epoch as a data column (audit trail)
     w2, b2 = _local_mirror(batches[:3], steps=1)
     folded = spark.read.parquet(wpath).filter(F.col("_batch_id") == -1).collect()
     assert len(folded) == 1
     assert (list(folded[0].weights_micro), folded[0].bias_micro) == (w2, b2)
+    assert folded[0].epoch == 2
 
     # replay-after-compaction byte parity: re-running the live epoch 3
     # (any number of times) reproduces the identical table — its
@@ -191,7 +193,8 @@ def test_compact_weights_table_replay_byte_parity(spark, tmp_path):
     assert compact_weights_table(spark, wpath, committed_batch_id=4) == 1
     allrows = spark.read.parquet(wpath).collect()
     assert [r._batch_id for r in allrows] == [-1]
-    assert read_latest_weights(spark, wpath, n_features=2)[:2] == (w_pre, b_pre)
+    # fully folded: one -1 row, still reporting the run's final epoch
+    assert read_latest_weights(spark, wpath, n_features=2) == (w_pre, b_pre, 3)
 
     # empty / nothing-to-fold guards
     assert compact_weights_table(spark, str(tmp_path / "nope"), 5) == 0
