@@ -873,6 +873,169 @@ def certified_quality_training_by_sql(
     )
 
 
+def certified_quality_eval_by(
+    df: DataFrame,
+    segment_col: str,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+    all_segment: str = "__all__",
+    round_to: int = 6,
+) -> DataFrame:
+    """The certified train→score→MEASURE loop in one frame (the
+    ``segmented_cox_pipeline`` shape applied to the integer-GD family,
+    pre-assembled for the r13 registry row): per segment (plus the
+    synthetic whole-corpus ``all_segment``), train the fixed-point model
+    (:func:`fixed_point_logistic_gd_by` over the self-unioned feature
+    frame), score EVERY document under its segment's weights
+    (:func:`fixed_point_logit_scores_by` — broadcast join, exp-free
+    rational sigmoid rounded at ``round_to``), and evaluate with the
+    tie-aware rank AUC. Output: ``(segment, n_docs, n_pos, auc)`` with
+    ``auc`` NULL for one-class segments.
+
+    Why the AUC certifies exactly: scores are rounded doubles identical
+    across engines; tie-aware average ranks are min-rank + (ties−1)/2 —
+    integers and halves, exact in IEEE; the AUC is then ONE division of
+    exact sums, rounded at ``round_to``
+    (:func:`certified_quality_eval_by_sql` is the DuckDB twin). Labels
+    must be 0/1 (``n_pos`` sums them).
+
+    Scale: one lazy-checkpointed tokenize pass feeds trainer AND scorer;
+    training is ``steps`` grouped integer aggregates; scoring is a
+    broadcast join + map; the AUC is one window rank over
+    (segment, score) and one grouped aggregate — no pairwise join
+    anywhere.
+    """
+    from pyspark.sql import Window
+
+    feats = [f"x{j}" for j in range(n_buckets)]
+    frame = quality_feature_frame(
+        df,
+        id_col,
+        text_col,
+        label_col=label_col,
+        n_buckets=n_buckets,
+        carry_cols=[segment_col],
+    )
+    per = frame.select(
+        F.col(segment_col).cast("string").alias("segment"),
+        label_col,
+        *feats,
+    )
+    alls = frame.select(
+        F.lit(all_segment).alias("segment"), label_col, *feats
+    )
+    # one tokenize pass for BOTH the trainer (which persists its own
+    # projection) and the scoring read below
+    uni = per.unionByName(alls).localCheckpoint(eager=False)
+    weights = fixed_point_logistic_gd_by(
+        uni, "segment", feats, label_col, steps=steps, lr_micro=lr_micro
+    )
+    scored = fixed_point_logit_scores_by(
+        uni, weights, "segment", feats, round_to=round_to
+    )
+    w_rank = Window.partitionBy("segment").orderBy("score")
+    w_ties = Window.partitionBy("segment", "score")
+    avg_rank = (
+        F.rank().over(w_rank).cast("double")
+        + (F.count("*").over(w_ties).cast("double") - 1.0) / 2.0
+    )
+    per_doc = scored.select(
+        "segment", F.col(label_col).cast("long").alias("_y"),
+        avg_rank.alias("_r"),
+    )
+    npos = F.sum("_y")
+    n = F.count("*")
+    sum_r_pos = F.sum(F.when(F.col("_y") == 1, F.col("_r")))
+    agg = per_doc.groupBy("segment").agg(
+        n.cast("long").alias("n_docs"),
+        npos.cast("long").alias("n_pos"),
+        sum_r_pos.alias("_srp"),
+    )
+    pos, tot = F.col("n_pos"), F.col("n_docs")
+    auc = F.round(
+        (F.col("_srp") - pos * (pos + 1) / F.lit(2.0))
+        / (pos * (tot - pos)).cast("double"),
+        round_to,
+    )
+    return agg.select(
+        "segment",
+        "n_docs",
+        "n_pos",
+        F.when((pos > 0) & (pos < tot), auc).alias("auc"),
+    )
+
+
+def certified_quality_eval_by_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_expr: str = "label",
+    segment_expr: str = "source",
+    n_buckets: int = 64,
+    steps: int = 8,
+    lr_micro: int = 500_000,
+    all_segment: str = "__all__",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`certified_quality_eval_by`: the training
+    chain of :func:`certified_quality_training_by_sql` extended with the
+    scoring join (the SAME left-associated logit expression the Spark
+    scorer uses, through the rational sigmoid, rounded) and the tie-aware
+    rank-AUC aggregate. Output rows must hash-match the Spark frame."""
+    feats = [f"x{j}" for j in range(n_buckets)]
+    chain = certified_quality_training_by_sql(
+        source,
+        id_col,
+        text_col,
+        label_expr=label_expr,
+        segment_expr=segment_expr,
+        n_buckets=n_buckets,
+        steps=steps,
+        lr_micro=lr_micro,
+        all_segment=all_segment,
+    )
+    # strip the chain's final SELECT (keep the CTE list) and join the
+    # LAST weights CTE w<steps> (columns w<j>, b) onto the feature union
+    head, _, _ = chain.rpartition("\nSELECT ")
+    terms = " + ".join(
+        f"(w.w{j} / 1000000.0) * f.{c}" for j, c in enumerate(feats)
+    )
+    z = f"{terms} + w.b / 1000000.0"
+    return (
+        head
+        + f""",
+    _scored AS (
+        SELECT f.segment, f.label,
+               round(0.5 + (0.5 * ({z})) / (1.0 + abs({z})), {round_to})
+                   AS score
+        FROM _qfeat f JOIN w{steps} w ON f.segment = w.segment
+    ), _ranked AS (
+        SELECT segment, label,
+               CAST(rank() OVER (PARTITION BY segment ORDER BY score)
+                    AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY segment, score)
+                       AS DOUBLE) - 1.0) / 2.0 AS r
+        FROM _scored
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CASE WHEN sum(label) > 0 AND sum(label) < count(*)
+                THEN round((sum(CASE WHEN label = 1 THEN r END)
+                            - sum(label) * (sum(label) + 1) / 2.0)
+                           / CAST(sum(label) * (count(*) - sum(label))
+                                  AS DOUBLE), {round_to})
+                END AS auc
+    FROM _ranked
+    GROUP BY segment
+    """
+    )
+
+
 def fixed_point_logistic_gd_by(
     df: DataFrame,
     group_col: str,

@@ -794,3 +794,97 @@ def test_certified_quality_training_by_parity_and_all_law(spark):
         np.round(np.asarray(w) * 1e6).astype(np.int64)
     )
     assert allrow.bias_micro == round(b * 1e6)
+
+
+def test_certified_quality_eval_by_parity_and_auc_truth(spark):
+    """certified_quality_eval_by closes the train→score→measure loop for
+    the integer-GD family (the r13 registry-row kernel, pre-assembled):
+    per-segment + '__all__' tie-aware rank AUC over certified scores,
+    hash-exact across engines, equal to a local numpy AUC on the same
+    rounded scores, NULL for one-class segments."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_eval_by,
+        certified_quality_eval_by_sql,
+    )
+
+    rng = random.Random(11)
+    vocab = ["alpha beta gamma delta".split(), "zork quux fnord blip".split()]
+    rows = []
+    for i in range(300):
+        noisy = rng.random() < 0.25  # 25% label noise → AUC in (0.5, 1)
+        v = i % 2
+        rows.append(
+            (
+                i,
+                " ".join(rng.choice(vocab[v]) for _ in range(12)),
+                f"s{i % 3}",  # segments independent of the label signal
+                v ^ int(noisy),
+            )
+        )
+    rows += [(900 + i, "alpha beta", "s9", 1) for i in range(5)]  # one-class
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "src", "label"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        certified_quality_eval_by(df, "src", "label", n_buckets=8, steps=4)
+        .toPandas()
+        .sort_values("segment", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        certified_quality_eval_by_sql(
+            "documents", "doc_id", "text", "label", "src",
+            n_buckets=8, steps=4,
+        )
+        + " ORDER BY segment"
+    ).df()
+    assert got.columns.tolist() == want.columns.tolist()
+    assert set(got.segment) == {"__all__", "s0", "s1", "s2", "s9"}
+    for c in ("n_docs", "n_pos"):
+        assert got[c].tolist() == want[c].astype(got[c].dtype).tolist()
+    same_auc = (got.auc.isna() & want.auc.isna()) | (got.auc == want.auc)
+    assert same_auc.all(), (got.auc, want.auc)
+    assert got[got.segment == "s9"].auc.isna().all()  # one-class → NULL
+    aucs = got[got.segment != "s9"].auc
+    assert (aucs > 0.6).all() and (aucs < 1.0).all(), aucs  # learned, noisy
+
+    # truth: numpy tie-aware rank AUC over the SAME certified scores
+    import numpy as np
+
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_by,
+        fixed_point_logit_scores_by,
+        quality_feature_frame,
+    )
+    from pyspark.sql import functions as F
+
+    feats = [f"x{j}" for j in range(8)]
+    frame = quality_feature_frame(
+        df, label_col="label", n_buckets=8, carry_cols=["src"]
+    )
+    wdf = certified_quality_training_by(df, "src", "label", n_buckets=8, steps=4)
+    seg = frame.select(
+        F.col("src").cast("string").alias("segment"), "label", *feats
+    ).filter(F.col("segment") == "s1")
+    sc = fixed_point_logit_scores_by(seg, wdf, "segment", feats).toPandas()
+    s, y = sc.score.to_numpy(), sc.label.to_numpy()
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s))
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average of ranks i+1..j
+        i = j
+    npos = int(y.sum())
+    auc_np = (ranks[y == 1].sum() - npos * (npos + 1) / 2.0) / (
+        npos * (len(y) - npos)
+    )
+    assert round(auc_np, 6) == got[got.segment == "s1"].auc.iloc[0]
