@@ -800,10 +800,12 @@ def certified_quality_training_by(
     int64 — cross-engine hash parity needs no float rounding at all
     (:func:`certified_quality_training_by_sql` is the mirror).
 
-    Scale: one Arrow tokenize pass per union branch at cache-fill (the
-    trainer persists the union internally; segments bounded by the
-    registry rule), then ``steps`` map-side-combined grouped integer
-    aggregates — NO group has to fit one task.
+    Scale: ONE Arrow tokenize pass total — the feature frame is
+    lazy-checkpointed BEFORE the self-union, so the union's two branches
+    read the checkpoint instead of each re-running the tokenize (caught
+    by the round's own review; scan-count-guarded in tests). Then
+    ``steps`` map-side-combined grouped integer aggregates — NO group has
+    to fit one task.
     """
     feats = [f"x{j}" for j in range(n_buckets)]
     frame = quality_feature_frame(
@@ -813,7 +815,7 @@ def certified_quality_training_by(
         label_col=label_col,
         n_buckets=n_buckets,
         carry_cols=[segment_col],
-    )
+    ).localCheckpoint(eager=False)
     per = frame.select(
         F.col(segment_col).cast("string").alias("segment"), label_col, *feats
     )
@@ -912,6 +914,8 @@ def certified_quality_eval_by(
     from pyspark.sql import Window
 
     feats = [f"x{j}" for j in range(n_buckets)]
+    # lazy-checkpoint BEFORE the union: one tokenize pass total for the
+    # trainer, the scorer, and both union branches
     frame = quality_feature_frame(
         df,
         id_col,
@@ -919,7 +923,7 @@ def certified_quality_eval_by(
         label_col=label_col,
         n_buckets=n_buckets,
         carry_cols=[segment_col],
-    )
+    ).localCheckpoint(eager=False)
     per = frame.select(
         F.col(segment_col).cast("string").alias("segment"),
         label_col,
@@ -928,8 +932,6 @@ def certified_quality_eval_by(
     alls = frame.select(
         F.lit(all_segment).alias("segment"), label_col, *feats
     )
-    # one tokenize pass for BOTH the trainer (which persists its own
-    # projection) and the scoring read below
     uni = per.unionByName(alls).localCheckpoint(eager=False)
     weights = fixed_point_logistic_gd_by(
         uni, "segment", feats, label_col, steps=steps, lr_micro=lr_micro

@@ -888,3 +888,38 @@ def test_certified_quality_eval_by_parity_and_auc_truth(spark):
         npos * (len(y) - npos)
     )
     assert round(auc_np, 6) == got[got.segment == "s1"].auc.iloc[0]
+
+
+def test_certified_fleet_training_tokenizes_once(spark):
+    """The fleet assemblies' self-union must not double the tokenize: the
+    feature frame lazy-checkpoints BEFORE the union, so the corpus source
+    is evaluated ~once even though the union reads the features twice
+    (caught by the r12 self-review; the accumulator pattern from the GD
+    scan-count guards)."""
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_by,
+    )
+
+    rows = _corpus(seed=13, n_clean=80, n_noisy=80)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "label"])
+    pdf["src"] = (pdf.doc_id % 3).map(lambda v: f"s{v}")
+    src = spark.createDataFrame(pdf)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    counted = src.mapInPandas(counting, schema=src.schema)
+    out = certified_quality_training_by(
+        counted, "src", "label", n_buckets=8, steps=3
+    ).collect()
+    assert len(out) == 4  # 3 segments + __all__
+    n = len(pdf)
+    # the un-fixed union shape evaluates the source exactly 2n (one per
+    # branch) — the bound must sit strictly below that to discriminate;
+    # 1.5n absorbs a recomputed partition without admitting a full rescan
+    assert n <= acc.value <= 1.5 * n, acc.value
