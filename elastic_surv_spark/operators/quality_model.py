@@ -1002,7 +1002,10 @@ def certified_quality_eval_by_sql(
     )
     # strip the chain's final SELECT (keep the CTE list) and join the
     # LAST weights CTE w<steps> (columns w<j>, b) onto the feature union
-    head, _, _ = chain.rpartition("\nSELECT ")
+    head, sep, _ = chain.rpartition("\nSELECT ")
+    # the final SELECT is the only line-leading one (CTE bodies indent
+    # theirs) — guard the splice against a future formatting change
+    assert sep and head.rstrip().endswith(")"), "unexpected chain shape"
     terms = " + ".join(
         f"(w.w{j} / 1000000.0) * f.{c}" for j, c in enumerate(feats)
     )
