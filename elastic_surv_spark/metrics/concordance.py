@@ -157,6 +157,27 @@ def _bucketed_frames(
     return grid, local, n_tb
 
 
+def _grid_dominance(G: np.ndarray, GE: np.ndarray) -> tuple[int, int]:
+    """Cross-bucket (class 2+3) counts from the (time-bucket × risk-bucket)
+    occupancy grid: ``comparable`` = events × rows in strictly later time
+    buckets (any risk bucket), ``concordant`` = events × rows in strictly
+    later time AND strictly lower risk buckets (a lower risk BUCKET implies
+    a strictly lower risk VALUE — the bucket map is monotone — so no tie
+    can cross buckets). ONE kernel shared by the single-population and the
+    grouped bucketed paths (the _masked_harrell_sweep discipline)."""
+    n_tb = G.shape[0]
+    rows_per_tb = G.sum(axis=1)
+    events_per_tb = GE.sum(axis=1)
+    later_rows = np.concatenate([np.cumsum(rows_per_tb[::-1])[::-1][1:], [0]])
+    comparable3 = int((events_per_tb * later_rows).sum())
+    later_G = np.zeros_like(G)  # later_G[k, c] = Σ_{l>k} G[l, c]
+    if n_tb > 1:
+        later_G[:-1] = np.cumsum(G[::-1], axis=0)[::-1][1:]
+    prefix_later = np.cumsum(later_G, axis=1)  # Σ_{c'<=c}
+    conc3 = int((GE[:, 1:] * prefix_later[:, :-1]).sum())  # strictly lower rb
+    return comparable3, conc3
+
+
 def harrell_cindex_counts_bucketed(
     df: DataFrame,
     time_col: str,
@@ -179,16 +200,7 @@ def harrell_cindex_counts_bucketed(
     for row in grid:
         G[row["tb"], row["rb"]] = row["n"]
         GE[row["tb"], row["rb"]] = row["ne"]
-    rows_per_tb = G.sum(axis=1)
-    events_per_tb = GE.sum(axis=1)
-    later_rows = np.concatenate([np.cumsum(rows_per_tb[::-1])[::-1][1:], [0]])
-    comparable3 = int((events_per_tb * later_rows).sum())  # class 2+3 comparable
-    # concordant: event in (tb=k, rb=c) × rows in (tb>k, rb<c)
-    later_G = np.zeros_like(G)  # later_G[k, c] = Σ_{l>k} G[l, c]
-    if n_tb > 1:
-        later_G[:-1] = np.cumsum(G[::-1], axis=0)[::-1][1:]
-    prefix_later = np.cumsum(later_G, axis=1)  # Σ_{c'<=c}
-    conc3 = int((GE[:, 1:] * prefix_later[:, :-1]).sum())  # strictly lower risk bucket
+    comparable3, conc3 = _grid_dominance(G, GE)
 
     local = local_df.first()
     comparable = int(local["c1"] or 0) + comparable3
@@ -286,6 +298,121 @@ def harrell_cindex_by(
     counts = base.groupBy("_g").applyInPandas(
         sweep,
         schema=f"_g {gtype}, n_comparable long, n_concordant long, n_tied long",
+    )
+    c = F.when(
+        F.col("n_comparable") > 0,
+        (F.col("n_concordant") + 0.5 * F.col("n_tied")) / F.col("n_comparable"),
+    )
+    if round_to is not None:
+        c = F.round(c, round_to)
+    return counts.select(
+        F.col("_g").alias(group_col),
+        "n_comparable",
+        "n_concordant",
+        "n_tied",
+        c.alias("c_index"),
+    )
+
+
+def harrell_cindex_by_bucketed(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+    risk_col: str,
+    n_buckets: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group EXACT Harrell C for cohorts too big for one task — the
+    bucketed decomposition of ``harrell_cindex_counts_bucketed`` grouped:
+    ``(group, n_comparable, n_concordant, n_tied, c_index)``, identical
+    counts to ``harrell_cindex_by`` (asserted in tests), but NO grouped-map
+    task ever holds a whole cohort:
+
+    - class 1 (same time bucket): one ``_local_harrell`` sweep per
+      (group, tb) slice — ~cohort/n_buckets rows per task;
+    - class 2 (same risk bucket): one ``_local_cross_time`` sweep per
+      (group, rb) slice — same bound;
+    - class 2+3 cross-bucket: the per-group occupancy GRID (≤ n_buckets²
+      rows per group BY CONSTRUCTION, independent of cohort size) through
+      the shared :func:`_grid_dominance` kernel — distributed as a
+      grouped map over the grid, never a driver collect.
+
+    So the scale contract improves from "one GROUP fits one task"
+    (``harrell_cindex_by``) to "one group's 1/n_buckets BUCKET SLICE fits
+    one task" — raise ``n_buckets`` for bigger cohorts. Bucket boundaries
+    are GLOBAL approx-quantiles (one pass); the decomposition is exact for
+    ANY boundaries, so per-group skew affects balance, never counts.
+    Rows with NULL time or risk are excluded up front (the EVERY-mode
+    convention); ``c_index`` is NULL for groups with no comparable pair.
+    """
+    gtype = df.schema[group_col].dataType.simpleString()
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(risk_col).cast("double").alias("r"),
+    ).where(F.col("t").isNotNull() & F.col("r").isNotNull())
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    tb_bounds, rb_bounds = (
+        base.stat.approxQuantile(["t", "r"], probs, 0.001) if probs else ([], [])
+    )
+    tb_bounds = sorted(set(tb_bounds))
+    rb_bounds = sorted(set(rb_bounds))
+    n_tb = len(tb_bounds) + 1
+    tagged = base.select(
+        "_g", "t", "e", "r",
+        _bucket(F.col("t"), tb_bounds).alias("tb"),
+        _bucket(F.col("r"), rb_bounds).alias("rb"),
+    )
+    schema = (
+        f"_g {gtype}, n_comparable long, n_concordant long, n_tied long"
+    )
+
+    def _carry(fn):
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = fn(pdf)
+            out.insert(0, "_g", pdf["_g"].iloc[0])
+            return out
+
+        return run
+
+    part1 = tagged.groupBy("_g", "tb").applyInPandas(
+        _carry(_local_harrell), schema=schema
+    )
+    part2 = tagged.groupBy("_g", "rb").applyInPandas(
+        _carry(lambda pdf: _local_cross_time(pdf, n_tb)), schema=schema
+    )
+    grid = tagged.groupBy("_g", "tb", "rb").agg(
+        F.count("*").alias("n"), F.sum("e").alias("ne")
+    )
+
+    def grid_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_rb = int(pdf["rb"].max()) + 1
+        G = np.zeros((n_tb, n_rb), dtype=np.int64)
+        GE = np.zeros((n_tb, n_rb), dtype=np.int64)
+        G[pdf["tb"], pdf["rb"]] = pdf["n"]
+        GE[pdf["tb"], pdf["rb"]] = pdf["ne"]
+        comparable3, conc3 = _grid_dominance(G, GE)
+        return pd.DataFrame(
+            {
+                "_g": [pdf["_g"].iloc[0]],
+                "n_comparable": [comparable3],
+                "n_concordant": [conc3],
+                "n_tied": [0],
+            }
+        )
+
+    part3 = grid.groupBy("_g").applyInPandas(grid_part, schema=schema)
+    counts = (
+        part1.unionByName(part2)
+        .unionByName(part3)
+        .groupBy("_g")
+        .agg(
+            F.sum("n_comparable").alias("n_comparable"),
+            F.sum("n_concordant").alias("n_concordant"),
+            F.sum("n_tied").alias("n_tied"),
+        )
     )
     c = F.when(
         F.col("n_comparable") > 0,

@@ -1019,3 +1019,58 @@ def test_concordance_td_auto_routes_to_exact_above_gate(spark, surv_pdf):
     assert 0.0 <= sampled <= 1.0
     with pytest.raises(ValueError, match="unknown mode"):
         concordance_td(df, "t", "e", "surv", cuts, mode="nope")
+
+
+def test_harrell_cindex_by_bucketed_equals_grouped_map(spark):
+    """harrell_cindex_by_bucketed removes the group-fits-one-task limit
+    (per-(group, bucket) slices + a per-group grid kernel, never a whole
+    cohort in one task): integer-identical counts to harrell_cindex_by on
+    grouped data with planted ties and NULLs, and to the ungrouped
+    bucketed kernel on a single-group frame."""
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.concordance import (
+        harrell_cindex_by,
+        harrell_cindex_by_bucketed,
+        harrell_cindex_counts,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 2400
+    pdf = pd.DataFrame(
+        {
+            "g": (np.arange(n) % 4).astype("int32"),
+            "t": np.round(rng.weibull(1.2, n) * 10, 1),  # heavy time ties
+            "e": rng.binomial(1, 0.6, n),
+            "r": np.round(rng.normal(size=n), 1),  # heavy risk ties
+        }
+    )
+    # informative risk in two groups, anti-informative in one
+    pdf.loc[pdf.g == 0, "r"] = np.round(-pdf.loc[pdf.g == 0, "t"] / 10, 1)
+    pdf.loc[pdf.g == 1, "r"] = np.round(pdf.loc[pdf.g == 1, "t"] / 10, 1)
+    df = spark.createDataFrame(pdf)
+    # NULL conventions: both paths must drop these rows identically
+    nulls = spark.createDataFrame(
+        [(0, None, 1, 0.5), (1, 3.0, 1, None)],
+        "g int, t double, e int, r double",
+    )
+    df = df.unionByName(nulls)
+
+    want = {
+        r.g: (r.n_comparable, r.n_concordant, r.n_tied, r.c_index)
+        for r in harrell_cindex_by(df, "g", "t", "e", "r").collect()
+    }
+    got = {
+        r.g: (r.n_comparable, r.n_concordant, r.n_tied, r.c_index)
+        for r in harrell_cindex_by_bucketed(
+            df, "g", "t", "e", "r", n_buckets=16
+        ).collect()
+    }
+    assert got == want and len(got) == 4
+
+    # single group ≡ the ungrouped bucketed kernel
+    one = df.filter("g = 2")
+    row = harrell_cindex_counts(one, "t", "e", "r", mode="bucketed").first()
+    assert got[2] == (
+        row.n_comparable, row.n_concordant, row.n_tied, row.c_index
+    )
