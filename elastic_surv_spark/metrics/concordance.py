@@ -602,6 +602,110 @@ def concordance_td_by(
     )
 
 
+def concordance_td_exact_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    event_col: str,
+    surv_col: str,
+    cuts: list[float],
+    n_buckets: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group EXACT Antolini td-concordance at ANY cohort size — the
+    per-cut decomposition of :func:`concordance_td_exact` composed with
+    the grouped bucketed kernel (:func:`harrell_cindex_by_bucketed`), so
+    unlike :func:`concordance_td_by` (one grouped-map sweep per cohort)
+    NO task ever holds a whole cohort: each of the ≤ |cuts|+1 occupied
+    cut indices contributes one grouped bucketed pass whose tasks are
+    (group, bucket) slices and per-group grids. Returns ``(group,
+    n_comparable, n_concordant, n_tied, c_index)`` — integer-identical to
+    ``concordance_td_by`` (asserted in tests); ``c_index`` NULL for
+    groups with no comparable pair.
+
+    Same EVERY-mode NULL convention as ``concordance_td_by``: rows with a
+    NULL time or NULL curve are dropped up front. The input persists
+    across the cut passes and releases in ``finally``.
+    """
+    cuts_lit = F.array(*[F.lit(float(c)) for c in cuts])
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(surv_col).alias("s"),
+        (
+            F.size(
+                F.filter(cuts_lit, lambda c: c <= F.col(time_col).cast("double"))
+            )
+            - 1
+        ).alias("_gidx"),
+    ).where(F.col("t").isNotNull() & F.col("s").isNotNull()).persist()
+    try:
+        occupied = [
+            int(r["_gidx"])
+            for r in base.filter(F.col("e") == 1)
+            .select("_gidx")
+            .distinct()
+            .collect()  # bounded: <= |cuts| + 1 rows
+        ]
+        parts = []
+        for g in sorted(occupied):
+            sub = base.select(
+                "_g",
+                "t",
+                ((F.col("e") == 1) & (F.col("_gidx") == g))
+                .cast("int")
+                .alias("_eg"),
+                (
+                    -F.element_at("s", g + 1)
+                    if g >= 0
+                    else F.lit(1.0)  # before the first cut S ≡ 1: all tied
+                ).alias("_r"),
+            )
+            parts.append(
+                harrell_cindex_by_bucketed(
+                    sub, "_g", "t", "_eg", "_r",
+                    n_buckets=n_buckets, round_to=None,
+                ).select("_g", "n_comparable", "n_concordant", "n_tied")
+            )
+        if not parts:
+            gtype = df.schema[group_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [],
+                f"{group_col} {gtype}, n_comparable long, n_concordant long,"
+                " n_tied long, c_index double",
+            )
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        counts = acc.groupBy("_g").agg(
+            F.sum("n_comparable").alias("n_comparable"),
+            F.sum("n_concordant").alias("n_concordant"),
+            F.sum("n_tied").alias("n_tied"),
+        )
+        c = F.when(
+            F.col("n_comparable") > 0,
+            (F.col("n_concordant") + 0.5 * F.col("n_tied"))
+            / F.col("n_comparable"),
+        )
+        if round_to is not None:
+            c = F.round(c, round_to)
+        out = counts.select(
+            F.col("_g").alias(group_col),
+            "n_comparable",
+            "n_concordant",
+            "n_tied",
+            c.alias("c_index"),
+        )
+        # materialize before releasing the persisted base: the cut passes
+        # collect small count frames, but `out` is lazy
+        return df.sparkSession.createDataFrame(
+            out.collect(), schema=out.schema
+        )
+    finally:
+        base.unpersist()
+
+
 def _masked_harrell_sweep(
     t: np.ndarray, ev_mask: np.ndarray, r: np.ndarray
 ) -> tuple[int, int, int]:

@@ -1074,3 +1074,47 @@ def test_harrell_cindex_by_bucketed_equals_grouped_map(spark):
     assert got[2] == (
         row.n_comparable, row.n_concordant, row.n_tied, row.c_index
     )
+
+
+def test_concordance_td_exact_by_equals_grouped_map(spark, surv_pdf):
+    """concordance_td_exact_by (per-cut decomposition × grouped bucketed
+    kernel — per-cohort Antolini with no whole-cohort task): integer-
+    identical to concordance_td_by on grouped curves with ties, and a
+    single-group frame reproduces concordance_td_exact."""
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.concordance import (
+        concordance_td_by,
+        concordance_td_exact,
+        concordance_td_exact_by,
+    )
+
+    rng = np.random.default_rng(31)
+    cuts = np.quantile(surv_pdf["t"], np.linspace(0, 1, 5)).tolist()
+    frames = []
+    for g in range(3):
+        pdf = surv_pdf.copy()
+        base = rng.uniform(0.5, 1.0, (len(pdf), len(cuts)))
+        surv = np.round(np.minimum.accumulate(base, axis=1), 1)  # ties
+        pdf["surv"] = [row.tolist() for row in surv]
+        pdf["g"] = g
+        frames.append(pdf)
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    want = {
+        r.g: (r.n_comparable, r.n_concordant, r.n_tied, r.c_index)
+        for r in concordance_td_by(df, "g", "t", "e", "surv", cuts).collect()
+    }
+    got = {
+        r.g: (r.n_comparable, r.n_concordant, r.n_tied, r.c_index)
+        for r in concordance_td_exact_by(
+            df, "g", "t", "e", "surv", cuts, n_buckets=8
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+
+    comp, conc, tied, cidx = concordance_td_exact(
+        df.filter("g = 1"), "t", "e", "surv", cuts
+    )
+    assert got[1] == (comp, conc, tied, cidx)
