@@ -264,6 +264,8 @@ def harrell_cindex_by(
     event_col: str,
     risk_col: str,
     round_to: int | None = 6,
+    mode: str = "grouped_map",
+    exact_threshold: int = 200_000,
 ) -> DataFrame:
     """Per-group EXACT Harrell C in one grouped-map job: ``(group,
     n_comparable, n_concordant, n_tied, c_index)`` — the discrimination
@@ -281,7 +283,36 @@ def harrell_cindex_by(
     NULL time or risk are excluded up front — the same EVERY-mode
     convention as ``harrell_cindex_counts`` (they would otherwise enter
     the sweep as NaN and count as latest-time comparables).
+
+    ``mode`` (r12, the ungrouped auto-switch mirrored): "grouped_map"
+    (default — the registry rows' certified plan shape), "bucketed"
+    (:func:`harrell_cindex_by_bucketed`, identical counts, no
+    whole-cohort task), or "auto" — probe the LARGEST cohort with one
+    grouped count and route to the bucketed kernel when it exceeds
+    ``exact_threshold`` rows. Both kernels are exact, so the switch is a
+    plan choice, never a semantics change.
     """
+    if mode not in ("grouped_map", "bucketed", "auto"):
+        raise ValueError(f"harrell_cindex_by: unknown mode {mode!r}")
+    if mode == "auto":
+        biggest = (
+            df.where(
+                F.col(time_col).isNotNull() & F.col(risk_col).isNotNull()
+            )
+            .groupBy(group_col)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        mode = (
+            "bucketed"
+            if biggest is not None and biggest > exact_threshold
+            else "grouped_map"
+        )
+    if mode == "bucketed":
+        return harrell_cindex_by_bucketed(
+            df, group_col, time_col, event_col, risk_col, round_to=round_to
+        )
     gtype = df.schema[group_col].dataType.simpleString()
     base = df.select(
         F.col(group_col).alias("_g"),
@@ -518,6 +549,8 @@ def concordance_td_by(
     surv_col: str,
     cuts: list[float],
     round_to: int | None = 6,
+    mode: str = "grouped_map",
+    exact_threshold: int = 200_000,
 ) -> DataFrame:
     """Per-group EXACT Antolini time-dependent C-index over a
     survival-curve column: ``(group, n_comparable, n_concordant, n_tied,
@@ -536,7 +569,34 @@ def concordance_td_by(
     O(m²). Same grouped-map scale contract as ``harrell_cindex_by`` (one
     GROUP fits one task; group count is the parallelism); ``c_index`` is
     NULL for groups with no comparable pair.
+
+    ``mode`` (r12): "grouped_map" (default — the registry rows' certified
+    plan shape), "exact_by" (:func:`concordance_td_exact_by`, identical
+    counts, no whole-cohort task), or "auto" — probe the largest cohort
+    and route to the decomposed kernel above ``exact_threshold`` rows.
     """
+    if mode not in ("grouped_map", "exact_by", "auto"):
+        raise ValueError(f"concordance_td_by: unknown mode {mode!r}")
+    if mode == "auto":
+        biggest = (
+            df.where(
+                F.col(time_col).isNotNull() & F.col(surv_col).isNotNull()
+            )
+            .groupBy(group_col)
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        mode = (
+            "exact_by"
+            if biggest is not None and biggest > exact_threshold
+            else "grouped_map"
+        )
+    if mode == "exact_by":
+        return concordance_td_exact_by(
+            df, group_col, time_col, event_col, surv_col, cuts,
+            round_to=round_to,
+        )
     gtype = df.schema[group_col].dataType.simpleString()
     cuts_arr = np.asarray([float(c) for c in cuts], dtype=float)
     base = df.select(

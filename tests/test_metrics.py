@@ -1118,3 +1118,52 @@ def test_concordance_td_exact_by_equals_grouped_map(spark, surv_pdf):
         df.filter("g = 1"), "t", "e", "surv", cuts
     )
     assert got[1] == (comp, conc, tied, cidx)
+
+
+def test_grouped_metric_auto_routes(spark, surv_pdf):
+    """The grouped metrics' auto mode mirrors the ungrouped switches: a
+    largest-cohort probe routes above the threshold to the no-whole-
+    cohort-task kernels, identical counts either way; unknown modes fail
+    fast."""
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.concordance import (
+        concordance_td_by,
+        harrell_cindex_by,
+    )
+
+    rng = np.random.default_rng(37)
+    pdf = surv_pdf.copy()
+    pdf["g"] = (np.arange(len(pdf)) % 2).astype("int32")
+    df = spark.createDataFrame(pdf)
+
+    plain = sorted(
+        tuple(r) for r in harrell_cindex_by(df, "g", "t", "e", "risk").collect()
+    )
+    routed = sorted(
+        tuple(r)
+        for r in harrell_cindex_by(
+            df, "g", "t", "e", "risk", mode="auto", exact_threshold=10
+        ).collect()
+    )
+    assert routed == plain
+    with pytest.raises(ValueError, match="unknown mode"):
+        harrell_cindex_by(df, "g", "t", "e", "risk", mode="nope")
+
+    cuts = np.quantile(pdf["t"], np.linspace(0, 1, 5)).tolist()
+    base = rng.uniform(0.5, 1.0, (len(pdf), len(cuts)))
+    pdf["surv"] = [r.tolist() for r in np.round(np.minimum.accumulate(base, 1), 1)]
+    df2 = spark.createDataFrame(pdf)
+    plain2 = sorted(
+        tuple(r)
+        for r in concordance_td_by(df2, "g", "t", "e", "surv", cuts).collect()
+    )
+    routed2 = sorted(
+        tuple(r)
+        for r in concordance_td_by(
+            df2, "g", "t", "e", "surv", cuts, mode="auto", exact_threshold=10
+        ).collect()
+    )
+    assert routed2 == plain2
+    with pytest.raises(ValueError, match="unknown mode"):
+        concordance_td_by(df2, "g", "t", "e", "surv", cuts, mode="nope")
