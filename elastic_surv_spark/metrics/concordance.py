@@ -729,12 +729,19 @@ def concordance_td_exact_by(
                 ).select("_g", "n_comparable", "n_concordant", "n_tied")
             )
         if not parts:
-            gtype = df.schema[group_col].dataType.simpleString()
-            return df.sparkSession.createDataFrame(
-                [],
-                f"{group_col} {gtype}, n_comparable long, n_concordant long,"
-                " n_tied long, c_index double",
-            )
+            # no events anywhere: every group still reports a zero-count
+            # row with a NULL c_index, exactly like concordance_td_by
+            # (an empty frame here would silently drop the cohorts)
+            parts = [
+                base.select("_g")
+                .distinct()
+                .select(
+                    "_g",
+                    F.lit(0).cast("long").alias("n_comparable"),
+                    F.lit(0).cast("long").alias("n_concordant"),
+                    F.lit(0).cast("long").alias("n_tied"),
+                )
+            ]
         acc = parts[0]
         for p in parts[1:]:
             acc = acc.unionByName(p)

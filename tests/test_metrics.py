@@ -1167,3 +1167,45 @@ def test_grouped_metric_auto_routes(spark, surv_pdf):
     assert routed2 == plain2
     with pytest.raises(ValueError, match="unknown mode"):
         concordance_td_by(df2, "g", "t", "e", "surv", cuts, mode="nope")
+
+
+def test_grouped_exact_kernels_edge_cases(spark):
+    """Edge parity for the r12 no-whole-cohort kernels: no events anywhere
+    (every group still reports a zero row, NULL c_index — an empty frame
+    would silently drop cohorts), single-row groups, and fewer rows than
+    buckets."""
+    from elastic_surv_spark.metrics.concordance import (
+        concordance_td_by,
+        concordance_td_exact_by,
+        harrell_cindex_by,
+        harrell_cindex_by_bucketed,
+    )
+
+    cuts = [1.0, 2.0, 3.0]
+    rows = [
+        ("a", 1.0, 0, [0.9, 0.8, 0.7]),
+        ("a", 2.0, 0, [0.8, 0.6, 0.4]),
+        ("b", 1.5, 0, [0.7, 0.5, 0.3]),
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, e int, surv array<double>")
+    want = sorted(
+        tuple(r) for r in concordance_td_by(df, "g", "t", "e", "surv", cuts).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in concordance_td_exact_by(df, "g", "t", "e", "surv", cuts).collect()
+    )
+    assert got == want
+    assert len(got) == 2 and all(r[1] == 0 and r[4] is None for r in got)
+
+    # single-row groups + n << n_buckets, with events
+    small = spark.createDataFrame(
+        [("a", 1.0, 1, 0.9), ("a", 2.0, 0, 0.1), ("b", 5.0, 1, 0.5)],
+        "g string, t double, e int, r double",
+    )
+    w = sorted(tuple(x) for x in harrell_cindex_by(small, "g", "t", "e", "r").collect())
+    g = sorted(
+        tuple(x)
+        for x in harrell_cindex_by_bucketed(small, "g", "t", "e", "r").collect()
+    )
+    assert g == w
