@@ -304,3 +304,33 @@ def test_concordance_td_by_matches_bruteforce_property(
         ).collect()
     }
     assert got == want
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_grid_dominance_equals_bruteforce(seed):
+    """_grid_dominance (the shared cross-bucket kernel behind BOTH the
+    single-population and the r12 grouped bucketed Harrell paths): on any
+    occupancy grid its (comparable, concordant) counts equal the O(cells²)
+    brute force over cell pairs — comparable = events × rows in strictly
+    later time buckets; concordant additionally strictly lower risk
+    buckets."""
+    from elastic_surv_spark.metrics.concordance import _grid_dominance
+
+    rng = np.random.default_rng(seed)
+    n_tb = int(rng.integers(1, 7))
+    n_rb = int(rng.integers(1, 7))
+    G = rng.integers(0, 5, size=(n_tb, n_rb)).astype(np.int64)
+    GE = np.minimum(G, rng.integers(0, 5, size=(n_tb, n_rb))).astype(np.int64)
+    comp, conc = _grid_dominance(G, GE)
+    want_comp = want_conc = 0
+    for k in range(n_tb):
+        for c in range(n_rb):
+            if not GE[k, c]:
+                continue
+            for l in range(k + 1, n_tb):
+                for c2 in range(n_rb):
+                    want_comp += int(GE[k, c] * G[l, c2])
+                    if c2 < c:
+                        want_conc += int(GE[k, c] * G[l, c2])
+    assert (comp, conc) == (want_comp, want_conc)
