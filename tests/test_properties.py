@@ -334,3 +334,35 @@ def test_grid_dominance_equals_bruteforce(seed):
                     if c2 < c:
                         want_conc += int(GE[k, c] * G[l, c2])
     assert (comp, conc) == (want_comp, want_conc)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_tie_aware_rank_auc_equals_pairwise_definition(seed):
+    """The rank-AUC formula behind certified_quality_eval_by (min-rank +
+    (ties−1)/2 average ranks, AUC = (Σ_pos r − m(m+1)/2) / (m·n)) equals
+    the pairwise definition P(s_pos > s_neg) + ½·P(s_pos = s_neg) on any
+    score/label multiset with heavy ties."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 60))
+    s = np.round(rng.uniform(0, 1, n), 1)  # heavy ties
+    y = rng.integers(0, 2, n)
+    m = int(y.sum())
+    if m == 0 or m == n:
+        return  # one-class: AUC undefined (NULL in the operators)
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(n)
+    ss = s[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and ss[j] == ss[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    auc_rank = (ranks[y == 1].sum() - m * (m + 1) / 2.0) / (m * (n - m))
+    pos, neg = s[y == 1], s[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc_pair = (wins + 0.5 * ties) / (m * (n - m))
+    assert abs(auc_rank - auc_pair) < 1e-12
