@@ -932,7 +932,10 @@ def certified_quality_eval_by(
     alls = frame.select(
         F.lit(all_segment).alias("segment"), label_col, *feats
     )
-    uni = per.unionByName(alls).localCheckpoint(eager=False)
+    # NOT checkpointed: the trainer persists its own projection and the
+    # scorer's one read recomputes two cheap projections over the frame
+    # checkpoint — a second materialization here just doubled the cache
+    uni = per.unionByName(alls)
     weights = fixed_point_logistic_gd_by(
         uni, "segment", feats, label_col, steps=steps, lr_micro=lr_micro
     )
