@@ -17,6 +17,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from elastic_surv_spark.plans.queries import REGISTRY
 from elastic_surv_spark.session import get_spark
 
+#: Rows whose PRODUCT work is driver-coordinated iteration inside fn()
+#: (per-step integer-GD collects): the returned frame is a ~21-row local
+#: table, so the standard clock (write only) would measure nothing — a
+#: 4-5 s training row would read 0.2 s. For these rows the clock covers
+#: fn() + write. This is NOT the codebook-fit/setup class the standard
+#: methodology excludes (there the measured plan is the product; here the
+#: fn-side loop IS the product). Applied from the row's FIRST board, so
+#: no historical comparability breaks.
+EAGER_FN_ROWS = {"certified_quality_training"}
+
 
 def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:
     """Cumulative-prefix timing of llm_data_pipeline_e2e's stages
@@ -132,8 +142,12 @@ def solo_main(sf_dir: str, names: list[str]) -> None:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
                     pass
-                df = spec.fn(spark, sf_dir)
-                start = time.perf_counter()
+                if name in EAGER_FN_ROWS:
+                    start = time.perf_counter()
+                    df = spec.fn(spark, sf_dir)  # the work happens here
+                else:
+                    df = spec.fn(spark, sf_dir)
+                    start = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - start)
             except Exception as exc:  # pragma: no cover - defensive
@@ -287,10 +301,15 @@ def main() -> None:
             # printed). Timing starts AFTER plan construction — same
             # methodology as every prior round's baseline (fn-side driver
             # work like iterative clustering or codebook fits is setup,
-            # not the measured plan).
+            # not the measured plan) — EXCEPT the EAGER_FN_ROWS, whose
+            # product work runs inside fn() (see the constant's note).
             try:
-                df = spec.fn(spark, sf_dir)  # build plan (lazy)
-                start = time.perf_counter()
+                if name in EAGER_FN_ROWS:
+                    start = time.perf_counter()
+                    df = spec.fn(spark, sf_dir)  # the work happens here
+                else:
+                    df = spec.fn(spark, sf_dir)  # build plan (lazy)
+                    start = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 timings[name] = round(time.perf_counter() - start, 3)
             except Exception as exc:  # pragma: no cover - defensive
