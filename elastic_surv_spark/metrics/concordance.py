@@ -257,6 +257,26 @@ def harrell_cindex_counts(
     )
 
 
+def _largest_cohort_exceeds(
+    valid: DataFrame, group_col: str, threshold: int
+) -> bool:
+    """Bounded auto-mode probe for the grouped metrics: does any cohort
+    of ``valid`` exceed ``threshold`` rows? The ungrouped auto gates
+    bound their probe with ``limit(threshold + 1).count()``; the grouped
+    ones paid a FULL ``groupBy().count()`` pass over the entire input
+    even when the frame was tiny (ADVICE r12 #3). Probe in two stages:
+    the same bounded limit-count first — a frame of ≤ ``threshold`` TOTAL
+    rows cannot contain a larger cohort, so only genuinely large inputs
+    (where one aggregate pass is noise next to the kernel that follows)
+    pay the grouped count."""
+    if valid.limit(threshold + 1).count() <= threshold:
+        return False
+    biggest = (
+        valid.groupBy(group_col).count().agg(F.max("count")).first()[0]
+    )
+    return biggest is not None and biggest > threshold
+
+
 def harrell_cindex_by(
     df: DataFrame,
     group_col: str,
@@ -295,18 +315,12 @@ def harrell_cindex_by(
     if mode not in ("grouped_map", "bucketed", "auto"):
         raise ValueError(f"harrell_cindex_by: unknown mode {mode!r}")
     if mode == "auto":
-        biggest = (
-            df.where(
-                F.col(time_col).isNotNull() & F.col(risk_col).isNotNull()
-            )
-            .groupBy(group_col)
-            .count()
-            .agg(F.max("count"))
-            .first()[0]
+        valid = df.where(
+            F.col(time_col).isNotNull() & F.col(risk_col).isNotNull()
         )
         mode = (
             "bucketed"
-            if biggest is not None and biggest > exact_threshold
+            if _largest_cohort_exceeds(valid, group_col, exact_threshold)
             else "grouped_map"
         )
     if mode == "bucketed":
@@ -578,18 +592,12 @@ def concordance_td_by(
     if mode not in ("grouped_map", "exact_by", "auto"):
         raise ValueError(f"concordance_td_by: unknown mode {mode!r}")
     if mode == "auto":
-        biggest = (
-            df.where(
-                F.col(time_col).isNotNull() & F.col(surv_col).isNotNull()
-            )
-            .groupBy(group_col)
-            .count()
-            .agg(F.max("count"))
-            .first()[0]
+        valid = df.where(
+            F.col(time_col).isNotNull() & F.col(surv_col).isNotNull()
         )
         mode = (
             "exact_by"
-            if biggest is not None and biggest > exact_threshold
+            if _largest_cohort_exceeds(valid, group_col, exact_threshold)
             else "grouped_map"
         )
     if mode == "exact_by":
@@ -764,11 +772,13 @@ def concordance_td_exact_by(
             "n_tied",
             c.alias("c_index"),
         )
-        # materialize before releasing the persisted base: the cut passes
-        # collect small count frames, but `out` is lazy
-        return df.sparkSession.createDataFrame(
-            out.collect(), schema=out.schema
-        )
+        # materialize before releasing the persisted base — but keep the
+        # return DISTRIBUTED like every sibling metric: an eager
+        # localCheckpoint cuts the lineage off `base` without pulling the
+        # result through the driver (the previous collect/createDataFrame
+        # round-trip funneled every group row driver-side and handed
+        # consumers a local table instead of a lazy plan; ADVICE r12 #1)
+        return out.localCheckpoint(eager=True)
     finally:
         base.unpersist()
 

@@ -907,11 +907,24 @@ def certified_quality_eval_by(
 
     Scale: one lazy-checkpointed tokenize pass feeds trainer AND scorer;
     training is ``steps`` grouped integer aggregates; scoring is a
-    broadcast join + map; the AUC is one window rank over
-    (segment, score) and one grouped aggregate — no pairwise join
-    anywhere.
+    broadcast join + map; the AUC needs NO corpus-sized window anywhere —
+    tied rows share one average rank, so the rank runs at score-GROUP
+    granularity: one (segment, score) grouped aggregate (counts +
+    positive counts), then a per-segment prefix sum over THAT frame. The
+    rational sigmoid lies strictly inside (0, 1) and is rounded at
+    ``round_to``, so the aggregate holds at most ``10**round_to + 1``
+    rows per segment — bounded independent of corpus size — which makes
+    the remaining window safe even for the synthetic whole-corpus
+    ``all_segment`` key (the r12 shape ranked per DOCUMENT, planning a
+    whole-corpus single-task sort for ``__all__``; VERDICT r12 #1).
     """
     from pyspark.sql import Window
+
+    if round_to > 7:
+        raise ValueError(
+            "round_to > 7 unbounds the (segment, score) domain the "
+            f"rank-AUC aggregate relies on (got {round_to})"
+        )
 
     feats = [f"x{j}" for j in range(n_buckets)]
     # lazy-checkpoint BEFORE the union: one tokenize pass total for the
@@ -942,23 +955,31 @@ def certified_quality_eval_by(
     scored = fixed_point_logit_scores_by(
         uni, weights, "segment", feats, round_to=round_to
     )
-    w_rank = Window.partitionBy("segment").orderBy("score")
-    w_ties = Window.partitionBy("segment", "score")
+    # (segment, score) tie groups: ≤ 10**round_to + 1 rows per segment by
+    # the rounding bound above, so the prefix-sum window below never sees
+    # a corpus-sized partition. A score group of c rows preceded by b
+    # smaller-scored rows has min-rank b+1 and tie-aware average rank
+    # (b + 1) + (c - 1)/2 — integers and halves, exact in IEEE — and the
+    # positives' rank sum is sum(p_g * r_g), identical to the r12
+    # per-document sum because every tied row shares r_g.
+    grp = scored.groupBy("segment", "score").agg(
+        F.count("*").alias("_c"),
+        F.sum(F.col(label_col).cast("long")).alias("_p"),
+    )
+    w_before = (
+        Window.partitionBy("segment")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     avg_rank = (
-        F.rank().over(w_rank).cast("double")
-        + (F.count("*").over(w_ties).cast("double") - 1.0) / 2.0
+        (F.coalesce(F.sum("_c").over(w_before), F.lit(0)) + 1).cast("double")
+        + (F.col("_c").cast("double") - 1.0) / 2.0
     )
-    per_doc = scored.select(
-        "segment", F.col(label_col).cast("long").alias("_y"),
-        avg_rank.alias("_r"),
-    )
-    npos = F.sum("_y")
-    n = F.count("*")
-    sum_r_pos = F.sum(F.when(F.col("_y") == 1, F.col("_r")))
-    agg = per_doc.groupBy("segment").agg(
-        n.cast("long").alias("n_docs"),
-        npos.cast("long").alias("n_pos"),
-        sum_r_pos.alias("_srp"),
+    ranked = grp.withColumn("_r", avg_rank)
+    agg = ranked.groupBy("segment").agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum(F.col("_p").cast("double") * F.col("_r")).alias("_srp"),
     )
     pos, tot = F.col("n_pos"), F.col("n_docs")
     auc = F.round(

@@ -42,11 +42,43 @@ from elastic_surv_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "read_weights_table",
     "read_latest_weights",
     "training_batch_incremental",
     "run_incremental_training",
     "compact_weights_table",
 ]
+
+
+def read_weights_table(
+    spark: SparkSession, weights_path: str
+) -> DataFrame | None:
+    """Consistent full-table read of the weights state — one row per
+    epoch even inside the fold's duplicate-visibility window, so audit
+    readers never double-count.
+
+    ``compact_weights_table`` dynamic-overwrites the ``_batch_id=-1``
+    partition BEFORE deleting the folded epoch partitions, so a raw
+    ``spark.read.parquet`` between the two steps (a crash there leaves
+    the table that way until a re-fold) sees the folded row AND live
+    rows for the same epoch — duplicate state, double-counted n_rows
+    (ADVICE r12 #2). The duplicates are byte-identical except
+    ``_batch_id``, so keeping one row per epoch — the LIVE partition
+    preferred, deterministically (``_batch_id`` descending; the folded
+    row's is ``-1``) — restores exactly the pre-fold view. The dedup
+    window partitions by ``epoch``: at most two rows per partition, by
+    construction. Returns None when no state exists."""
+    from pyspark.sql import Window
+
+    tbl = _read_table_or_none(spark, weights_path)
+    if tbl is None:
+        return None
+    w = Window.partitionBy("epoch").orderBy(F.col("_batch_id").desc())
+    return (
+        tbl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def read_latest_weights(
@@ -65,8 +97,11 @@ def read_latest_weights(
     ``_batch_id`` partition: the two agree on live epoch rows, but the
     compacted ``-1`` partition keeps the folded state's true epoch
     (r12), so reads after a fold report the real epoch and the
-    exclude-own-epoch comparison stays exact."""
-    tbl = _read_table_or_none(spark, weights_path)
+    exclude-own-epoch comparison stays exact. Reads through
+    :func:`read_weights_table`, so the result is well-defined even
+    inside the fold's duplicate-visibility window (where a raw read
+    holds two byte-identical rows for one epoch)."""
+    tbl = read_weights_table(spark, weights_path)
     if tbl is not None and before_batch_id is not None:
         tbl = tbl.filter(F.col("epoch") < int(before_batch_id))
     row = (
@@ -199,6 +234,15 @@ def compact_weights_table(
     carries its true epoch and batch size), so a post-fold replay reads
     exactly the state the pre-fold table would have given it — byte
     parity asserted in tests — and audit reads still see the real epoch.
+
+    Crash window (ADVICE r12 #2): between the ``-1`` overwrite and the
+    per-partition deletes, the table holds the folded row AND the live
+    rows it supersedes — byte-identical except ``_batch_id``. Readers go
+    through :func:`read_weights_table` (one row per epoch, live partition
+    preferred), which restores the exact pre-fold view in that state;
+    ``read_latest_weights`` does. A re-fold with the same frontier heals
+    the files themselves (same supersede rule, same bytes, deletes
+    re-attempted).
     """
     tbl = _read_table_or_none(spark, weights_path)
     if tbl is None:

@@ -252,6 +252,23 @@ def stream_static_enrich(
     )
 
 
+def _event_epoch_ms(ts_max, session_tz: str) -> int:
+    """Epoch milliseconds of a batch-max event time as seen inside a
+    state function. Arrow delivers event-time columns as NAIVE pandas
+    timestamps rendered in ``spark.sql.session.timeZone``; ``.value`` on
+    the naive value is epoch-correct only when that zone is UTC, so the
+    value is localized back to the session zone first (already-aware
+    values pass through). Keeps the event-time-timeout base exact under
+    ANY session timezone instead of depending on get_spark's UTC pin
+    (ADVICE r12 #4)."""
+    import pandas as pd
+
+    t = pd.Timestamp(ts_max)
+    if t.tzinfo is None:
+        t = t.tz_localize(session_tz)
+    return int(t.value // 1_000_000)
+
+
 def stateful_running_max(
     events: DataFrame,
     watermark: str = "1 hour",
@@ -271,6 +288,18 @@ def stateful_running_max(
 
     output_schema = "user_id long, peak double, n long"
     state_schema = "peak double, n long"
+    # Arrow hands the state function NAIVE timestamps rendered in the
+    # session timezone, so epoch math on .value is only correct if the
+    # naive value is localized back to THAT zone — capture it here rather
+    # than rely on get_spark pinning spark.sql.session.timeZone=UTC (the
+    # r12 shape took .value raw, silently shifting the timeout base by
+    # the zone offset under any non-UTC session; ADVICE r12 #4).
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
+
+    def _epoch_ms(ts_max) -> int:
+        return _event_epoch_ms(ts_max, session_tz)
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -282,10 +311,7 @@ def stateful_running_max(
             if len(pdf):
                 peak = max(peak, float(pdf["value"].max()))
                 n += len(pdf)
-                max_ev_ms = max(
-                    max_ev_ms,
-                    int(pd.Timestamp(pdf["ts"].max()).value // 1_000_000),
-                )
+                max_ev_ms = max(max_ev_ms, _epoch_ms(pdf["ts"].max()))
         state.update((peak, n))
         # expire once the watermark passes this key's quiet period. The
         # base is max(watermark, this batch's max event time): during the

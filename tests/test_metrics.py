@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from elastic_surv_spark.metrics.brier import (
     brier_curve,
@@ -1120,6 +1121,29 @@ def test_concordance_td_exact_by_equals_grouped_map(spark, surv_pdf):
     assert got[1] == (comp, conc, tied, cidx)
 
 
+def test_concordance_td_exact_by_returns_distributed_frame(spark, surv_pdf):
+    """The grouped exact kernel must hand back a DISTRIBUTED frame like
+    every sibling metric — the r12 shape collected the whole result onto
+    the driver and re-created a LocalTableScan, so downstream consumers
+    lost the lazy plan and many-group results funneled driver-side
+    (ADVICE r12 #1). The materialization that protects the result from
+    the unpersisted base must be a checkpoint, not a collect."""
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.concordance import concordance_td_exact_by
+
+    cuts = np.quantile(surv_pdf["t"], np.linspace(0, 1, 4)).tolist()
+    pdf = surv_pdf.copy()
+    pdf["surv"] = [[1.0, 0.8, 0.6, 0.4]] * len(pdf)
+    pdf["g"] = np.arange(len(pdf)) % 2
+    out = concordance_td_exact_by(
+        spark.createDataFrame(pdf), "g", "t", "e", "surv", cuts, n_buckets=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan
+    assert out.count() == 2
+
+
 def test_grouped_metric_auto_routes(spark, surv_pdf):
     """The grouped metrics' auto mode mirrors the ungrouped switches: a
     largest-cohort probe routes above the threshold to the no-whole-
@@ -1167,6 +1191,36 @@ def test_grouped_metric_auto_routes(spark, surv_pdf):
     assert routed2 == plain2
     with pytest.raises(ValueError, match="unknown mode"):
         concordance_td_by(df2, "g", "t", "e", "surv", cuts, mode="nope")
+
+
+def test_grouped_auto_probe_is_bounded(spark):
+    """The grouped auto gate must not pay a full groupBy().count() pass
+    over a tiny frame (ADVICE r12 #3): a frame whose TOTAL row count fits
+    the bounded limit-probe can't contain an over-threshold cohort, so the
+    grouped aggregate must never run — asserted by making groupBy
+    explode. Above the total bound, the grouped count still decides per
+    cohort: many small cohorts stay on the grouped-map path."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from elastic_surv_spark.metrics.concordance import _largest_cohort_exceeds
+
+    small = spark.range(50).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    with mock.patch.object(
+        DataFrame, "groupBy",
+        side_effect=AssertionError("unbounded probe: grouped count ran"),
+    ):
+        assert _largest_cohort_exceeds(small, "g", 1000) is False
+
+    wide = spark.range(300).select(
+        (F.col("id") % 100).alias("g"), F.col("id").alias("v")
+    )
+    assert _largest_cohort_exceeds(wide, "g", 100) is False  # cohorts of 3
+    skewed = spark.range(300).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    assert _largest_cohort_exceeds(skewed, "g", 100) is True
 
 
 def test_grouped_exact_kernels_edge_cases(spark):

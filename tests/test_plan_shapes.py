@@ -9,7 +9,10 @@ shows up as a 10× bench regression.
 
 from __future__ import annotations
 
+import re
+
 import pytest
+from pyspark.sql import functions as F
 
 from elastic_surv_spark.plans.queries import REGISTRY
 
@@ -290,6 +293,64 @@ def _trailing_bracket_groups(line: str) -> list[str]:
     return groups
 
 
+def _window_partition_group(line: str) -> str | None:
+    """The partition-spec bracket group of a Window plan line, or None if
+    the window is unpartitioned (that case belongs to
+    :func:`_unpartitioned_windows`). Shapes per _unpartitioned_windows."""
+    groups = _trailing_bracket_groups(line)
+    if len(groups) == 2:
+        return groups[0]
+    if len(groups) == 1 and not ("ASC" in groups[0] or "DESC" in groups[0]):
+        return groups[0]
+    return None
+
+
+#: project items that are plain literals aliased to a column: no column
+#: refs (#), no function calls — e.g. `__all__ AS segment#12`, `1 AS k#3`.
+_LITERAL_ALIAS = re.compile(r"(?:\[|, )\s*([^,\[\]()#]+?) AS (\w+)#\d+")
+
+
+def _literal_partition_windows(plan: str) -> list[str]:
+    """Window nodes partitioned by a column that is fed by a LITERAL
+    projection with no aggregate in between — the `__all__` synthetic-
+    segment trap (VERDICT r12 #1): the window LOOKS partitioned, passing
+    the global-window lint, but the literal-valued branch funnels every
+    row of that branch into ONE partition, so the window is corpus-sized
+    there. An aggregate between the window and the literal projection
+    breaks the trap (the window then runs over the aggregate's bounded
+    domain — the certified_quality_eval fix). Heuristic over the printed
+    tree: for each partitioned Window line, scan the lines BELOW it
+    (children print below parents) for a literal aliased to one of the
+    partition column names; aggregate lines seen before the literal clear
+    the flag. Sibling subtrees printed below can in principle mask or
+    over-flag — acceptable for a lint whose registry hits are reviewed by
+    name against the whitelist."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if not re.search(r"\bWindow \[", line):
+            continue
+        part = _window_partition_group(line)
+        if part is None:
+            continue
+        pnames = set(re.findall(r"(\w+)#\d+", part))
+        for below in lines[i + 1 :]:
+            if re.search(r"(HashAggregate|SortAggregate|ObjectHashAggregate)", below):
+                break  # bounded domain between window and anything deeper
+            for m in _LITERAL_ALIAS.finditer(below):
+                if m.group(2) in pnames:
+                    bad.append(
+                        f"partition col {m.group(2)} <- literal "
+                        f"{m.group(1).strip()!r}: {line.strip()[:120]}"
+                    )
+    return bad
+
+
+#: windows partitioned by a literal-fed column, reviewed and safe: every
+#: entry must state WHY the literal-valued partition stays bounded.
+_LITERAL_PARTITION_WINDOW_OK: set[str] = set()
+
+
 def _unpartitioned_windows(plan: str) -> list[str]:
     """Window nodes whose partition spec is empty (the WindowExec
     single-partition warning). Physical print shapes: trailing bracket
@@ -319,7 +380,7 @@ def _unpartitioned_windows(plan: str) -> list[str]:
 # merge list, not a plan).
 def test_registry_sweep_no_cartesian_or_rogue_global_window(spark):
     skipped, checked = [], 0
-    global_window = set()
+    global_window, literal_window = set(), set()
     for name, spec in REGISTRY.items():
         if "_stream" in name or name == "doc_bpe_learned_merges":
             skipped.append(name)
@@ -328,6 +389,8 @@ def test_registry_sweep_no_cartesian_or_rogue_global_window(spark):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         if _unpartitioned_windows(plan):
             global_window.add(name)
+        if _literal_partition_windows(plan):
+            literal_window.add(name)
         checked += 1
     # the sweep really covers the registry: only streaming rows and the
     # eager BPE trainer may be skipped
@@ -336,6 +399,44 @@ def test_registry_sweep_no_cartesian_or_rogue_global_window(spark):
     assert global_window <= _GLOBAL_WINDOW_OK, (
         f"undocumented global window in {sorted(global_window - _GLOBAL_WINDOW_OK)}"
     )
+    assert literal_window <= _LITERAL_PARTITION_WINDOW_OK, (
+        "window partitioned by a literal-fed column (one partition holds "
+        f"that branch's every row) in "
+        f"{sorted(literal_window - _LITERAL_PARTITION_WINDOW_OK)}"
+    )
+
+
+def test_literal_partition_lint_catches_the_r12_eval_shape(spark):
+    """The literal-partition lint must flag the exact shape VERDICT r12 #1
+    found: a per-ROW window partitioned by a union-fed segment column one
+    of whose branches is a literal (`__all__`) — every row lands in that
+    one partition. The fixed certified_quality_eval plan (window over the
+    bounded (segment, score) aggregate) must pass the same lint."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("segment"),
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    uni = df.unionByName(
+        df.select("id", F.lit("__all__").alias("segment"), "score")
+    )
+    broken = uni.withColumn(
+        "r", F.rank().over(Window.partitionBy("segment").orderBy("score"))
+    )
+    plan = broken._jdf.queryExecution().executedPlan().toString()
+    assert _literal_partition_windows(plan), "lint missed the r12 shape"
+
+    fixed = (
+        uni.groupBy("segment", "score")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "r", F.rank().over(Window.partitionBy("segment").orderBy("score"))
+        )
+    )
+    plan_fixed = fixed._jdf.queryExecution().executedPlan().toString()
+    assert not _literal_partition_windows(plan_fixed), plan_fixed
 
 
 def test_similar_part_names_candidates_blocked_on_segments(spark):

@@ -120,6 +120,25 @@ def test_stateful_running_max(spark, stream_dir, tmp_path_factory):
         assert row["n"] == batch.loc[uid, "n"]
 
 
+def test_event_epoch_ms_is_timezone_explicit():
+    """The event-time-timeout base must not depend on the session being
+    UTC (ADVICE r12 #4): a NAIVE batch-max timestamp is localized to the
+    declared session zone before epoch math — the same wall-clock value
+    under New York (UTC-5 in January) is five hours of epoch later than
+    under UTC — and an already-aware value passes through unchanged."""
+    import pandas as pd
+
+    from elastic_surv_spark.streaming.windows import _event_epoch_ms
+
+    naive = pd.Timestamp("2024-01-15 12:00:00")
+    utc_ms = _event_epoch_ms(naive, "UTC")
+    assert utc_ms == int(naive.tz_localize("UTC").value // 1_000_000)
+    ny_ms = _event_epoch_ms(naive, "America/New_York")
+    assert ny_ms - utc_ms == 5 * 3_600_000
+    aware = naive.tz_localize("UTC")
+    assert _event_epoch_ms(aware, "America/New_York") == utc_ms
+
+
 def test_checkpointed_parquet_sink_exactly_once(spark, stream_dir, tmp_path_factory):
     # the file-sink transaction log + source offsets make restarts idempotent:
     # a second run over the same bounded source must commit zero new rows

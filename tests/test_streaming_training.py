@@ -198,3 +198,66 @@ def test_compact_weights_table_replay_byte_parity(spark, tmp_path):
 
     # empty / nothing-to-fold guards
     assert compact_weights_table(spark, str(tmp_path / "nope"), 5) == 0
+
+
+def test_weights_reads_consistent_inside_fold_crash_window(spark, tmp_path):
+    """ADVICE r12 #2: compact_weights_table overwrites the -1 partition
+    BEFORE the per-partition deletes, so a crash between the two leaves
+    the folded row AND the live epoch rows it supersedes visible to a raw
+    read (duplicate state, double-counted n_rows). read_weights_table
+    must restore the exact pre-fold view (one row per epoch, live
+    partition preferred), read_latest_weights must be unaffected, and a
+    re-fold must heal the files."""
+    from elastic_surv_spark.streaming.training import (
+        compact_weights_table,
+        read_weights_table,
+    )
+
+    batches = _batches(seed=23, n_batches=3, n=50)
+    wpath = str(tmp_path / "weights")
+    for i, rows in enumerate(batches):
+        training_batch_incremental(
+            spark.createDataFrame(rows, SCHEMA), i, wpath, ["x0", "x1"], "y"
+        )
+    pre = sorted(
+        (r.epoch, r._batch_id, list(r.weights_micro), r.bias_micro, r.n_rows)
+        for r in spark.read.parquet(wpath).collect()
+    )
+    w_pre, b_pre, e_pre = read_latest_weights(spark, wpath, n_features=2)
+
+    # simulate the crash window: the fold's -1 overwrite landed (the
+    # supersede rule keeps the HIGHEST epoch's state), the deletes didn't
+    folded = (
+        spark.read.parquet(wpath)
+        .orderBy(F.col("epoch").desc())
+        .limit(1)
+        .withColumn("_batch_id", F.lit(-1))
+    )
+    folded.write.mode("append").partitionBy("_batch_id").parquet(wpath)
+
+    raw = spark.read.parquet(wpath)
+    assert raw.count() == len(batches) + 1  # the duplicate IS visible raw
+    # consistent reader: one row per epoch, live partition preferred,
+    # n_rows sums like the pre-fold table (no double count)
+    view = read_weights_table(spark, wpath)
+    got = sorted(
+        (r.epoch, r._batch_id, list(r.weights_micro), r.bias_micro, r.n_rows)
+        for r in view.collect()
+    )
+    assert got == pre
+    assert read_latest_weights(spark, wpath, n_features=2) == (
+        w_pre, b_pre, e_pre,
+    )
+
+    # the re-fold heals the files: folded epochs deleted, one -1 row,
+    # reads unchanged
+    assert compact_weights_table(spark, wpath, committed_batch_id=3) == 3
+    ids = sorted(
+        r._batch_id
+        for r in spark.read.parquet(wpath).select("_batch_id").distinct().collect()
+    )
+    assert ids == [-1]
+    assert read_latest_weights(spark, wpath, n_features=2) == (
+        w_pre, b_pre, e_pre,
+    )
+    assert read_weights_table(spark, str(tmp_path / "nope")) is None
