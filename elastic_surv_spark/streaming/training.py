@@ -47,6 +47,7 @@ __all__ = [
     "training_batch_incremental",
     "run_incremental_training",
     "compact_weights_table",
+    "certified_fold_run",
 ]
 
 
@@ -207,6 +208,93 @@ def run_incremental_training(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def certified_fold_run(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    id_col: str,
+    weights_path: str,
+    n_batches: int = 4,
+    fold_after: int = 1,
+    steps_per_batch: int = 1,
+    lr_micro: int = 500_000,
+) -> DataFrame:
+    """The streaming training+compaction lifecycle as ONE certifiable
+    dataflow (VERDICT r12 stretch #9): drive ``n_batches`` deterministic
+    hash-keyed epochs through :func:`training_batch_incremental`, FOLD
+    the committed prefix after epoch ``fold_after``
+    (:func:`compact_weights_table` — so every later epoch warm-starts off
+    the COMPACTED row), and return the final weights table through
+    :func:`read_weights_table` with the int64 micro-weights as columns:
+    ``(epoch, n_rows, w0_micro …, bias_micro)``.
+
+    Batch membership is the batched trainer's engine-portable hash key
+    (``operators/quality_model.py:_batch_id_col`` — id-hashed, not
+    row-order windows), and each epoch runs ``steps_per_batch`` warm-
+    started integer-GD steps, so with ``steps_per_batch=1`` the whole
+    trajectory is EXACTLY the sequential batched chain
+    (``fixed_point_gd_batched_sql`` at epochs=1) evaluated after each
+    batch — and the visible epoch set after the fold is
+    ``[fold_after, n_batches)`` (the folded row keeps the highest folded
+    epoch; later epochs keep live rows). DuckDB regenerates the entire
+    returned frame via ``fixed_point_gd_batched_trajectory_sql(...,
+    visible_from=fold_after)``: a hash match certifies at once that (a)
+    per-epoch training is bit-exact, (b) the fold retained the right
+    state, and (c) the post-fold WARM START read the compacted row
+    correctly — a wrong fold would corrupt every later epoch's weights.
+
+    Scale: one persisted keyed projection; each epoch is one filtered
+    warm-started trainer pass (bounded driver traffic), the fold is the
+    bounded one-row supersede; nothing corpus-sized ever reaches the
+    driver.
+    """
+    from elastic_surv_spark.operators.quality_model import _batch_id_col
+
+    feats = list(feature_cols)
+    if not (0 <= fold_after < n_batches):
+        raise ValueError(
+            "certified_fold_run: fold_after must be in [0, n_batches) "
+            f"(got {fold_after} of {n_batches})"
+        )
+    spark = df.sparkSession
+    base = df.select(
+        *feats,
+        label_col,
+        (_batch_id_col(id_col) % F.lit(int(n_batches))).alias("_bid"),
+    ).persist()
+    try:
+        for bid in range(n_batches):
+            training_batch_incremental(
+                base.filter(F.col("_bid") == bid).drop("_bid"),
+                bid,
+                weights_path,
+                feats,
+                label_col,
+                steps_per_batch=steps_per_batch,
+                lr_micro=lr_micro,
+            )
+            if bid == fold_after:
+                # epochs <= fold_after are committed (sequential drive):
+                # fold them; epoch fold_after's state survives as the
+                # compacted row every later epoch warm-starts from
+                compact_weights_table(
+                    spark, weights_path, committed_batch_id=fold_after + 1
+                )
+    finally:
+        base.unpersist()
+    tbl = read_weights_table(spark, weights_path)
+    nf = len(feats)
+    return tbl.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        *[
+            F.element_at("weights_micro", j + 1).alias(f"w{j}_micro")
+            for j in range(nf)
+        ],
+        "bias_micro",
+    )
 
 
 def compact_weights_table(

@@ -334,6 +334,172 @@ def test_fixed_point_gd_parity_fuzz(spark, seed, nf, steps, lr_micro):
     assert list(got) == [*w, b]
 
 
+def _np_batched_mirror(pdf, feats, n_batches, epochs, lr=500_000):
+    """Sequential numpy mirror of the batched integer recipe: hash-keyed
+    batches, one update per (epoch, batch), gradient at current weights."""
+    import math
+
+    bid = ((pdf["rid"].to_numpy() % 1_000_003) * 2_654_435_761) % n_batches
+    X = pdf[feats].to_numpy(dtype=float)
+    y = pdf["y"].to_numpy(dtype=float)
+    w = np.zeros(len(feats), dtype=np.int64)
+    b = 0
+    for _e in range(epochs):
+        for k in range(n_batches):
+            m = bid == k
+            n = int(m.sum())
+            if n == 0:
+                continue
+            z = X[m] @ (w / 1e6) + b / 1e6
+            p = 0.5 + 0.5 * z / (1 + np.abs(z))
+            g = p - y[m]
+            for j in range(len(feats)):
+                G = int(np.floor(g * X[m][:, j] * 1e9 + 0.5).astype(np.int64).sum())
+                w[j] -= math.floor((G / (n * 1e9)) * lr + 0.5)
+            Gb = int(np.floor(g * 1e9 + 0.5).astype(np.int64).sum())
+            b -= math.floor((Gb / (n * 1e9)) * lr + 0.5)
+    return list(w), b
+
+
+def test_batched_gd_engine_parity_and_mirrors(spark):
+    """Mini-batch/multi-epoch certified training (VERDICT r12 task #6):
+    the sequential hash-batched trainer's integers equal the DuckDB
+    unrolled batch-CTE chain EXACTLY, equal a local numpy sequential
+    mirror of the same recipe, and collapse to the full-batch trainer at
+    n_batches=1 (epochs there = steps)."""
+    import duckdb
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_gd_batched_sql,
+        fixed_point_logistic_gd,
+        fixed_point_logistic_gd_batched,
+    )
+
+    pdf = _gd_frame(n=900, seed=21)
+    pdf["rid"] = np.arange(len(pdf), dtype="int64")
+    feats = ["x0", "x1"]
+    df = spark.createDataFrame(pdf)
+    w, b = fixed_point_logistic_gd_batched(
+        df, feats, "y", "rid", n_batches=3, epochs=2
+    )
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    got = con.execute(
+        fixed_point_gd_batched_sql(feats, "y", "rid", n_batches=3, epochs=2)
+    ).fetchone()
+    assert list(got) == [*w, b]
+    assert (w, b) == tuple(_np_batched_mirror(pdf, feats, 3, 2))
+    assert any(v != 0 for v in w)  # training moved
+
+    # n_batches=1: every "batch" is the full frame — epochs ≡ steps
+    w1, b1 = fixed_point_logistic_gd_batched(
+        df, feats, "y", "rid", n_batches=1, epochs=4
+    )
+    assert (w1, b1) == fixed_point_logistic_gd(df, feats, "y", steps=4)
+    # and a second epoch genuinely continues training
+    assert (w, b) != tuple(_np_batched_mirror(pdf, feats, 3, 1))
+
+
+def test_batched_gd_partitioning_invariant_and_guards(spark):
+    """The batched trainer keeps rule 2 (weights independent of
+    partitioning/row order), carries weights through EMPTY batches like
+    the streaming trainer, and fails fast on negative ids, empty frames,
+    and bad shapes."""
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_gd_batched_sql,
+        fixed_point_logistic_gd_batched,
+    )
+
+    pdf = _gd_frame(n=400, seed=5)
+    pdf["rid"] = np.arange(len(pdf), dtype="int64")
+    df = spark.createDataFrame(pdf)
+    ref = fixed_point_logistic_gd_batched(
+        df, ["x0", "x1"], "y", "rid", n_batches=4, epochs=2
+    )
+    for variant in (
+        df.repartition(32),
+        df.coalesce(1),
+        spark.createDataFrame(pdf.sample(frac=1.0, random_state=2)),
+    ):
+        assert (
+            fixed_point_logistic_gd_batched(
+                variant, ["x0", "x1"], "y", "rid", n_batches=4, epochs=2
+            )
+            == ref
+        )
+
+    # empty batches: two rows spread over 8 hash batches leave most empty
+    # — weights carry forward, both engines agree (the mirror's CASE n=0)
+    import duckdb
+
+    tiny = pdf.head(2).copy()
+    w, b = fixed_point_logistic_gd_batched(
+        spark.createDataFrame(tiny), ["x0", "x1"], "y", "rid",
+        n_batches=8, epochs=2,
+    )
+    con = duckdb.connect()
+    con.register("rows", tiny)
+    got = con.execute(
+        fixed_point_gd_batched_sql(["x0", "x1"], "y", "rid",
+                                   n_batches=8, epochs=2)
+    ).fetchone()
+    assert list(got) == [*w, b]
+
+    neg = pdf.head(5).copy()
+    neg["rid"] = [-1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="negative"):
+        fixed_point_logistic_gd_batched(
+            spark.createDataFrame(neg), ["x0", "x1"], "y", "rid", n_batches=2
+        )
+    empty = spark.createDataFrame([], "rid long, x0 double, y int")
+    with pytest.raises(ValueError, match="empty training frame"):
+        fixed_point_logistic_gd_batched(empty, ["x0"], "y", "rid", n_batches=2)
+    with pytest.raises(ValueError, match="no feature columns"):
+        fixed_point_logistic_gd_batched(empty, [], "y", "rid")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        fixed_point_logistic_gd_batched(empty, ["x0"], "y", "rid", n_batches=0)
+
+
+def test_certified_quality_training_batched_parity(spark):
+    """The pre-assembled r14 registry-row kernel: hashed features feeding
+    the sequential mini-batch trainer, one all-int64 output row
+    regenerated exactly by the DuckDB batch-CTE chain — the epoch/batch
+    training shape the reference actually runs, certified end-to-end."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_batched,
+        certified_quality_training_batched_sql,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha beta gamma delta".split(), "zork quux fnord blip".split()]
+    rows = []
+    for i in range(240):
+        v = i % 2
+        rows.append((i, " ".join(rng.choice(vocab[v]) for _ in range(10)), v))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "label"])
+    df = spark.createDataFrame(pdf)
+    got = certified_quality_training_batched(
+        df, "label", n_buckets=8, n_batches=3, epochs=2
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        certified_quality_training_batched_sql(
+            "documents", "doc_id", "text", "label",
+            n_buckets=8, n_batches=3, epochs=2,
+        )
+    ).df()
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.astype("int64").equals(want.astype("int64")), (got, want)
+    assert int(got.n_rows.iloc[0]) == 240
+    assert (got.iloc[0, :8] != 0).any()  # training moved
+
+
 def test_fit_distributed_numpy_mirror_and_separation(spark):
     """Whole-corpus certified training: the distributed hashed-feature GD
     equals a pure-numpy mirror of the SAME integer recipe weight-for-

@@ -200,6 +200,61 @@ def test_compact_weights_table_replay_byte_parity(spark, tmp_path):
     assert compact_weights_table(spark, str(tmp_path / "nope"), 5) == 0
 
 
+def test_certified_fold_run_matches_trajectory_sql(spark, tmp_path):
+    """VERDICT r12 stretch #9: the train→fold→train lifecycle is
+    hash-certifiable — certified_fold_run's returned weights table equals
+    DuckDB's batched-chain trajectory view integer-exactly. A wrong fold
+    (or a warm start that misread the compacted row) would corrupt every
+    post-fold epoch's weights, so the match certifies the fold itself."""
+    import duckdb
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_gd_batched_trajectory_sql,
+    )
+    from elastic_surv_spark.streaming.training import certified_fold_run
+
+    rows = [r for batch in _batches(seed=29, n_batches=3, n=80) for r in batch]
+    pdf = pd.DataFrame(rows, columns=["rid", "x0", "x1", "y"])
+    df = spark.createDataFrame(pdf)
+    wpath = str(tmp_path / "weights_fold")
+    got = (
+        certified_fold_run(
+            df, ["x0", "x1"], "y", "rid", wpath, n_batches=4, fold_after=1
+        )
+        .toPandas()
+        .sort_values("epoch", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    want = (
+        con.execute(
+            fixed_point_gd_batched_trajectory_sql(
+                ["x0", "x1"], "y", "rid", n_batches=4, visible_from=1
+            )
+            + " ORDER BY epoch"
+        )
+        .df()
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.astype("int64").equals(want.astype("int64")), (got, want)
+    # the fold really happened: epochs 0..fold_after collapsed into the
+    # compacted row (epoch = fold_after), later epochs live
+    assert got.epoch.tolist() == [1, 2, 3]
+    ids = sorted(
+        r._batch_id
+        for r in spark.read.parquet(wpath).select("_batch_id").distinct().collect()
+    )
+    assert ids == [-1, 2, 3]
+    # training moved and kept moving after the fold
+    assert got.bias_micro.nunique() > 1
+
+    with pytest.raises(ValueError, match="fold_after"):
+        certified_fold_run(
+            df, ["x0", "x1"], "y", "rid", wpath, n_batches=4, fold_after=4
+        )
+
+
 def test_weights_reads_consistent_inside_fold_crash_window(spark, tmp_path):
     """ADVICE r12 #2: compact_weights_table overwrites the -1 partition
     BEFORE the per-partition deletes, so a crash between the two leaves
