@@ -667,10 +667,12 @@ def fixed_point_logistic_gd_batched(
             )
         for _e in range(epochs):
             for bid in range(n_batches):
+                first_visit = bid not in counts
+                if not first_visit and counts[bid] == 0:
+                    continue  # known-empty batch: skip the aggregate job
                 z = _fp_z_from_literals(feats, w, b)
                 g = _fp_sigmoid(z) - F.col("_y")
                 aggs = _fp_grad_aggs(feats, g)
-                first_visit = bid not in counts
                 if first_visit:
                     aggs.append(F.count("*").alias("n"))
                     aggs.extend(
