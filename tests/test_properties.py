@@ -366,3 +366,81 @@ def test_tie_aware_rank_auc_equals_pairwise_definition(seed):
     ties = (pos[:, None] == neg[None, :]).sum()
     auc_pair = (wins + 0.5 * ties) / (m * (n - m))
     assert abs(auc_rank - auc_pair) < 1e-12
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_batched_gd_sql_chain_equals_sequential_mirror(seed):
+    """The generated batch-CTE chain (fixed_point_gd_batched_sql) is a LAW,
+    not a fixture artifact: on random frames (gapped/duplicate ids, varied
+    nf/n_batches/epochs/lr, empty batches included) DuckDB's integers equal
+    a local numpy mirror of the sequential recipe exactly, and the
+    trajectory view's last epoch equals the plain chain's final weights."""
+    import math
+
+    import duckdb
+
+    from elastic_surv_spark.operators.quality_model import (
+        _BATCH_KNUTH,
+        _BATCH_MOD_P,
+        fixed_point_gd_batched_sql,
+        fixed_point_gd_batched_trajectory_sql,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 80))
+    nf = int(rng.integers(1, 4))
+    n_batches = int(rng.integers(1, 6))
+    epochs = int(rng.integers(1, 4))
+    lr = int(rng.choice([250_000, 500_000, 1_000_000]))
+    ids = rng.integers(0, 10_000, n)  # gaps and duplicates allowed
+    feats = [f"x{j}" for j in range(nf)]
+    pdf = pd.DataFrame({"rid": ids})
+    for f in feats:
+        pdf[f] = np.round(rng.normal(scale=rng.uniform(0.1, 20), size=n), 3)
+    pdf["y"] = rng.integers(0, 2, n)
+
+    bid = ((pdf["rid"].to_numpy() % _BATCH_MOD_P) * _BATCH_KNUTH) % n_batches
+    X = pdf[feats].to_numpy(dtype=float)
+    yv = pdf["y"].to_numpy(dtype=float)
+    w = np.zeros(nf, dtype=np.int64)
+    b = 0
+    for _e in range(epochs):
+        for k in range(n_batches):
+            m = bid == k
+            nb = int(m.sum())
+            if nb == 0:
+                continue
+            z = X[m] @ (w / 1e6) + b / 1e6
+            p = 0.5 + 0.5 * z / (1 + np.abs(z))
+            g = p - yv[m]
+            for j in range(nf):
+                G = int(
+                    np.floor(g * X[m][:, j] * 1e9 + 0.5).astype(np.int64).sum()
+                )
+                w[j] -= math.floor((G / (nb * 1e9)) * lr + 0.5)
+            Gb = int(np.floor(g * 1e9 + 0.5).astype(np.int64).sum())
+            b -= math.floor((Gb / (nb * 1e9)) * lr + 0.5)
+
+    con = duckdb.connect()
+    con.register("rows", pdf)
+    got = con.execute(
+        fixed_point_gd_batched_sql(
+            feats, "y", "rid", n_batches=n_batches, epochs=epochs, lr_micro=lr
+        )
+    ).fetchone()
+    assert list(got) == [*w.tolist(), b]
+
+    traj = con.execute(
+        fixed_point_gd_batched_trajectory_sql(
+            feats, "y", "rid",
+            n_batches=n_batches, visible_from=0, lr_micro=lr,
+        )
+        + " ORDER BY epoch"
+    ).df()
+    if epochs == 1:
+        # trajectory at epochs=1 over the same schedule: its LAST epoch row
+        # must equal the plain chain's final weights
+        last = traj.iloc[-1]
+        assert [int(last[f"w{j}_micro"]) for j in range(nf)] == w.tolist()
+        assert int(last["bias_micro"]) == b
