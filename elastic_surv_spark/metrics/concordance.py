@@ -117,16 +117,28 @@ def _bucketed_frames(
     event_col: str,
     risk_col: str,
     n_buckets: int = 64,
+    cache_input: bool = True,
 ) -> tuple[DataFrame, DataFrame, int]:
     """The two Spark plans of the bucketed algorithm (exposed for plan-shape
     tests): (grid_counts, local_parts_agg, n_time_buckets). Neither contains
     a row-level join of any kind — only hash aggregates and grouped-map
-    sweeps over linear shuffles."""
+    sweeps over linear shuffles.
+
+    ``cache_input`` (default): the projected base lazily localCheckpoints
+    BEFORE the quantile pass, so the quantile action materializes it once
+    and the grid + both grouped-map sweeps read the checkpoint instead of
+    each re-running the source plan (4 source evaluations → 1 — the r13
+    scan sweep caught the re-reads once a registry row exposed them).
+    Callers whose input is ALREADY persisted (the per-cut td
+    decompositions) pass False — a checkpoint per cut would pin |cuts|
+    corpus-sized copies."""
     base = df.select(
         F.col(time_col).cast("double").alias("t"),
         F.col(event_col).cast("int").alias("e"),
         F.col(risk_col).cast("double").alias("r"),
     ).where(F.col("t").isNotNull() & F.col("r").isNotNull())
+    if cache_input:
+        base = base.localCheckpoint(eager=False)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     tb_bounds, rb_bounds = (
         base.stat.approxQuantile(["t", "r"], probs, 0.001) if probs else ([], [])
@@ -184,13 +196,15 @@ def harrell_cindex_counts_bucketed(
     event_col: str,
     risk_col: str,
     n_buckets: int = 64,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Exact Harrell counts with linear shuffles (see module doc). Returns
     the same one-row frame as the pairwise form, computed without any
-    nested-loop join — the 100 TB evaluation path."""
+    nested-loop join — the 100 TB evaluation path. ``cache_input`` per
+    :func:`_bucketed_frames` (False when the caller already persisted)."""
     spark = df.sparkSession
     grid_df, local_df, n_tb = _bucketed_frames(
-        df, time_col, event_col, risk_col, n_buckets
+        df, time_col, event_col, risk_col, n_buckets, cache_input=cache_input
     )
     # class 3: bucket-grid dominance (tiny collect: ≤ n_buckets² rows)
     grid = grid_df.collect()
@@ -224,6 +238,7 @@ def harrell_cindex_counts(
     seed: int = 42,
     mode: str = "auto",
     exact_threshold: int = 20_000,
+    cache_input: bool = True,
 ) -> DataFrame:
     """One row: (n_comparable, n_concordant, n_tied, c_index rounded 6).
 
@@ -232,7 +247,9 @@ def harrell_cindex_counts(
     Both modes produce identical counts; auto only picks the cheaper plan.
     Rows with NULL time or risk are excluded up front in EVERY mode (the
     standard missing-risk convention), so the mode switch never changes the
-    answer on data with nulls.
+    answer on data with nulls. ``cache_input`` reaches the bucketed
+    kernel's checkpoint (:func:`_bucketed_frames`); pass False when the
+    input is already persisted.
     """
     df = df.where(F.col(time_col).isNotNull() & F.col(risk_col).isNotNull())
     if sample_frac is not None:
@@ -243,7 +260,9 @@ def harrell_cindex_counts(
         small = df.limit(exact_threshold + 1).count() <= exact_threshold
         mode = "pairwise" if small else "bucketed"
     if mode == "bucketed":
-        return harrell_cindex_counts_bucketed(df, time_col, event_col, risk_col)
+        return harrell_cindex_counts_bucketed(
+            df, time_col, event_col, risk_col, cache_input=cache_input
+        )
     base = df.select(
         F.col(time_col).alias("t"), F.col(event_col).alias("e"), F.col(risk_col).alias("r")
     )
@@ -367,6 +386,7 @@ def harrell_cindex_by_bucketed(
     risk_col: str,
     n_buckets: int = 64,
     round_to: int | None = 6,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Per-group EXACT Harrell C for cohorts too big for one task — the
     bucketed decomposition of ``harrell_cindex_counts_bucketed`` grouped:
@@ -398,6 +418,13 @@ def harrell_cindex_by_bucketed(
         F.col(event_col).cast("int").alias("e"),
         F.col(risk_col).cast("double").alias("r"),
     ).where(F.col("t").isNotNull() & F.col("r").isNotNull())
+    if cache_input:
+        # one source evaluation total: the quantile action below
+        # materializes the checkpoint, and the two grouped-map sweeps +
+        # the grid aggregate read it (the r13 scan sweep found 3 source
+        # re-reads once harrell_cindex_cohorts exposed this kernel). The
+        # per-cut td decomposition passes False — its base is persisted.
+        base = base.localCheckpoint(eager=False)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     tb_bounds, rb_bounds = (
         base.stat.approxQuantile(["t", "r"], probs, 0.001) if probs else ([], [])
@@ -543,7 +570,9 @@ def concordance_td_exact(
                     else F.lit(1.0)  # before the first cut S ≡ 1: all tied
                 ).alias("_r"),
             )
-            row = harrell_cindex_counts(sub, "t", "_eg", "_r", mode=mode).first()
+            row = harrell_cindex_counts(
+                sub, "t", "_eg", "_r", mode=mode, cache_input=False
+            ).first()  # base is persisted above: no per-cut checkpoint
             comparable += int(row["n_comparable"] or 0)
             concordant += int(row["n_concordant"] or 0)
             tied += int(row["n_tied"] or 0)
@@ -734,6 +763,8 @@ def concordance_td_exact_by(
                 harrell_cindex_by_bucketed(
                     sub, "_g", "t", "_eg", "_r",
                     n_buckets=n_buckets, round_to=None,
+                    cache_input=False,  # base persisted above: a checkpoint
+                    # per cut would pin |cuts| corpus-sized copies
                 ).select("_g", "n_comparable", "n_concordant", "n_tied")
             )
         if not parts:

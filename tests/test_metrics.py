@@ -1193,6 +1193,50 @@ def test_grouped_metric_auto_routes(spark, surv_pdf):
         concordance_td_by(df2, "g", "t", "e", "surv", cuts, mode="nope")
 
 
+def test_bucketed_kernels_evaluate_source_once(spark, surv_pdf):
+    """The bucketed Harrell kernels feed THREE consumers (two grouped-map
+    sweeps + the occupancy grid) plus the quantile pass from one input —
+    un-cached they re-ran the source plan per consumer (the r13 scan sweep
+    caught 3-4 evaluations once harrell_cindex_cohorts exposed the grouped
+    kernel). With the default cache_input, an accumulator-instrumented
+    source must be evaluated ~once; the per-cut callers pass
+    cache_input=False against their own persisted base (counts asserted
+    identical either way)."""
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.concordance import (
+        harrell_cindex_by_bucketed,
+        harrell_cindex_counts_bucketed,
+    )
+
+    pdf = surv_pdf.copy()
+    pdf["g"] = (np.arange(len(pdf)) % 2).astype("int32")
+    src = spark.createDataFrame(pdf)
+    n = len(pdf)
+
+    for fn, args in (
+        (harrell_cindex_by_bucketed, ("g", "t", "e", "risk")),
+        (harrell_cindex_counts_bucketed, ("t", "e", "risk")),
+    ):
+        acc = spark.sparkContext.accumulator(0)
+
+        def counting(batches):
+            for b in batches:
+                acc.add(len(b))
+                yield b
+
+        counted = src.mapInPandas(counting, schema=src.schema)
+        cached = fn(counted, *args, n_buckets=8).collect()
+        # quantiles + checkpoint fill read the source once; every further
+        # consumer reads the checkpoint. The un-fixed shape evaluated the
+        # source 4x — the bound must sit strictly below that.
+        assert n <= acc.value <= 1.5 * n, (fn.__name__, acc.value)
+
+        plain = fn(src, *args, n_buckets=8, cache_input=False).collect()
+        key = lambda rows: sorted(tuple(r) for r in rows)
+        assert key(cached) == key(plain), fn.__name__
+
+
 def test_grouped_auto_probe_is_bounded(spark):
     """The grouped auto gate must not pay a full groupBy().count() pass
     over a tiny frame (ADVICE r12 #3): a frame whose TOTAL row count fits
