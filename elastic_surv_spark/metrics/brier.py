@@ -129,6 +129,7 @@ def ipcw_brier_km_by(
     n_grid: int = 20,
     max_curve_points: int = 512,
     round_to: int | None = 6,
+    cache_input: bool = True,
 ) -> DataFrame:
     """Per-group IPCW Brier of each group's OWN KM predictor over an
     ``n_grid``-point per-group time grid: ``(group, k, tau, brier)``.
@@ -164,6 +165,14 @@ def ipcw_brier_km_by(
         F.col(time_col).cast("double").alias("_t"),
         F.col(event_col).cast("int").alias("_e"),
     )
+    if cache_input:
+        # one source evaluation total: quantize_times' eager stats jobs
+        # materialize the checkpoint, and the S curve, G curve, bounds and
+        # subject-terms consumers below all read it instead of re-running
+        # the source plan (~6 evaluations un-cached — the r13 scan sweep).
+        # Callers whose input is already checkpointed (the segmented
+        # pipelines' scored frame) pass False.
+        base = base.localCheckpoint(eager=False)
     base = quantize_times(base, "_t", max_curve_points)
     s_curve = km_curve_by(base, "_t", "_e", g, round_to=10).select(
         F.col(g), F.col("t"), F.col("survival").alias("_s")

@@ -1464,7 +1464,9 @@ def segmented_cox_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     har = harrell_cindex_by(scored, "seg", "t", "e", "risk")
-    bri = ipcw_brier_km_by(scored, "seg", "t", "e", n_grid=10)
+    # scored is checkpointed above: the brier leg's own input cache would
+    # be a redundant second materialization
+    bri = ipcw_brier_km_by(scored, "seg", "t", "e", n_grid=10, cache_input=False)
     ibs = bri.groupBy("seg").agg(
         F.round(
             F.sum(F.col("brier").cast("decimal(38,18)")).cast("double")

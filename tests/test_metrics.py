@@ -1237,6 +1237,37 @@ def test_bucketed_kernels_evaluate_source_once(spark, surv_pdf):
         assert key(cached) == key(plain), fn.__name__
 
 
+def test_grouped_brier_evaluates_source_once(spark, surv_pdf):
+    """ipcw_brier_km_by feeds quantize stats, both KM curves, the grid
+    bounds and the subject terms from one input — un-cached that re-ran
+    the source plan ~6 times (the r13 scan sweep, ipcw_brier_cohorts).
+    With the default cache_input an accumulator-instrumented source is
+    evaluated ~once; values identical with the cache off."""
+    import pandas as pd
+
+    from elastic_surv_spark.metrics.brier import ipcw_brier_km_by
+
+    pdf = surv_pdf.copy()
+    pdf["g"] = (np.arange(len(pdf)) % 2).astype("int32")
+    src = spark.createDataFrame(pdf)
+    n = len(pdf)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    counted = src.mapInPandas(counting, schema=src.schema)
+    cached = ipcw_brier_km_by(counted, "g", "t", "e", n_grid=5).collect()
+    assert n <= acc.value <= 1.5 * n, acc.value
+    plain = ipcw_brier_km_by(
+        src, "g", "t", "e", n_grid=5, cache_input=False
+    ).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(cached) == key(plain)
+
+
 def test_grouped_auto_probe_is_bounded(spark):
     """The grouped auto gate must not pay a full groupBy().count() pass
     over a tiny frame (ADVICE r12 #3): a frame whose TOTAL row count fits
