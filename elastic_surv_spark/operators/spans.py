@@ -1,0 +1,243 @@
+"""Cross-document EXACT repeated-span detection — the "exact substring
+dedup" stage of large-scale training-data pipelines (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better": repeated spans
+across a corpus are memorization fuel and should be cut at SPAN, not
+document, granularity). The reference has no analogue; document-level
+near-dup (operators/dedup*.py) and intra-document repetition
+(operators/repetition.py) cover the other two axes.
+
+Spark-first shape (no suffix array — that is a single-machine construction;
+the k-gram postings decomposition below is the distributed equivalent for a
+fixed minimum span length k):
+
+1. tokenize (the repo-wide ASCII-whitespace class, shared with the
+   quality-model family) and enumerate token positions per document;
+2. form every k-token gram as a window ``lead`` chain per document —
+   doc-grain window partitions, bounded by document length, never by
+   corpus size;
+3. shuffle ONLY an 8-byte ``xxhash64`` of each gram to count occurrences
+   (the ``fingerprint_dedup`` posture: hashes shuffle, not text), keep
+   keys seen in ≥ ``min_count`` occurrences over ≥ ``min_docs`` distinct
+   documents, and semi-join the flags back;
+4. merge flagged positions into MAXIMAL spans per document (two adjacent
+   duplicated grams ≤ k apart share a span) with one more doc-grain
+   window, then aggregate per-document statistics.
+
+The repo-wide 64-bit caveat applies exactly as in ``fingerprint_dedup``:
+two distinct grams colliding on xxhash64 would flag a false span. The
+DuckDB oracle (:func:`doc_duplicate_span_stats_sql`) groups on the gram
+TEXT itself, so the cross-engine hash check also certifies that no
+collision occurred on the tested corpus. Tokens containing the ``chr(31)``
+gram separator could alias a gram boundary — both engines compose grams
+identically, so parity is unaffected; the separator is the ASCII unit
+separator, absent from whitespace-tokenized natural text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "duplicate_spans",
+    "doc_duplicate_span_stats",
+    "doc_duplicate_span_stats_sql",
+]
+
+#: the repo-wide tokenizer boundary (operators/quality_model.py:_WS) as a
+#: Spark/RE2 split pattern — identical class, identical semantics.
+_WS_PATTERN = "[ \\t\\n\\r\\f\\x0b]+"
+_SEP = "\x1f"  # ASCII unit separator between gram tokens
+
+
+def _token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok): whitespace tokens with their 0-based position in
+    the FILTERED token list — the same indexing as
+    ``quality_model.tokenize`` and the oracle's ``list_filter`` form."""
+    toks = F.filter(
+        F.split(F.col(text_col), _WS_PATTERN), lambda x: x != F.lit("")
+    )
+    return df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_count: int = 2,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Every maximal duplicated token span per document:
+    ``(id, span_start, span_end, span_tokens)`` with 0-based inclusive
+    token offsets. A position is flagged when its k-gram occurs at least
+    ``min_count`` times over at least ``min_docs`` distinct documents
+    corpus-wide; flagged positions at distance ≤ k merge into one span
+    (overlapping or back-to-back duplicated grams form one contiguous
+    duplicated region).
+
+    Scale: token/gram windows partition by DOCUMENT (bounded by document
+    length); the only corpus-wide shuffle carries 8-byte gram hashes; the
+    duplicated-key set joins back as a plain equi-join on the hash (skew
+    on a viral gram lands on one reduce key for the COUNT only — the
+    postings themselves never gather).
+    """
+    if k < 1:
+        raise ValueError("duplicate_spans: k must be >= 1")
+    toks = _token_positions(df, id_col, text_col)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w_doc) for i in range(1, k)
+    ]
+    last = F.lead("tok", k - 1).over(w_doc) if k > 1 else F.col("tok")
+    grams = (
+        toks.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(_SEP, *parts).alias("_g"),
+            last.alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select(id_col, "pos", F.xxhash64("_g").alias("_gk"))
+    )
+    dup_keys = (
+        grams.groupBy("_gk")
+        .agg(
+            F.count("*").alias("_n"),
+            F.count_distinct(id_col).alias("_nd"),
+        )
+        .where(
+            (F.col("_n") >= int(min_count)) & (F.col("_nd") >= int(min_docs))
+        )
+        .select("_gk")
+    )
+    flagged = grams.join(dup_keys, "_gk", "left_semi").select(id_col, "pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w_doc) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    sid = F.sum(brk).over(
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("_sid", sid)
+        .groupBy(id_col, "_sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            (F.max("pos") + F.lit(k) - F.min("pos")).alias("span_tokens"),
+        )
+        .drop("_sid")
+    )
+
+
+def doc_duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_count: int = 2,
+    min_docs: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document duplicated-span statistics over EVERY document:
+    ``(id, n_tokens, n_dup_spans, dup_tokens, dup_frac)`` — zero rows for
+    clean documents included (the selection/reporting shape: a filter
+    like ``dup_frac >= 0.5`` drops boilerplate-heavy documents the way
+    the quality filter drops low-quality ones). ``dup_frac`` is rounded
+    for engine parity; counts are exact int64."""
+    spans = duplicate_spans(
+        df, id_col, text_col, k=k, min_count=min_count, min_docs=min_docs
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    toks = _token_positions(df, id_col, text_col)
+    ntok = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("n_tokens"))
+    # documents with no token at all still report (0, 0, 0, 0.0)
+    ids = df.select(id_col).distinct()
+    out = (
+        ids.join(ntok, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+    frac = F.round(
+        F.col("dup_tokens").cast("double")
+        / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+        round_to,
+    )
+    return out.withColumn("dup_frac", frac)
+
+
+def doc_duplicate_span_stats_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_count: int = 2,
+    min_docs: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`doc_duplicate_span_stats`. Grams group on
+    their TEXT (list-indexed k-token concatenation under the same
+    ``chr(31)`` separator and the same tokenizer class), so a hash match
+    against the Spark frame also certifies that xxhash64 had no collision
+    on the corpus."""
+    gram = " || chr(31) || ".join(f"w[i + {j}]" for j in range(k))
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               list_filter(regexp_split_to_array({text_col},
+                           '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS w
+        FROM {source}
+    ), gi AS (
+        SELECT {id_col}, w,
+               unnest(range(1, greatest(len(w) - {k} + 2, 1))) AS i
+        FROM toks
+    ), grams AS (
+        SELECT {id_col}, i - 1 AS pos, {gram} AS g FROM gi
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING count(*) >= {min_count}
+           AND count(DISTINCT {id_col}) >= {min_docs}
+    ), flagged AS (
+        SELECT {id_col}, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ), marked AS (
+        SELECT {id_col}, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col}
+                                              ORDER BY pos) <= {k}
+                    THEN 0 ELSE 1 END AS brk
+        FROM flagged
+    ), sids AS (
+        SELECT {id_col}, pos,
+               sum(brk) OVER (PARTITION BY {id_col} ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ), spans AS (
+        SELECT {id_col}, min(pos) AS span_start,
+               max(pos) + {k} - min(pos) AS span_tokens
+        FROM sids GROUP BY {id_col}, sid
+    ), stats AS (
+        SELECT {id_col}, count(*) AS n_dup_spans,
+               sum(span_tokens) AS dup_tokens
+        FROM spans GROUP BY {id_col}
+    ), ntok AS (
+        SELECT {id_col}, len(w) AS n_tokens FROM toks
+    )
+    SELECT n.{id_col},
+           -- NULL text tokenizes to NULL here but to an empty token list
+           -- on the Spark side: coalesce keeps the engines identical
+           CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(s.dup_tokens, 0)::DOUBLE
+                 / greatest(coalesce(n.n_tokens, 0), 1), {round_to}) AS dup_frac
+    FROM ntok n LEFT JOIN stats s ON n.{id_col} = s.{id_col}
+    """

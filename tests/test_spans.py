@@ -1,0 +1,156 @@
+"""Cross-document exact repeated-span detection (operators/spans.py):
+planted-corpus semantics, DuckDB parity on messy inputs, partitioning
+invariance, and the scale plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_surv_spark.operators.spans import (
+    doc_duplicate_span_stats,
+    doc_duplicate_span_stats_sql,
+    duplicate_spans,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}
+        )
+    )
+
+
+def test_duplicate_spans_planted_corpus(spark):
+    """A 6-token run shared by two documents yields ONE maximal merged
+    span in each (its three overlapping 4-grams merge); an intra-document
+    repeat is invisible at min_docs=2 and visible at min_docs=1."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"u1 u2 {shared} u3"),            # shared run at pos 2..7
+        (2, f"{shared} v1 v2 v3 v4"),          # shared run at pos 0..5
+        (3, "m1 m2 m3 m4 w1 w2 w3 w4 w5 m1 m2 m3 m4"),  # intra-doc repeat
+    ]
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(_df(spark, rows), k=4).collect()
+    }
+    assert spans == {(1, 2, 7, 6), (2, 0, 5, 6)}
+
+    spans1 = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_spans(_df(spark, rows), k=4, min_docs=1).collect()
+    }
+    # min_docs=1 additionally flags doc 3's two far-apart occurrences as
+    # two distinct 4-token spans
+    assert spans1 == {
+        (1, 2, 7, 6),
+        (2, 0, 5, 6),
+        (3, 0, 3, 4),
+        (3, 9, 12, 4),
+    }
+
+
+def test_duplicate_spans_adjacency_merge_boundary(spark):
+    """Flagged gram starts at distance exactly k share a span (the regions
+    are back-to-back); at distance k+1 they stay separate."""
+    a = "a1 a2 a3 a4"
+    b = "b1 b2 b3 b4"
+    # doc 10: a-run at pos 0, b-run at pos 4 (distance 4 == k -> merge)
+    # doc 11: a-run at pos 0, b-run at pos 5 (distance 5 > k -> split)
+    rows = [
+        (10, f"{a} {b}"),
+        (11, f"{a} gap {b}"),
+        (12, f"{a} x1 x2 {b}"),  # second corpus occurrence of both runs
+    ]
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(_df(spark, rows), k=4).collect()
+    }
+    assert (10, 0, 7) in got          # merged
+    assert (11, 0, 3) in got and (11, 5, 8) in got  # split
+    assert (10, 0, 3) not in got
+
+
+def test_doc_duplicate_span_stats_duckdb_parity(spark):
+    """Exact engine parity on a messy corpus: shared runs, whitespace
+    runs/tabs/newlines, an empty text, a NULL text, and clean documents
+    (which must still report zero rows)."""
+    shared = "p q r s t"
+    rng = np.random.default_rng(19)
+    rows = [
+        (1, f"lead1 lead2 {shared} tail1"),
+        (2, f"{shared} only"),
+        (3, "completely unique words here nothing repeats at all"),
+        (4, "  spaced\tout\n tokens  with   runs " + shared),
+        (5, ""),
+        (6, None),
+    ]
+    rows += [
+        (100 + i, " ".join(f"w{int(v)}" for v in rng.integers(0, 30, 12)))
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    got = (
+        doc_duplicate_span_stats(df, k=3)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = (
+        con.execute(
+            doc_duplicate_span_stats_sql("documents", k=3)
+            + " ORDER BY 1"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    for c in ("doc_id", "n_tokens", "n_dup_spans", "dup_tokens"):
+        assert got[c].tolist() == want[c].astype("int64").tolist(), c
+    assert (got.dup_frac - want.dup_frac).abs().max() == 0.0
+    # the planted share was found; the clean doc reports zeros
+    byid = got.set_index("doc_id")
+    assert byid.loc[1, "dup_tokens"] == 5 and byid.loc[2, "dup_tokens"] == 5
+    assert byid.loc[3, "n_dup_spans"] == 0
+    assert byid.loc[5, "n_tokens"] == 0 and byid.loc[6, "n_tokens"] == 0
+    assert byid.loc[4, "dup_tokens"] == 5  # messy-whitespace doc tokenized right
+
+
+def test_duplicate_spans_partitioning_invariance(spark):
+    """Span sets are independent of partitioning/row order (doc-grain
+    windows + hash-key aggregation only)."""
+    rows = [
+        (i, f"c{i} {'s1 s2 s3 s4' if i % 3 == 0 else f'u{i} v{i} w{i} z{i}'} d{i}")
+        for i in range(30)
+    ]
+    df = _df(spark, rows)
+    ref = sorted(tuple(r) for r in duplicate_spans(df, k=4).collect())
+    for variant in (df.repartition(16), df.coalesce(1)):
+        assert sorted(tuple(r) for r in duplicate_spans(variant, k=4).collect()) == ref
+    assert ref  # the planted run repeats across 10 docs
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Scale posture: no cartesian product anywhere, the corpus-wide
+    shuffle key is the 8-byte xxhash64 (not gram text), and every window
+    partitions by document."""
+    df = _df(spark, [(1, "a b c d e"), (2, "a b c d f")])
+    out = doc_duplicate_span_stats(df, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "xxhash64" in plan
+    import re
+
+    for line in plan.splitlines():
+        if re.search(r"\bWindow \[", line):
+            assert "doc_id" in line  # doc-grain partition spec
+
+    with pytest.raises(ValueError, match="k must be"):
+        duplicate_spans(df, k=0)
