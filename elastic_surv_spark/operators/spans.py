@@ -42,6 +42,7 @@ __all__ = [
     "duplicate_spans",
     "doc_duplicate_span_stats",
     "doc_duplicate_span_stats_sql",
+    "cut_duplicate_spans",
 ]
 
 #: the repo-wide tokenizer boundary (operators/quality_model.py:_WS) as a
@@ -241,3 +242,110 @@ def doc_duplicate_span_stats_sql(
                  / greatest(coalesce(n.n_tokens, 0), 1), {round_to}) AS dup_frac
     FROM ntok n LEFT JOIN stats s ON n.{id_col} = s.{id_col}
     """
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_count: int = 2,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """The ACTION half of exact-substring dedup (Lee et al. cut
+    all-but-one occurrence of every repeated span): rebuild each
+    document's text with its duplicated spans removed —
+    ``(id, text, n_tokens_removed)``, every input document present,
+    clean documents pass through with their TOKENIZED text (whitespace
+    runs collapse to single spaces — the same canonicalization the
+    tokenizer applies; byte-preserving surgery would need original
+    offsets, which whitespace tokenization deliberately discards).
+
+    ``keep_first`` (default): occurrences of an identical span TEXT rank
+    by (id, span_start) and the corpus-first occurrence SURVIVES — one
+    copy of the content remains, as in the paper. ``keep_first=False``
+    cuts every occurrence (the decontamination posture: remove the
+    content everywhere). Span identity is the token-slice text itself,
+    so two spans that merely overlap the same gram but differ at the
+    edges count as different content (each still loses its own
+    duplicated region).
+
+    Scale: spans per document are bounded by document length; the
+    keep-first rank is a window over (span-text hash) whose partitions
+    hold one row per OCCURRENCE of one exact span — the duplication
+    factor, not the corpus; the rebuild is one arrays-zip pass per
+    document (no Python rows).
+    """
+    spans = duplicate_spans(
+        df, id_col, text_col, k=k, min_count=min_count, min_docs=min_docs
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.coalesce(
+            F.filter(
+                F.split(F.col(text_col), _WS_PATTERN),
+                lambda x: x != F.lit(""),
+            ),
+            F.array().cast("array<string>"),  # NULL text ≡ empty doc
+        ).alias("_toks"),
+    )
+    # span text: tokens[start .. end] (slice is 1-based, length-bounded)
+    keyed = spans.join(toks, id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        F.xxhash64(
+            F.concat_ws(
+                _SEP,
+                F.slice(
+                    "_toks",
+                    F.col("span_start") + 1,
+                    F.col("span_end") - F.col("span_start") + 1,
+                ),
+            )
+        ).alias("_sk"),
+    )
+    if keep_first:
+        w = Window.partitionBy("_sk").orderBy(id_col, "span_start")
+        cut = keyed.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") > 1
+        )
+    else:
+        cut = keyed
+    ranges = (
+        cut.select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("_cuts"))
+    )
+    joined = toks.join(ranges, id_col, "left")
+    # keep token i unless some cut range covers it — exists() over the
+    # (bounded, per-doc) cut list; transform's index-aware lambda pairs
+    # each token with its position (and is a no-op on empty docs)
+    pairs = F.transform(
+        "_toks", lambda t, i: F.struct(t.alias("t"), i.alias("p"))
+    )
+    cuts = F.coalesce(
+        "_cuts",
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        pairs,
+        lambda s: ~F.exists(
+            cuts,
+            lambda c: (s["p"] >= c["span_start"]) & (s["p"] <= c["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["t"])
+        ).alias(text_col),
+        (
+            F.size("_toks") - F.size(kept)
+        ).cast("long").alias("n_tokens_removed"),
+    )

@@ -154,3 +154,65 @@ def test_duplicate_spans_plan_shape(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         duplicate_spans(df, k=0)
+
+
+def test_cut_duplicate_spans_keep_first_and_cut_all(spark):
+    """The action half: keep_first leaves the corpus-first occurrence of
+    each exact span intact and cuts the rest; keep_first=False cuts every
+    occurrence; clean documents pass through tokenized with zero removed;
+    empty/NULL texts survive as empty strings."""
+    from elastic_surv_spark.operators.spans import cut_duplicate_spans
+
+    shared = "s1 s2 s3 s4 s5"
+    rows = [
+        (1, f"a1 {shared} a2"),     # first occurrence (lowest id): kept
+        (2, f"{shared} b1 b2"),     # cut
+        (3, f"c1 c2 c3 {shared}"),  # cut
+        (4, "clean words only here"),
+        (5, ""),
+        (6, None),
+    ]
+    out = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in cut_duplicate_spans(_df(spark, rows), k=4).collect()
+    }
+    assert out[1] == (f"a1 {shared} a2", 0)      # survivor untouched
+    assert out[2] == ("b1 b2", 5)
+    assert out[3] == ("c1 c2 c3", 5)
+    assert out[4] == ("clean words only here", 0)
+    assert out[5] == ("", 0) and out[6] == ("", 0)
+
+    all_cut = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in cut_duplicate_spans(
+            _df(spark, rows), k=4, keep_first=False
+        ).collect()
+    }
+    assert all_cut[1] == ("a1 a2", 5)            # no survivor
+    assert all_cut[2] == ("b1 b2", 5)
+
+    # idempotence of the cleaned corpus: nothing repeated remains, so a
+    # second pass removes nothing
+    cleaned = cut_duplicate_spans(_df(spark, rows), k=4, keep_first=False)
+    again = cut_duplicate_spans(cleaned, k=4)
+    assert {r.n_tokens_removed for r in again.collect()} == {0}
+
+
+def test_cut_duplicate_spans_partitioning_invariance(spark):
+    """The keep-first choice is a deterministic total order (id,
+    span_start) — partitioning cannot change which occurrence survives."""
+    from elastic_surv_spark.operators.spans import cut_duplicate_spans
+
+    rows = [
+        (i, f"pad{i} r1 r2 r3 r4 tail{i}" if i % 2 == 0 else f"solo{i} x y z")
+        for i in range(20)
+    ]
+    df = _df(spark, rows)
+    ref = sorted(tuple(r) for r in cut_duplicate_spans(df, k=4).collect())
+    for variant in (df.repartition(16), df.coalesce(1)):
+        got = sorted(
+            tuple(r) for r in cut_duplicate_spans(variant, k=4).collect()
+        )
+        assert got == ref
+    kept = [t for t in ref if t[2] == 0 and "r1" in t[1]]
+    assert len(kept) == 1  # exactly one survivor of the repeated run
