@@ -444,3 +444,62 @@ def test_batched_gd_sql_chain_equals_sequential_mirror(seed):
         last = traj.iloc[-1]
         assert [int(last[f"w{j}_micro"]) for j in range(nf)] == w.tolist()
         assert int(last["bias_micro"]) == b
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_duplicate_span_stats_equals_bruteforce(spark, seed):
+    """doc_duplicate_span_stats is a LAW against a brute-force mirror:
+    on random small-vocabulary corpora (heavy accidental repeats), the
+    per-document duplicated-token budget equals a dict-based k-gram
+    counter + interval-merge reimplementation exactly."""
+    from elastic_surv_spark.operators.spans import doc_duplicate_span_stats
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 5))
+    docs = {
+        int(i): [f"t{int(v)}" for v in rng.integers(0, 8, rng.integers(0, 15))]
+        for i in range(int(rng.integers(2, 12)))
+    }
+
+    # brute force: count every k-gram (as a tuple) with its doc set
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    for d, toks in docs.items():
+        for p in range(len(toks) - k + 1):
+            occs[tuple(toks[p : p + k])].append((d, p))
+    dup = {
+        g
+        for g, oc in occs.items()
+        if len(oc) >= 2 and len({d for d, _ in oc}) >= 2
+    }
+    want = {}
+    for d, toks in docs.items():
+        flagged = sorted(
+            p
+            for p in range(len(toks) - k + 1)
+            if tuple(toks[p : p + k]) in dup
+        )
+        spans = []
+        for p in flagged:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        dup_tokens = sum(e + k - s for s, e in spans)
+        want[d] = (len(toks), len(spans), dup_tokens)
+
+    pdf = pd.DataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        columns=["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+        for r in doc_duplicate_span_stats(
+            spark.createDataFrame(pdf), k=k
+        ).collect()
+    }
+    assert got == want, (k, got, want)
