@@ -263,11 +263,27 @@ def certified_fold_run(
         *feats,
         label_col,
         (_batch_id_col(id_col) % F.lit(int(n_batches))).alias("_bid"),
+        F.col(id_col).cast("long").alias("_id"),
     ).persist()
     try:
+        # the batched trainer's guard, applied here too (ADVICE r13 #4):
+        # a negative id hashes to a negative _bid and a NULL/uncastable id
+        # to a NULL one — either matches no batch filter, so the rows
+        # would silently drop from EVERY epoch on both engines. Bounded
+        # probe: limit(1) before the count.
+        bad = (
+            base.filter(F.col("_id").isNull() | (F.col("_id") < 0))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "certified_fold_run: id_col has negative or NULL values "
+                "— they hash outside every batch"
+            )
         for bid in range(n_batches):
             training_batch_incremental(
-                base.filter(F.col("_bid") == bid).drop("_bid"),
+                base.filter(F.col("_bid") == bid).drop("_bid", "_id"),
                 bid,
                 weights_path,
                 feats,

@@ -260,12 +260,25 @@ def _event_epoch_ms(ts_max, session_tz: str) -> int:
     value is localized back to the session zone first (already-aware
     values pass through). Keeps the event-time-timeout base exact under
     ANY session timezone instead of depending on get_spark's UTC pin
-    (ADVICE r12 #4)."""
+    (ADVICE r12 #4).
+
+    DST edges are handled deterministically instead of raising (ADVICE
+    r13 #1 — the defaults are ``ambiguous='raise'``/``nonexistent=
+    'raise'``, a crash path for any fall-back or spring-forward hour
+    under a DST session zone): an AMBIGUOUS wall time (fall-back hour,
+    two instants) resolves to the EARLIER instant (``ambiguous=True`` =
+    treat as DST), a NONEXISTENT wall time (spring-forward gap — only
+    reachable if the upstream renderer itself produced an impossible
+    wall time) shifts forward to the first valid instant. Both choices
+    are monotone within a batch, so the timeout base never jumps
+    backward across the edge; pinned by tests."""
     import pandas as pd
 
     t = pd.Timestamp(ts_max)
     if t.tzinfo is None:
-        t = t.tz_localize(session_tz)
+        t = t.tz_localize(
+            session_tz, ambiguous=True, nonexistent="shift_forward"
+        )
     return int(t.value // 1_000_000)
 
 

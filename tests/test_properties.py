@@ -383,6 +383,7 @@ def test_batched_gd_sql_chain_equals_sequential_mirror(seed):
     from elastic_surv_spark.operators.quality_model import (
         _BATCH_KNUTH,
         _BATCH_MOD_P,
+        _BATCH_SHIFT,
         fixed_point_gd_batched_sql,
         fixed_point_gd_batched_trajectory_sql,
     )
@@ -400,7 +401,9 @@ def test_batched_gd_sql_chain_equals_sequential_mirror(seed):
         pdf[f] = np.round(rng.normal(scale=rng.uniform(0.1, 20), size=n), 3)
     pdf["y"] = rng.integers(0, 2, n)
 
-    bid = ((pdf["rid"].to_numpy() % _BATCH_MOD_P) * _BATCH_KNUTH) % n_batches
+    bid = (
+        (pdf["rid"].to_numpy() % _BATCH_MOD_P) * _BATCH_KNUTH // _BATCH_SHIFT
+    ) % n_batches
     X = pdf[feats].to_numpy(dtype=float)
     yv = pdf["y"].to_numpy(dtype=float)
     w = np.zeros(nf, dtype=np.int64)

@@ -339,7 +339,9 @@ def _np_batched_mirror(pdf, feats, n_batches, epochs, lr=500_000):
     batches, one update per (epoch, batch), gradient at current weights."""
     import math
 
-    bid = ((pdf["rid"].to_numpy() % 1_000_003) * 2_654_435_761) % n_batches
+    bid = (
+        (pdf["rid"].to_numpy() % 1_000_003) * 2_654_435_761 // (1 << 20)
+    ) % n_batches
     X = pdf[feats].to_numpy(dtype=float)
     y = pdf["y"].to_numpy(dtype=float)
     w = np.zeros(len(feats), dtype=np.int64)
@@ -450,6 +452,15 @@ def test_batched_gd_partitioning_invariant_and_guards(spark):
     with pytest.raises(ValueError, match="negative"):
         fixed_point_logistic_gd_batched(
             spark.createDataFrame(neg), ["x0", "x1"], "y", "rid", n_batches=2
+        )
+    # NULL ids hash to a NULL _bid and silently miss every batch filter
+    # — the guard must catch them too (ADVICE r13 #4's sibling shape)
+    nul = pdf.head(5).copy()
+    nul["rid"] = [None, 2, 3, 4, 5]
+    nul["rid"] = nul["rid"].astype("Int64")
+    with pytest.raises(ValueError, match="negative or NULL"):
+        fixed_point_logistic_gd_batched(
+            spark.createDataFrame(nul), ["x0", "x1"], "y", "rid", n_batches=2
         )
     empty = spark.createDataFrame([], "rid long, x0 double, y int")
     with pytest.raises(ValueError, match="empty training frame"):
@@ -1089,3 +1100,103 @@ def test_certified_fleet_training_tokenizes_once(spark):
     # branch) — the bound must sit strictly below that to discriminate;
     # 1.5n absorbs a recomputed partition without admitting a full rescan
     assert n <= acc.value <= 1.5 * n, acc.value
+
+
+def test_certified_batched_training_tokenizes_once(spark):
+    """ADVICE r13 #5: certified_quality_training_batched counts its rows
+    AFTER the trainer has unpersisted its keyed projection, so without
+    the outer feature-frame persist the Arrow tokenize pass ran TWICE.
+    Accumulator on the corpus source: evaluations must stay well below
+    the un-fixed 2n."""
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_batched,
+    )
+
+    rows = _corpus(seed=11, n_clean=80, n_noisy=80)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "label"])
+    src = spark.createDataFrame(pdf)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    counted = src.mapInPandas(counting, schema=src.schema)
+    out = certified_quality_training_batched(
+        counted, "label", n_buckets=8, n_batches=3, epochs=2
+    ).collect()
+    assert out[0]["n_rows"] == len(pdf)
+    n = len(pdf)
+    assert n <= acc.value <= 1.5 * n, acc.value
+
+
+def test_batch_key_spreads_contiguous_ids(spark):
+    """ADVICE r13 #2: the batch key takes the HIGH bits of the Knuth
+    multiply — without the shift, 2654435761 ≡ 1 (mod 16) reduces the
+    key to plain round-robin for every power-of-two n_batches ≤ 16. The
+    fixed key must (a) disagree with id % n_batches (the multiply does
+    real work), (b) still cover every batch, and (c) match the numpy
+    mirror of the published formula exactly (engine portability)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.operators.quality_model import (
+        _BATCH_KNUTH,
+        _BATCH_MOD_P,
+        _BATCH_SHIFT,
+        _batch_id_col,
+    )
+
+    ids = np.arange(0, 512, dtype=np.int64)
+    for n_batches in (4, 16):
+        want = ((ids % _BATCH_MOD_P) * _BATCH_KNUTH // _BATCH_SHIFT) % n_batches
+        df = spark.createDataFrame(pd.DataFrame({"rid": ids}))
+        got = (
+            df.select(
+                "rid",
+                (_batch_id_col("rid") % F.lit(n_batches)).alias("bid"),
+            )
+            .toPandas()
+            .sort_values("rid")
+        )
+        assert got.bid.to_numpy().tolist() == want.tolist()
+        # the multiply actually spreads: contiguous ids do NOT walk the
+        # batches round-robin (the pre-fix key had bid == id % n_batches
+        # for every one of these ids)
+        assert (got.bid.to_numpy() != (ids % n_batches)).any()
+        assert set(got.bid.tolist()) == set(range(n_batches))
+
+
+def test_auc_rank_sums_survive_int64_scale(spark):
+    """ADVICE r13 #3: the AUC numerator's n_pos·(n_pos+1) product runs in
+    double — on int64 it silently wraps past ~3.0e9 positives (Spark
+    non-ANSI) while DuckDB widens to HUGEINT, splitting the engines
+    exactly at web scale. Feed the closing expression sums from a
+    4.2e9-row synthetic segment and compare to exact integer math."""
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.operators.quality_model import (
+        _auc_from_rank_sums,
+    )
+
+    n_pos, n_docs = 3_100_000_000, 4_200_000_000
+    # tie-free best case: every positive outranks every negative →
+    # positives hold ranks (n_neg+1 .. n_docs), AUC exactly 1.0
+    lo, hi = n_docs - n_pos + 1, n_docs
+    srp = float((lo + hi) * (hi - lo + 1) // 2)
+    df = spark.createDataFrame(
+        [(srp, n_pos, n_docs)], "srp double, n_pos long, n_docs long"
+    )
+    got = df.select(
+        _auc_from_rank_sums(
+            F.col("srp"), F.col("n_pos"), F.col("n_docs"), 6
+        ).alias("auc")
+    ).collect()[0]["auc"]
+    assert got == 1.0, got
+    # the int64 product would have wrapped: prove the scale is past the
+    # wrap point, so a regression to long math cannot sneak back green
+    assert n_pos * (n_pos + 1) > 2**63 - 1

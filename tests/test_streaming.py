@@ -139,6 +139,39 @@ def test_event_epoch_ms_is_timezone_explicit():
     assert _event_epoch_ms(aware, "America/New_York") == utc_ms
 
 
+def test_event_epoch_ms_survives_dst_edges():
+    """DST edge wall times must resolve deterministically, never raise
+    (ADVICE r13 #1 — pandas' default ambiguous='raise'/nonexistent=
+    'raise' would kill the streaming query on a batch-max landing in a
+    fall-back or spring-forward hour). Ambiguous (fall-back, two
+    instants) picks the EARLIER instant (DST); nonexistent
+    (spring-forward gap) shifts forward to the first valid instant."""
+    import pandas as pd
+
+    from elastic_surv_spark.streaming.windows import _event_epoch_ms
+
+    # 2024-11-03 01:30 America/New_York happens twice (EDT then EST):
+    # must not raise, and must pick the first (EDT, UTC-4) occurrence
+    amb = pd.Timestamp("2024-11-03 01:30:00")
+    got = _event_epoch_ms(amb, "America/New_York")
+    edt = int(
+        amb.tz_localize("America/New_York", ambiguous=True).value
+        // 1_000_000
+    )
+    assert got == edt
+    est_ms = got + 3_600_000  # the later (EST) reading — NOT chosen
+    assert got < est_ms
+
+    # 2024-03-10 02:30 America/New_York does not exist (clocks jump
+    # 02:00→03:00): shifts forward to 03:00 EDT instead of raising
+    gap = pd.Timestamp("2024-03-10 02:30:00")
+    got_gap = _event_epoch_ms(gap, "America/New_York")
+    three = pd.Timestamp("2024-03-10 03:00:00").tz_localize(
+        "America/New_York"
+    )
+    assert got_gap == int(three.value // 1_000_000)
+
+
 def test_checkpointed_parquet_sink_exactly_once(spark, stream_dir, tmp_path_factory):
     # the file-sink transaction log + source offsets make restarts idempotent:
     # a second run over the same bounded source must commit zero new rows

@@ -255,6 +255,29 @@ def test_certified_fold_run_matches_trajectory_sql(spark, tmp_path):
         )
 
 
+def test_certified_fold_run_rejects_bad_ids(spark, tmp_path):
+    """ADVICE r13 #4: the fold run applies the batched trainer's hash key,
+    so it must also apply its guard — a negative id hashes to a negative
+    _bid and a NULL/uncastable one to a NULL _bid, matching no epoch's
+    batch filter: the rows would silently drop from EVERY epoch on both
+    engines. Both shapes must raise BEFORE any epoch writes state."""
+    import os
+
+    from elastic_surv_spark.streaming.training import certified_fold_run
+
+    rows = [r for batch in _batches(seed=31, n_batches=2, n=30) for r in batch]
+    for poison in (-7, None):
+        bad = [(poison, 1.0, 2.0, 1)] + rows
+        df = spark.createDataFrame(bad, "rid long, x0 double, x1 double, y int")
+        wpath = str(tmp_path / f"weights_bad_{poison}")
+        with pytest.raises(ValueError, match="negative or NULL"):
+            certified_fold_run(
+                df, ["x0", "x1"], "y", "rid", wpath, n_batches=4
+            )
+        # the guard fired before epoch 0 — no state was written
+        assert not os.path.exists(wpath)
+
+
 def test_weights_reads_consistent_inside_fold_crash_window(spark, tmp_path):
     """ADVICE r12 #2: compact_weights_table overwrites the -1 partition
     BEFORE the per-partition deletes, so a crash between the two leaves
