@@ -25,7 +25,12 @@ from elastic_surv_spark.session import get_spark
 #: methodology excludes (there the measured plan is the product; here the
 #: fn-side loop IS the product). Applied from the row's FIRST board, so
 #: no historical comparability breaks.
-EAGER_FN_ROWS = {"certified_quality_training", "certified_quality_eval"}
+EAGER_FN_ROWS = {
+    "certified_quality_training",
+    "certified_quality_eval",
+    "certified_quality_training_batched",
+    "certified_fold_run",
+}
 
 
 def time_e2e_stages(spark, sf_dir: str) -> dict[str, float]:

@@ -65,6 +65,7 @@ __all__ = [
     "certified_quality_training_batched",
     "certified_quality_training_batched_sql",
     "fixed_point_gd_batched_trajectory_sql",
+    "certified_fold_run_sql",
 ]
 
 _MASK32 = 0xFFFFFFFF
@@ -1120,6 +1121,39 @@ def certified_quality_training_batched_sql(
         + ", (SELECT CAST(count(*) AS BIGINT) FROM _qfeat) AS n_rows FROM "
         + wref
     )
+
+
+def certified_fold_run_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_expr: str = "label",
+    n_buckets: int = 16,
+    n_batches: int = 4,
+    visible_from: int = 1,
+    lr_micro: int = 500_000,
+) -> str:
+    """DuckDB mirror of the streaming train→fold→warm-start lifecycle
+    (``streaming/training.py:certified_fold_run`` over a hashed-feature
+    corpus): the feature CTE (:func:`quality_features_sql`) spliced into
+    the batch-chain TRAJECTORY view
+    (:func:`fixed_point_gd_batched_trajectory_sql` at
+    ``visible_from = fold_after``) — one row per post-fold visible epoch,
+    ``(epoch, n_rows, w*_micro, bias_micro)``, every cell int64. A hash
+    match certifies at once that per-epoch training is bit-exact, the
+    fold retained the right state, and the post-fold warm start read the
+    compacted row correctly."""
+    feats = [f"x{j}" for j in range(n_buckets)]
+    traj = fixed_point_gd_batched_trajectory_sql(
+        feats, "label", id_col,
+        n_batches=n_batches, visible_from=visible_from, lr_micro=lr_micro,
+        source="_qfeat",
+    )
+    body = quality_features_sql(
+        source, id_col, text_col, label_expr=label_expr, n_buckets=n_buckets
+    )
+    assert traj.startswith("WITH ")
+    return "WITH _qfeat AS (" + body + "),\n" + traj[len("WITH "):]
 
 
 def certified_quality_training_by(

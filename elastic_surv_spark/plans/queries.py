@@ -2274,6 +2274,127 @@ def certified_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from elastic_surv_spark.operators.quality_model import (  # noqa: E402
+    certified_quality_training_batched_sql as _cqtb_sql,
+)
+
+
+@query(
+    "certified_quality_training_batched",
+    # The reference's ACTUAL training shape — mini-batch/multi-epoch
+    # sequential GD (reference src/elastic_surv/dataset.py:198-205 windows
+    # feeding the torch loop at models/base.py:39-50) — as a hash-certified
+    # stage (VERDICT r13 task #2, the pre-assembled r14 row): the hashed
+    # feature CTE spliced into the unrolled batch-CTE chain, one integer-GD
+    # update per (epoch, batch), batch membership an engine-portable id
+    # hash (high bits of the Knuth multiply), empty batches carry weights.
+    # One output row, every cell int64 — the cross-engine hash needs no
+    # float rounding anywhere.
+    _cqtb_sql(
+        source="documents",
+        id_col="doc_id",
+        text_col="text",
+        label_expr="CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        n_buckets=16,
+        n_batches=4,
+        epochs=2,
+    ),
+)
+def certified_quality_training_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Certified MINI-BATCH/MULTI-EPOCH training as a registry row
+    (operators/quality_model.py:certified_quality_training_batched):
+    label = (lang = 'en'), 16 hashed buckets, 2 epochs of 4 sequential
+    hash-keyed batch updates — where ``certified_quality_training``
+    certifies the full-batch limit, this puts the reference's real
+    epoch/batch loop itself under the driver hash. Output: ONE row,
+    ``(w0_micro … w15_micro, bias_micro, n_rows)``, all int64.
+
+    Scale: one Arrow tokenize pass (the feature frame persists across
+    trainer and count), then epochs × n_batches filtered
+    map-side-combined integer aggregates; the schedule is bounded and
+    driver traffic is (n_buckets+1) ints per step — the collects ARE the
+    product (bench.py EAGER_FN_ROWS class)."""
+    from elastic_surv_spark.operators.quality_model import (
+        certified_quality_training_batched,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    return certified_quality_training_batched(
+        d, "label", n_buckets=16, n_batches=4, epochs=2
+    )
+
+
+from elastic_surv_spark.operators.quality_model import (  # noqa: E402
+    certified_fold_run_sql as _cfr_sql,
+)
+
+
+@query(
+    "certified_fold_run",
+    # The streaming train→FOLD→warm-start lifecycle under one driver hash
+    # (VERDICT r13 task #3, the second pre-assembled r14 row): epochs
+    # strictly below fold_after collapse into the compacted weights row
+    # mid-run, every later epoch warm-starts from it, and the returned
+    # weights table is regenerated by DuckDB's batch-chain trajectory view
+    # — a wrong fold or a misread warm start would corrupt every
+    # post-fold epoch's integers, so the match certifies training, fold
+    # retention, AND the warm start at once.
+    _cfr_sql(
+        source="documents",
+        id_col="doc_id",
+        text_col="text",
+        label_expr="CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        n_buckets=16,
+        n_batches=4,
+        visible_from=1,
+    ),
+)
+def certified_fold_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified streaming training lifecycle as a registry row
+    (streaming/training.py:certified_fold_run): hashed-feature corpus
+    (label = lang = 'en', 16 buckets) driven through 4 hash-keyed epochs
+    of :func:`training_batch_incremental` with the committed prefix
+    FOLDED after epoch 1 (`compact_weights_table`), returned through
+    `read_weights_table` as ``(epoch, n_rows, w0_micro …, bias_micro)``
+    — one post-fold row per visible epoch, all int64.
+
+    The weights table lives in a per-call temp dir (the stream rows'
+    sink pattern); the result is eagerly checkpointed before cleanup so
+    the returned frame owns its rows. Scale: state = one weights row per
+    epoch folded with the ingest recipe; each epoch is one filtered
+    warm-started trainer pass with bounded driver traffic — the
+    per-epoch collects ARE the product (bench.py EAGER_FN_ROWS class)."""
+    import shutil
+    import tempfile
+
+    from elastic_surv_spark.operators.quality_model import (
+        quality_feature_frame,
+    )
+    from elastic_surv_spark.streaming.training import certified_fold_run
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    feats = [f"x{j}" for j in range(16)]
+    frame = quality_feature_frame(
+        d, "doc_id", "text", label_col="label", n_buckets=16
+    )
+    wdir = tempfile.mkdtemp(prefix="certified_fold_run_")
+    try:
+        out = certified_fold_run(
+            frame, feats, "label", "doc_id", wdir,
+            n_batches=4, fold_after=1,
+        )
+        # 3 rows × 19 int64 cells — materialize before the dir vanishes
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+
+
 def _shared_frames(cache: dict, max_entries: int, spark, key, build):
     """Session-scoped persisted-frame cache with a single lifecycle rule
     shared by every module-level cache here (_DOC_SHINGLES, _VOCAB_COUNTS,
@@ -8393,11 +8514,15 @@ _RECERT_FIRST = {
     # the r11 td_auc trio above — all six recertify inside the r13 window
     # without queue entries.
     #
-    # QUEUE FOR r14 (plan changed in r13; adding it NOW would claim an
-    # r13 front slot and push an r10-stale row out — the established
-    # deferral; value-verified at ALL THREE SFs in-round):
-    #   "harrell_cindex_cohorts": 13,  # r13 flip to the bucketed kernel
-    #                                  # (same oracle — integer-identical)
+    # r14 recert (the r13 QUEUE, honored — VERDICT r13 task #1): the
+    # cohorts row flipped to the bucketed no-whole-cohort-task kernel in
+    # r13 under its UNCHANGED oracle (integer-identical values,
+    # value-verified at all three SFs in-round back then); window slot
+    # claimed now. harrell_cindex_lifetimes (plan changed by the same
+    # r13 _bucketed_frames cache) carries NO entry on purpose: it is
+    # r11-green, so it sits inside the 47-row r11-stale block of the r14
+    # window BY CONSTRUCTION — an entry would only reorder the same 50.
+    "harrell_cindex_cohorts": 13,  # r13 flip to the bucketed kernel
 }
 
 
