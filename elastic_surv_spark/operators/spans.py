@@ -43,6 +43,7 @@ __all__ = [
     "doc_duplicate_span_stats",
     "doc_duplicate_span_stats_sql",
     "cut_duplicate_spans",
+    "cut_duplicate_spans_sql",
 ]
 
 #: the repo-wide tokenizer boundary (operators/quality_model.py:_WS) as a
@@ -241,6 +242,103 @@ def doc_duplicate_span_stats_sql(
            round(coalesce(s.dup_tokens, 0)::DOUBLE
                  / greatest(coalesce(n.n_tokens, 0), 1), {round_to}) AS dup_frac
     FROM ntok n LEFT JOIN stats s ON n.{id_col} = s.{id_col}
+    """
+
+
+def cut_duplicate_spans_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    min_count: int = 2,
+    min_docs: int = 2,
+    keep_first: bool = True,
+) -> str:
+    """DuckDB mirror of :func:`cut_duplicate_spans` (pre-assembled as a
+    registry-row candidate — the ACTION half of exact-substring dedup).
+    Span identity groups on the span-slice TEXT itself (same ``chr(31)``
+    joiner the Spark side hashes), so a cross-engine match also certifies
+    that xxhash64 had no collision on the corpus — the
+    :func:`doc_duplicate_span_stats_sql` pattern. The keep-first survivor
+    is the same (id, span_start) total order; the rebuild keeps every
+    token no cut range covers and re-joins on single spaces (the Spark
+    side's tokenized canonicalization)."""
+    gram = " || chr(31) || ".join(f"w[i + {j}]" for j in range(k))
+    survivor = (
+        """
+    ), firsts AS (
+        SELECT stext, min(struct_pack(i := {id}, s := s)) AS first
+        FROM occ GROUP BY stext
+    ), cut AS (
+        SELECT o.{id}, o.s, o.e
+        FROM occ o JOIN firsts f ON o.stext = f.stext
+        WHERE struct_pack(i := o.{id}, s := o.s) <> f.first
+    """.format(id=id_col)
+        if keep_first
+        else """
+    ), cut AS (
+        SELECT {id}, s, e FROM occ
+    """.format(id=id_col)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col},
+               list_filter(regexp_split_to_array({text_col},
+                           '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS w
+        FROM {source}
+    ), gi AS (
+        SELECT {id_col}, w,
+               unnest(range(1, greatest(len(w) - {k} + 2, 1))) AS i
+        FROM toks
+    ), grams AS (
+        SELECT {id_col}, i - 1 AS pos, {gram} AS g FROM gi
+    ), dup AS (
+        SELECT g FROM grams GROUP BY g
+        HAVING count(*) >= {min_count}
+           AND count(DISTINCT {id_col}) >= {min_docs}
+    ), flagged AS (
+        SELECT {id_col}, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ), marked AS (
+        SELECT {id_col}, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col}
+                                              ORDER BY pos) <= {k}
+                    THEN 0 ELSE 1 END AS brk
+        FROM flagged
+    ), sids AS (
+        SELECT {id_col}, pos,
+               sum(brk) OVER (PARTITION BY {id_col} ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ), spans AS (
+        SELECT {id_col}, min(pos) AS s, max(pos) + {k} - 1 AS e
+        FROM sids GROUP BY {id_col}, sid
+    ), occ AS (
+        -- span text: tokens[s .. e], 1-based slice, chr(31)-joined
+        SELECT sp.{id_col}, sp.s, sp.e,
+               array_to_string(t.w[sp.s + 1 : sp.e + 1], chr(31)) AS stext
+        FROM spans sp JOIN toks t USING ({id_col}){survivor}
+    ), pos AS (
+        SELECT {id_col}, unnest(range(1, len(w) + 1)) AS i, w
+        FROM toks
+    ), kept AS (
+        SELECT p.{id_col}, p.i, p.w[p.i] AS tok
+        FROM pos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cut c
+            WHERE c.{id_col} = p.{id_col}
+              AND p.i - 1 BETWEEN c.s AND c.e
+        )
+    ), rebuilt AS (
+        SELECT {id_col},
+               coalesce(string_agg(tok, ' ' ORDER BY i), '') AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           coalesce(r.text, '') AS {text_col},
+           CAST(coalesce(len(t.w), 0) - coalesce(r.n_kept, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM toks t LEFT JOIN rebuilt r USING ({id_col})
     """
 
 

@@ -506,3 +506,87 @@ def test_duplicate_span_stats_equals_bruteforce(spark, seed):
         ).collect()
     }
     assert got == want, (k, got, want)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_cut_duplicate_spans_equals_bruteforce(spark, seed):
+    """cut_duplicate_spans is a LAW against a brute-force mirror on random
+    small-vocabulary corpora: per-doc maximal spans, keep-first survivor =
+    min((id, start)) over occurrences of each exact span TEXT, rebuild by
+    dropping covered tokens — both keep_first modes, exact text and count
+    equality. Guards the r14 min-struct rewrite (the keep-first choice
+    must stay the same total order the rank produced)."""
+    from elastic_surv_spark.operators.spans import cut_duplicate_spans
+
+    rng = np.random.default_rng(seed + 77)
+    k = int(rng.integers(2, 5))
+    docs = {
+        int(i): [f"t{int(v)}" for v in rng.integers(0, 7, rng.integers(0, 14))]
+        for i in range(int(rng.integers(2, 10)))
+    }
+
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    for d, toks in docs.items():
+        for p in range(len(toks) - k + 1):
+            occs[tuple(toks[p : p + k])].append((d, p))
+    dup = {
+        g
+        for g, oc in occs.items()
+        if len(oc) >= 2 and len({d for d, _ in oc}) >= 2
+    }
+    spans_by_doc = {}
+    for d, toks in docs.items():
+        flagged = sorted(
+            p
+            for p in range(len(toks) - k + 1)
+            if tuple(toks[p : p + k]) in dup
+        )
+        spans = []
+        for p in flagged:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        # inclusive token ranges [start, last_gram_start + k - 1]
+        spans_by_doc[d] = [(s, e + k - 1) for s, e in spans]
+
+    def rebuild(keep_first):
+        by_text = defaultdict(list)
+        for d, ranges in spans_by_doc.items():
+            for s, e in ranges:
+                by_text[tuple(docs[d][s : e + 1])].append((d, s, e))
+        out = {}
+        for d, toks in docs.items():
+            cuts = []
+            for s, e in spans_by_doc[d]:
+                if keep_first:
+                    first = min(
+                        (dd, ss) for dd, ss, _ in by_text[tuple(toks[s : e + 1])]
+                    )
+                    if first == (d, s):
+                        continue
+                cuts.append((s, e))
+            kept = [
+                t
+                for i, t in enumerate(toks)
+                if not any(s <= i <= e for s, e in cuts)
+            ]
+            out[d] = (" ".join(kept), len(toks) - len(kept))
+        return out
+
+    pdf = pd.DataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()],
+        columns=["doc_id", "text"],
+    )
+    df = spark.createDataFrame(pdf)
+    for keep_first in (True, False):
+        got = {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in cut_duplicate_spans(df, k=k, keep_first=keep_first).collect()
+        }
+        assert got == rebuild(keep_first), (k, keep_first, got)

@@ -198,6 +198,67 @@ def test_cut_duplicate_spans_keep_first_and_cut_all(spark):
     assert {r.n_tokens_removed for r in again.collect()} == {0}
 
 
+def test_cut_duplicate_spans_duckdb_parity(spark):
+    """Engine parity for the ACTION half (the pre-assembled r16 row
+    candidate): both keep_first modes produce byte-identical rebuilt text
+    and identical removal counts on a messy corpus (shared runs, edge
+    occurrences, whitespace runs, empty and NULL texts, clean docs). The
+    SQL groups span identity on the slice TEXT, so a match also certifies
+    the Spark side's xxhash64 span key had no collision."""
+    from elastic_surv_spark.operators.spans import (
+        cut_duplicate_spans,
+        cut_duplicate_spans_sql,
+    )
+
+    shared = "p q r s t"
+    rng = np.random.default_rng(23)
+    rows = [
+        (1, f"lead1 lead2 {shared} tail1"),
+        (2, f"{shared} only"),
+        (3, "completely unique words here nothing repeats at all"),
+        (4, "  spaced\tout\n tokens  with   runs " + shared),
+        (5, ""),
+        (6, None),
+    ]
+    rows += [
+        (100 + i, " ".join(f"w{int(v)}" for v in rng.integers(0, 25, 12)))
+        for i in range(30)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for keep_first in (True, False):
+        got = (
+            cut_duplicate_spans(df, k=3, keep_first=keep_first)
+            .toPandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        want = (
+            con.execute(
+                cut_duplicate_spans_sql("documents", k=3, keep_first=keep_first)
+                + " ORDER BY 1"
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+        assert got.columns.tolist() == want.columns.tolist(), keep_first
+        assert got.doc_id.tolist() == want.doc_id.astype("int64").tolist()
+        assert got.text.tolist() == want.text.tolist(), keep_first
+        assert (
+            got.n_tokens_removed.tolist()
+            == want.n_tokens_removed.astype("int64").tolist()
+        ), keep_first
+    # the planted survivor law on the parity corpus: doc 1 keeps the run
+    byid = (
+        cut_duplicate_spans(df, k=3)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert shared in byid.loc[1, "text"]
+    assert shared not in byid.loc[2, "text"]
+
+
 def test_cut_duplicate_spans_partitioning_invariance(spark):
     """The keep-first choice is a deterministic total order (id,
     span_start) — partitioning cannot change which occurrence survives."""
