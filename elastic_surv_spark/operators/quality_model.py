@@ -615,6 +615,7 @@ def fixed_point_logistic_gd_batched(
     n_batches: int = 4,
     epochs: int = 1,
     lr_micro: int = 500_000,
+    counts_out: dict[int, int] | None = None,
 ) -> tuple[list[int], int]:
     """Mini-batch / multi-epoch certified training — the reference's
     ACTUAL training shape (sequential batch windows, one weight update
@@ -652,6 +653,12 @@ def fixed_point_logistic_gd_batched(
     no shuffle, no re-scan of the source), and driver traffic is
     (nf+1) ints per step. epochs × n_batches stays a bounded training
     schedule exactly like the streaming trainer's epoch chain.
+
+    ``counts_out``, when given, receives the per-batch first-visit row
+    counts on success — their sum is the trained row count (the id guard
+    means every row lands in exactly one batch), so callers that need
+    ``n`` read it from the counts the trainer ALREADY paid for instead
+    of re-counting the input (ADVICE r13 #5, done at the right altitude).
     """
     feats = list(feature_cols)
     if not feats:
@@ -723,6 +730,8 @@ def fixed_point_logistic_gd_batched(
             )
     finally:
         base.unpersist()
+    if counts_out is not None:
+        counts_out.update(counts)
     return w, b
 
 
@@ -1059,23 +1068,23 @@ def certified_quality_training_batched(
     integer aggregates — the training schedule is bounded and the driver
     sees (n_buckets+1) ints per step."""
     feats = [f"x{j}" for j in range(n_buckets)]
-    # persist the FEATURE frame across the trainer AND the row count: the
-    # trainer persists only its own keyed projection and unpersists it
-    # before returning, so an unpersisted frame here would pay the Arrow
-    # tokenize pass a second time for frame.count() — the docstring's
-    # "one tokenize pass" claim, made true (ADVICE r13 #5). The trainer's
-    # cache-fill job materializes this cache as the rows flow through.
-    frame = quality_feature_frame(
-        df, id_col, text_col, label_col=label_col, n_buckets=n_buckets
-    ).persist()
-    try:
-        w, b = fixed_point_logistic_gd_batched(
-            frame, feats, label_col, id_col,
-            n_batches=n_batches, epochs=epochs, lr_micro=lr_micro,
-        )
-        n = frame.count()
-    finally:
-        frame.unpersist()
+    # n comes from the per-batch counts the trainer ALREADY pays for on
+    # each batch's first visit — their sum is exactly the featurized row
+    # count (the id guard puts every row in one batch), so the
+    # one-tokenize-pass claim (ADVICE r13 #5) holds with NO second cached
+    # copy of the corpus and no extra count job (the r14 review's
+    # right-altitude fix: the earlier outer persist traded memory for a
+    # recount the trainer had already done).
+    counts: dict[int, int] = {}
+    w, b = fixed_point_logistic_gd_batched(
+        quality_feature_frame(
+            df, id_col, text_col, label_col=label_col, n_buckets=n_buckets
+        ),
+        feats, label_col, id_col,
+        n_batches=n_batches, epochs=epochs, lr_micro=lr_micro,
+        counts_out=counts,
+    )
+    n = sum(counts.values())
     spark = df.sparkSession
     wcols = ", ".join(f"w{j}_micro long" for j in range(n_buckets))
     return spark.createDataFrame(

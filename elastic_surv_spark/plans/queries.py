@@ -8490,7 +8490,10 @@ _RECERT_FIRST = {
     # NULL-convention filter.
     "doc_quality_model_scores": 11,  # r11 tokenizer alignment (ADVICE r10 #3)
     "quality_filter_agreement": 11,  # r11 tokenizer alignment (ADVICE r10 #3)
-    "harrell_cindex_cohorts": 11,  # r11 NULL-convention filter
+    # (harrell_cindex_cohorts' r11 entry was subsumed by its r13 entry
+    # below — a duplicate dict key silently keeps the LAST literal, so
+    # the stale line was dead and one reorder away from shadowing the
+    # live value; dropped, the f7e99ee lesson again.)
     # NOT queued for r12 (deliberate, same window math as r11):
     # td_auc_user_activity, td_auc_ipcw_user_activity and td_auc_cohorts
     # also changed plan in r11 (NULL filters; the grouped grid dropped its
@@ -8523,6 +8526,17 @@ _RECERT_FIRST = {
     # r11-green, so it sits inside the 47-row r11-stale block of the r14
     # window BY CONSTRUCTION — an entry would only reorder the same 50.
     "harrell_cindex_cohorts": 13,  # r13 flip to the bucketed kernel
+    # NOT queued for r15 (deliberate, the r12 td_auc precedent):
+    # certified_quality_eval's closing AUC arithmetic moved to double
+    # (_auc_from_rank_sums, ADVICE r13 #3) and user_peak_stateful_stream
+    # picked up the _event_epoch_ms DST-edge handling (ADVICE r13 #1) —
+    # both r14 plan changes on r13-green rows, value-verified by the
+    # full-registry three-SF sweeps run AFTER the changes this round.
+    # The r15 window is exactly full (49 r12-stale + the spans new row =
+    # 50), so queueing either would push an r12-stale row out; being
+    # r13-green they ARE the r16 window by construction (post-r15 the
+    # stale frontier is exactly the 50 r13-green rows — verified by
+    # simulation in-round, SOLO_BENCH_r14.md).
 }
 
 

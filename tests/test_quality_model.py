@@ -1103,11 +1103,13 @@ def test_certified_fleet_training_tokenizes_once(spark):
 
 
 def test_certified_batched_training_tokenizes_once(spark):
-    """ADVICE r13 #5: certified_quality_training_batched counts its rows
-    AFTER the trainer has unpersisted its keyed projection, so without
-    the outer feature-frame persist the Arrow tokenize pass ran TWICE.
+    """ADVICE r13 #5: certified_quality_training_batched's row count
+    comes from the per-batch counts the trainer already pays for
+    (``counts_out``), not a second pass over the corpus — the original
+    un-fixed shape re-ran the Arrow tokenize for ``frame.count()`` (2n);
+    the interim fix persisted a second cached copy of the corpus.
     Accumulator on the corpus source: evaluations must stay well below
-    the un-fixed 2n."""
+    2n, and the reported n_rows must still be exact."""
     import pandas as pd
 
     from elastic_surv_spark.operators.quality_model import (
@@ -1131,6 +1133,38 @@ def test_certified_batched_training_tokenizes_once(spark):
     assert out[0]["n_rows"] == len(pdf)
     n = len(pdf)
     assert n <= acc.value <= 1.5 * n, acc.value
+
+
+def test_batched_trainer_counts_out(spark):
+    """``counts_out`` law: the per-batch first-visit counts cover every
+    batch id, sum to the full frame (the id guard puts every row in
+    exactly one batch), and passing the dict changes no trained value."""
+    import pandas as pd
+
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_logistic_gd_batched,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "rid": range(40),
+            "x0": [float(i % 7) for i in range(40)],
+            "x1": [float((i * 3) % 5) for i in range(40)],
+            "y": [i % 2 for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    counts: dict[int, int] = {}
+    w, b = fixed_point_logistic_gd_batched(
+        df, ["x0", "x1"], "y", "rid", n_batches=3, epochs=2,
+        counts_out=counts,
+    )
+    assert set(counts) == {0, 1, 2}
+    assert sum(counts.values()) == len(pdf)
+    w2, b2 = fixed_point_logistic_gd_batched(
+        df, ["x0", "x1"], "y", "rid", n_batches=3, epochs=2
+    )
+    assert (w, b) == (w2, b2)
 
 
 def test_batch_key_spreads_contiguous_ids(spark):

@@ -199,8 +199,10 @@ def test_cut_duplicate_spans_keep_first_and_cut_all(spark):
 
 
 def test_cut_duplicate_spans_duckdb_parity(spark):
-    """Engine parity for the ACTION half (the pre-assembled r16 row
-    candidate): both keep_first modes produce byte-identical rebuilt text
+    """Engine parity for the ACTION half (pre-assembled as a future
+    registry-row candidate — r17 by the current window math, SURVEY §14;
+    r16 is a zero-slot consolidation round): both keep_first modes
+    produce byte-identical rebuilt text
     and identical removal counts on a messy corpus (shared runs, edge
     occurrences, whitespace runs, empty and NULL texts, clean docs). The
     SQL groups span identity on the slice TEXT, so a match also certifies
@@ -312,6 +314,15 @@ def test_cut_duplicate_spans_no_hot_key_window(spark):
     # the min-struct keep-first is a hash aggregate with map-side
     # partials: partial_min on one side of the exchange
     assert "partial_min" in plan or "partial min" in plan.lower(), plan
+    # the survivor exclusion joins on the FULL occurrence identity
+    # (_sk, doc_id, span_start), never on the bare span hash — a bare-_sk
+    # join-back re-concentrates every occurrence of a hot boilerplate key
+    # in one shuffle partition (the r14 review finding). Every anti-join
+    # in the plan must carry the composite key.
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti, plan  # keep-first path must be an anti join
+    for line in anti:
+        assert "doc_id" in line and "span_start" in line, line
 
     got = {r.doc_id: (r.text, r.n_tokens_removed) for r in out.collect()}
     survivors = [
