@@ -423,6 +423,18 @@ def _fp_sql_update(
     )
 
 
+def _splice_guard(ok: bool, what: str) -> None:
+    """Shape guard for the generated-SQL splice points (the `WITH `
+    prefix peel and the final-`SELECT` rpartition). Raises instead of
+    ``assert`` (ADVICE r14 #3): a bare assert is stripped under
+    ``python -O``, so a future formatting drift in a chain builder would
+    produce a silently malformed oracle query instead of failing fast —
+    and a malformed oracle is exactly the artifact the correctness gate
+    cannot distinguish from an engine bug."""
+    if not ok:
+        raise ValueError(f"generated-SQL splice guard failed: {what}")
+
+
 def fixed_point_logistic_gd(
     df: DataFrame,
     feature_cols: list[str],
@@ -829,7 +841,10 @@ def fixed_point_gd_batched_trajectory_sql(
         n_batches=n_batches, epochs=1, lr_micro=lr_micro, source=source,
     )
     head, sep, _ = chain.rpartition("\nSELECT ")
-    assert sep and head.rstrip().endswith(")"), "unexpected chain shape"
+    _splice_guard(
+        bool(sep) and head.rstrip().endswith(")"),
+        "batched chain final SELECT (trajectory view)",
+    )
     wcols = ", ".join(f"w{j} AS w{j}_micro" for j in range(nf))
     selects = [
         f"SELECT CAST({e} AS BIGINT) AS epoch, "
@@ -1037,7 +1052,9 @@ def certified_quality_training_sql(
     body = quality_features_sql(
         source, id_col, text_col, label_expr=label_expr, n_buckets=n_buckets
     )
-    assert chain.startswith("WITH ")
+    _splice_guard(
+        chain.startswith("WITH "), "GD chain WITH prefix (training oracle)"
+    )
     return "WITH _qfeat AS (" + body + "),\n" + chain[len("WITH "):]
 
 
@@ -1117,12 +1134,17 @@ def certified_quality_training_batched_sql(
     body = quality_features_sql(
         source, id_col, text_col, label_expr=label_expr, n_buckets=n_buckets
     )
-    assert chain.startswith("WITH ")
+    _splice_guard(
+        chain.startswith("WITH "), "batched chain WITH prefix"
+    )
     spliced = "WITH _qfeat AS (" + body + "),\n" + chain[len("WITH "):]
     head, sep, tail = spliced.rpartition("\nSELECT ")
-    assert sep and head.rstrip().endswith(")"), "unexpected chain shape"
+    _splice_guard(
+        bool(sep) and head.rstrip().endswith(")"),
+        "batched chain final SELECT (n_rows append)",
+    )
     selcols, fsep, wref = tail.rpartition(" FROM ")
-    assert fsep, "unexpected final SELECT shape"
+    _splice_guard(bool(fsep), "batched chain final SELECT FROM clause")
     return (
         head
         + "\nSELECT "
@@ -1161,7 +1183,9 @@ def certified_fold_run_sql(
     body = quality_features_sql(
         source, id_col, text_col, label_expr=label_expr, n_buckets=n_buckets
     )
-    assert traj.startswith("WITH ")
+    _splice_guard(
+        traj.startswith("WITH "), "trajectory WITH prefix (fold-run oracle)"
+    )
     return "WITH _qfeat AS (" + body + "),\n" + traj[len("WITH "):]
 
 
@@ -1251,7 +1275,9 @@ def certified_quality_training_by_sql(
         "segment", feats, "label", steps=steps, lr_micro=lr_micro,
         source="_qfeat",
     )
-    assert chain.startswith("WITH ")
+    _splice_guard(
+        chain.startswith("WITH "), "grouped chain WITH prefix (fleet oracle)"
+    )
     return (
         "WITH _qfeat0 AS ("
         + body

@@ -271,7 +271,19 @@ def _event_epoch_ms(ts_max, session_tz: str) -> int:
     reachable if the upstream renderer itself produced an impossible
     wall time) shifts forward to the first valid instant. Both choices
     are monotone within a batch, so the timeout base never jumps
-    backward across the edge; pinned by tests."""
+    backward across the edge; pinned by tests.
+
+    The cost of the ambiguous→earlier choice, stated plainly (ADVICE r14
+    #2): an event that actually occurred in the SECOND (standard-time)
+    pass of the fall-back hour is stamped with the first-pass instant —
+    up to one hour EARLY relative to its true epoch — so an event-time
+    timeout keyed on this base can fire up to one hour LATE for state
+    touched only by second-pass events during that hour. Wall-order
+    monotonicity (the property the stateful operators need) holds
+    regardless; the skew is bounded by the DST offset, occurs one hour
+    per zone-year, and only DELAYS eviction — it never loses or
+    duplicates events. The fall-back-edge test pins both the earlier
+    instant and the one-hour bound."""
     import pandas as pd
 
     t = pd.Timestamp(ts_max)

@@ -1234,3 +1234,50 @@ def test_auc_rank_sums_survive_int64_scale(spark):
     # the int64 product would have wrapped: prove the scale is past the
     # wrap point, so a regression to long math cannot sneak back green
     assert n_pos * (n_pos + 1) > 2**63 - 1
+
+
+def test_sql_splice_guards_raise_not_assert(monkeypatch):
+    """ADVICE r14 #3: the CTE-splice shape guards must survive
+    ``python -O`` — a bare assert is stripped under optimization, so a
+    formatting drift in a chain builder would emit a silently malformed
+    oracle query. Every splice site now raises ValueError through
+    ``_splice_guard``; feed each public builder a malformed chain and
+    assert the fast failure (and that the guard is not an ``assert``
+    statement, which -O would erase)."""
+    import elastic_surv_spark.operators.quality_model as qm
+
+    # the helper itself raises (works under -O by construction)
+    with pytest.raises(ValueError, match="splice guard"):
+        qm._splice_guard(False, "unit")
+
+    feats = ["x0", "x1"]
+    # trajectory view: break the batched chain's final-SELECT shape
+    monkeypatch.setattr(
+        qm, "fixed_point_gd_batched_sql", lambda *a, **k: "SELECT 1"
+    )
+    with pytest.raises(ValueError, match="splice guard"):
+        qm.fixed_point_gd_batched_trajectory_sql(feats, "label", "id")
+    with pytest.raises(ValueError, match="splice guard"):
+        qm.certified_quality_training_batched_sql(n_buckets=2)
+    monkeypatch.undo()
+
+    # fold-run oracle: break the trajectory's WITH prefix
+    monkeypatch.setattr(
+        qm,
+        "fixed_point_gd_batched_trajectory_sql",
+        lambda *a, **k: "SELECT 1",
+    )
+    with pytest.raises(ValueError, match="splice guard"):
+        qm.certified_fold_run_sql(n_buckets=2)
+    monkeypatch.undo()
+
+    # full-batch + fleet oracles: break the step chain's WITH prefix
+    monkeypatch.setattr(qm, "fixed_point_gd_sql", lambda *a, **k: "SELECT 1")
+    with pytest.raises(ValueError, match="splice guard"):
+        qm.certified_quality_training_sql(n_buckets=2)
+    monkeypatch.undo()
+    monkeypatch.setattr(
+        qm, "fixed_point_gd_by_sql", lambda *a, **k: "SELECT 1"
+    )
+    with pytest.raises(ValueError, match="splice guard"):
+        qm.certified_quality_training_by_sql(n_buckets=2)

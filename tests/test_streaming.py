@@ -159,8 +159,16 @@ def test_event_epoch_ms_survives_dst_edges():
         // 1_000_000
     )
     assert got == edt
-    est_ms = got + 3_600_000  # the later (EST) reading — NOT chosen
-    assert got < est_ms
+    # The disclosed cost (ADVICE r14 #2): an event truly in the SECOND
+    # (EST) pass is stamped with the EDT instant — exactly one DST
+    # offset early, so a timeout keyed on this base fires at most one
+    # hour late for that hour's second-pass events. Pin the bound: the
+    # two candidate instants differ by exactly 3_600_000 ms.
+    est_ms = int(
+        amb.tz_localize("America/New_York", ambiguous=False).value
+        // 1_000_000
+    )
+    assert est_ms - got == 3_600_000
 
     # 2024-03-10 02:30 America/New_York does not exist (clocks jump
     # 02:00→03:00): shifts forward to 03:00 EDT instead of raising

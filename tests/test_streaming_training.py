@@ -339,3 +339,25 @@ def test_weights_reads_consistent_inside_fold_crash_window(spark, tmp_path):
         w_pre, b_pre, e_pre,
     )
     assert read_weights_table(spark, str(tmp_path / "nope")) is None
+
+
+def test_certified_fold_run_registry_row_owns_its_rows(spark):
+    """ADVICE r14 #1: the registry row deletes its per-call temp weights
+    dir in ``finally``, so the returned frame must not depend on ANY
+    storage — the earlier ``localCheckpoint(eager=True)`` kept blocks on
+    executors that a real cluster can lose, making the frame
+    unrecomputable once the parquet underneath is gone. The fix collects
+    the 3 rows and returns a driver-local relation: assert the optimized
+    plan is a LocalRelation (no RDD scan, no file scan) and that the
+    frame stays collectable on repeated actions after the dir is
+    deleted."""
+    from elastic_surv_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["certified_fold_run"].fn(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
+    assert "LogicalRDD" not in plan, plan
+    assert "Relation [" not in plan or "parquet" not in plan, plan
+    first = sorted(tuple(r) for r in out.collect())
+    again = sorted(tuple(r) for r in out.collect())
+    assert first == again and len(first) == 3
