@@ -5602,6 +5602,38 @@ def doc_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from elastic_surv_spark.operators.spans import (  # noqa: E402
+    doc_duplicate_span_stats as _span_stats,
+    doc_duplicate_span_stats_sql as _span_stats_sql,
+)
+
+
+@query(
+    "doc_duplicate_span_stats",
+    # Lee et al. 2022 exact-substring dedup, the REPORTING half: the
+    # DuckDB twin groups spans on the gram TEXT itself while Spark
+    # shuffles only xxhash64 keys, so the cross-engine hash match doubles
+    # as the certificate that no 64-bit gram collision occurred on the
+    # corpus (operators/spans.py module docstring).
+    _span_stats_sql(source="documents"),
+)
+def doc_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MAXIMAL duplicated-span statistics over every
+    document (zeros included) — the exact-substring axis of training-data
+    dedup (Lee et al. 2022; reference has no analogue, the r15 registry
+    row). Positions whose 4-token gram repeats across ≥2 occurrences in
+    ≥2 distinct documents merge (gap ≤ k) into maximal spans; the row
+    reports ``(doc_id, n_tokens, n_dup_spans, dup_tokens, dup_frac)``.
+
+    Scale (operators/spans.py): token/gram windows partition by DOCUMENT
+    (bounded by document length, never corpus size); the only corpus-wide
+    shuffle carries 8-byte gram hashes; the duplicated-key set semi-joins
+    back on the hash. Unlike `doc_crossdoc_dup_spans` (per-position gram
+    fractions), this reports MERGED maximal spans — the unit the cut
+    transform removes."""
+    return _span_stats(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "events_retention_cohorts",
     """
