@@ -332,3 +332,39 @@ def test_cut_duplicate_spans_no_hot_key_window(spark):
     assert all(
         got[i][1] == 6 for i in range(40) if i % 5 < 3 and i != 0
     )  # every other boilerplate carrier lost exactly the 6-token header
+
+
+def test_cut_duplicate_spans_tokenizes_source_once(spark):
+    """VERDICT r14 #1 (what's-wrong): the cut path used to re-split the
+    raw text up to three times — detection, span-slice keying, and the
+    rebuild each consumed their own tokenizer projection. The token-array
+    frame is now persisted and shared, so an accumulator-instrumented
+    SOURCE must be evaluated ~once across the ENTIRE cut (static FileScan
+    counts lie for persisted plans — the accumulator on the source is the
+    honest scan meter). 1.5× headroom absorbs a racing partition; the
+    pre-fix shape (3 passes) trips the bound."""
+    from elastic_surv_spark.operators.spans import cut_duplicate_spans
+
+    rows = [
+        (
+            i,
+            f"a b c d e{i % 7} f{i} g h"
+            if i % 3 == 0
+            else f"u{i} v{i} w{i} x{i} y{i}",
+        )
+        for i in range(300)
+    ]
+    src = _df(spark, rows)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for b in batches:
+            acc.add(len(b))
+            yield b
+
+    counted = src.mapInPandas(counting, schema=src.schema)
+    out = cut_duplicate_spans(counted, k=4).collect()
+    assert len(out) == len(rows)
+    # some cutting actually happened (the shared "a b c d" prefix spans)
+    assert any(r.n_tokens_removed > 0 for r in out)
+    assert len(rows) <= acc.value <= 1.5 * len(rows), acc.value
