@@ -269,7 +269,10 @@ def main() -> None:
     if first and first in REGISTRY:
         order.sort(key=lambda kv: kv[0] != first)
 
-    from elastic_surv_spark.plans.queries import release_shared_caches
+    from elastic_surv_spark.plans.queries import (
+        family_stages,
+        release_shared_caches,
+    )
 
     # Untimed throwaway of the first board query (r9 What's-wrong #3): the
     # table/codegen warmups above never exercise the Python-worker/Arrow
@@ -288,6 +291,21 @@ def main() -> None:
         release_shared_caches()
 
     errors: dict[str, str] = {}
+    # Plans are immutable DataFrames: constructing the ~150 lazy plans costs
+    # ~100 s of driver-side wall PER RUN (Catalyst analysis + the few
+    # construction-time probes — r14's measured decomposition), which is why
+    # 3 board repeats stopped fitting the default budget. Repeat runs reuse
+    # run 1's DataFrame objects (VERDICT r14 #4): the timed region — the
+    # noop write, which re-optimizes, re-plans and re-executes the plan —
+    # is UNCHANGED, so per-query values stay methodology-identical; only
+    # the untimed per-run re-construction disappears. Two classes must
+    # still rebuild every run: EAGER_FN_ROWS (their fn() IS the product)
+    # and shared-subplan family rows (release_shared_caches() between runs
+    # unpersists their backbone frames; re-running fn() is what re-registers
+    # the persisted frames so the timed run pays the same family build a
+    # fresh session would — reusing the old DataFrame would silently
+    # recompute the whole family INSIDE the timed region instead).
+    plan_cache: dict = {}
 
     def run_board() -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -313,7 +331,11 @@ def main() -> None:
                     start = time.perf_counter()
                     df = spec.fn(spark, sf_dir)  # the work happens here
                 else:
-                    df = spec.fn(spark, sf_dir)  # build plan (lazy)
+                    df = plan_cache.get(name)
+                    if df is None:
+                        df = spec.fn(spark, sf_dir)  # build plan (lazy)
+                        if not family_stages(name):
+                            plan_cache[name] = df
                     start = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 timings[name] = round(time.perf_counter() - start, 3)
