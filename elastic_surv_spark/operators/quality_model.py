@@ -442,6 +442,8 @@ def fixed_point_logistic_gd(
     steps: int = 8,
     lr_micro: int = 500_000,
     init: tuple[list[int], int] | None = None,
+    empty_ok: bool = False,
+    n_out: dict | None = None,
 ) -> tuple[list[int], int]:
     """TRAINING itself as a certified dataflow: deterministic full-batch
     logistic GD whose every step is exactly regenerable by another engine
@@ -481,6 +483,14 @@ def fixed_point_logistic_gd(
     keep every int64 far from overflow (Spark ANSI mode would raise
     loudly, not wrap). Features should be pre-normalized (as any GD
     needs).
+
+    ``empty_ok=True`` returns the init (or zeros) unchanged on an empty
+    frame instead of raising — the streaming trainer's carry-forward rule,
+    folded in here so its per-epoch pre-count job disappears (the first
+    step's aggregate already pays for ``n``; r15). ``n_out``, when given,
+    receives ``{"n": row_count}`` — callers that need ``n`` read it from
+    the count the trainer already computed instead of re-counting the
+    input (the ``counts_out`` pattern of the batched trainer).
     """
     feats = list(feature_cols)
     if not feats:
@@ -522,7 +532,11 @@ def fixed_point_logistic_gd(
             row = base.agg(*aggs).collect()[0]
             if n is None:
                 n = int(row["n"])
+                if n_out is not None:
+                    n_out["n"] = n
                 if n == 0:
+                    if empty_ok:
+                        return w, b  # carry the init forward (finally unpersists)
                     raise ValueError(
                         "fixed_point_logistic_gd: empty training frame"
                     )

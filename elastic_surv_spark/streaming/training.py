@@ -98,18 +98,26 @@ def read_latest_weights(
     ``_batch_id`` partition: the two agree on live epoch rows, but the
     compacted ``-1`` partition keeps the folded state's true epoch
     (r12), so reads after a fold report the real epoch and the
-    exclude-own-epoch comparison stays exact. Reads through
-    :func:`read_weights_table`, so the result is well-defined even
-    inside the fold's duplicate-visibility window (where a raw read
-    holds two byte-identical rows for one epoch)."""
-    tbl = read_weights_table(spark, weights_path)
+    exclude-own-epoch comparison stays exact.
+
+    Well-defined inside the fold's duplicate-visibility window WITHOUT
+    the :func:`read_weights_table` window pass (r15, one ordered
+    ``limit(1)`` job instead of window + sort): the only duplicates a
+    raw read can hold are one epoch's live row and its folded ``-1``
+    twin, byte-identical except ``_batch_id`` — so the single row with
+    the max ``(epoch, _batch_id)`` IS the per-epoch-dedup'd table's max
+    ``epoch`` row (live partition preferred, exactly the window rule)."""
+    tbl = _read_table_or_none(spark, weights_path)
     if tbl is not None and before_batch_id is not None:
         tbl = tbl.filter(F.col("epoch") < int(before_batch_id))
     row = (
         None
         if tbl is None
         else (
-            tbl.orderBy(F.col("epoch").desc()).limit(1).collect() or [None]
+            tbl.orderBy(
+                F.col("epoch").desc(), F.col("_batch_id").desc()
+            ).limit(1).collect()
+            or [None]
         )[0]  # bounded: one row — the state is one weight vector per epoch
     )
     if row is None:
@@ -143,24 +151,24 @@ def training_batch_incremental(
     w0, b0, _ = read_latest_weights(
         spark, weights_path, before_batch_id=batch_id, n_features=len(feats)
     )
-    # persist: the count below plus one integer aggregate per GD step all
-    # re-read the micro-batch source otherwise (steps+1 scans per epoch)
-    batch_df = batch_df.persist()
-    try:
-        n_rows = batch_df.count()
-        if n_rows == 0:
-            w, b = w0, b0  # carry the chain forward; never wedge on empty
-        else:
-            w, b = fixed_point_logistic_gd(
-                batch_df,
-                feats,
-                label_col,
-                steps=steps_per_batch,
-                lr_micro=lr_micro,
-                init=(w0, b0),
-            )
-    finally:
-        batch_df.unpersist()
+    # No pre-count and no outer persist (r15): the trainer's first-step
+    # aggregate already computes n over ITS OWN persisted projection —
+    # ``empty_ok`` folds the carry-forward-on-empty rule in and ``n_out``
+    # hands the count back, so the epoch costs one fewer Spark job and
+    # caches the micro-batch once instead of twice. Values are untouched:
+    # same weights on data, same (w0, b0) carry on an empty batch.
+    n_info: dict = {}
+    w, b = fixed_point_logistic_gd(
+        batch_df,
+        feats,
+        label_col,
+        steps=steps_per_batch,
+        lr_micro=lr_micro,
+        init=(w0, b0),
+        empty_ok=True,
+        n_out=n_info,
+    )
+    n_rows = n_info["n"]
     row = spark.createDataFrame(
         # epoch rides as a DATA column too: the compaction fold keeps it
         # while the _batch_id partition collapses to -1 (r12)
@@ -360,17 +368,17 @@ def compact_weights_table(
     if not fold_ids:
         return 0
 
-    staging = f"{weights_path.rstrip('/')}.compact.tmp"
+    # The superseding state is ONE bounded row (a weight vector + scalars):
+    # collect it and rewrite it as a driver-local relation instead of the
+    # earlier staging-dir round-trip (write + read-back + two extra
+    # filesystem deletes — r15). The crash story is unchanged: the -1
+    # overwrite below is still the first mutation, so a crash before it
+    # leaves the table untouched and a crash after it leaves the
+    # duplicate-visibility window `read_latest_weights` already handles.
+    keep = old.orderBy(F.col("epoch").desc()).limit(1).drop("_batch_id")
+    rows = keep.collect()  # bounded: exactly one superseding state row
     (
-        old.orderBy(F.col("epoch").desc())
-        .limit(1)  # the latest folded state supersedes everything below it
-        .drop("_batch_id")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
-    (
-        spark.read.parquet(staging)
+        spark.createDataFrame(rows, keep.schema)
         .withColumn("_batch_id", F.lit(int(COMPACTED_BATCH_ID)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -382,6 +390,4 @@ def compact_weights_table(
         fs.delete(
             spark._jvm.org.apache.hadoop.fs.Path(root, f"_batch_id={bid}"), True
         )
-    stage_fs, stage_path = _fs_and_path(spark, staging)
-    stage_fs.delete(stage_path, True)
     return len(fold_ids)
