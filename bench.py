@@ -380,22 +380,28 @@ def main() -> None:
     for i in range(board_runs):
         if i > 0:
             elapsed = time.perf_counter() - bench_start
-            if i == 1 and last_wall > 0:
-                # Honest re-plan from run 1's MEASURED wall (r9 task #5):
-                # either the full request fits the budget or the smaller
-                # plan is announced NOW, so a 2-run board reads as
-                # "planned 2, delivered 2" instead of a truncated median.
-                feasible = 1 + int(
+            if last_wall > 0:
+                # Honest re-plan from the LAST run's MEASURED wall (r9
+                # task #5, revised r15): run 1 pays the one-time plan
+                # construction that later runs no longer do (the board
+                # reuses constructed DataFrames), so planning all repeats
+                # off run 1's wall would under-plan — re-estimate after
+                # every run and announce each change, so the final plan
+                # always equals what was delivered unless a mid-board
+                # slowdown truncated it (that stays a visible
+                # budget_exhausted).
+                feasible = i + int(
                     max(board_budget - elapsed, 0.0) // (1.1 * last_wall)
                 )
-                runs_planned = max(1, min(board_runs, feasible))
-                if runs_planned < board_runs:
+                new_plan = max(1, min(board_runs, feasible))
+                if new_plan != runs_planned:
                     print(
-                        f"BOARD PLAN: {runs_planned}/{board_runs} run(s) fit "
-                        f"the {board_budget:.0f}s budget (run 1 wall "
+                        f"BOARD PLAN: {new_plan}/{board_runs} run(s) fit "
+                        f"the {board_budget:.0f}s budget (run {i} wall "
                         f"{last_wall:.0f}s)",
                         file=sys.stderr,
                     )
+                    runs_planned = new_plan
             if i >= runs_planned:
                 break
             if elapsed + 1.1 * last_wall > board_budget:
@@ -412,6 +418,13 @@ def main() -> None:
         wall0 = time.perf_counter()
         runs.append(run_board())
         last_wall = time.perf_counter() - wall0
+        # wall vs sum-of-timed decomposition per run (construction + GC +
+        # teardown live in the gap) — stderr only, the JSON line is sacred
+        print(
+            f"BOARD RUN {i + 1}: wall {last_wall:.1f}s, "
+            f"timed {sum(runs[-1].values()):.1f}s",
+            file=sys.stderr,
+        )
 
     run_totals = [round(sum(t.values()), 3) for t in runs]
     total = round(median(run_totals), 3) if run_totals else 0.0

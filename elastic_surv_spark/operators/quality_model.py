@@ -626,6 +626,7 @@ _BATCH_KNUTH = 2_654_435_761
 _BATCH_SHIFT = 1 << 20
 
 
+
 def _batch_id_col(id_col: str):
     prod = (
         (F.col(id_col).cast("long") % F.lit(_BATCH_MOD_P)) * F.lit(_BATCH_KNUTH)
@@ -1081,6 +1082,7 @@ def certified_quality_training_batched(
     n_batches: int = 4,
     epochs: int = 2,
     lr_micro: int = 500_000,
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's REAL training shape, certified end-to-end: hashed
     bag-of-tokens features feeding the sequential mini-batch/multi-epoch
@@ -1097,7 +1099,14 @@ def certified_quality_training_batched(
     Scale: one Arrow tokenize pass (the trainer persists its keyed
     projection), then epochs × n_batches filtered map-side-combined
     integer aggregates — the training schedule is bounded and the driver
-    sees (n_buckets+1) ints per step."""
+    sees (n_buckets+1) ints per step.
+
+    ``frame``, when given, supplies a prebuilt hashed-feature frame (the
+    :func:`quality_feature_frame` shape for the same ``id_col`` /
+    ``label_col`` / ``n_buckets``; extra carry columns are ignored) so a
+    session that runs several certified-GD rows featurizes the corpus
+    ONCE (the ``_DOC_SHINGLES`` family pattern, r15). Values are
+    untouched — the trainer projects exactly the columns it trains on."""
     feats = [f"x{j}" for j in range(n_buckets)]
     # n comes from the per-batch counts the trainer ALREADY pays for on
     # each batch's first visit — their sum is exactly the featurized row
@@ -1108,7 +1117,7 @@ def certified_quality_training_batched(
     # recount the trainer had already done).
     counts: dict[int, int] = {}
     w, b = fixed_point_logistic_gd_batched(
-        quality_feature_frame(
+        frame if frame is not None else quality_feature_frame(
             df, id_col, text_col, label_col=label_col, n_buckets=n_buckets
         ),
         feats, label_col, id_col,
@@ -1213,6 +1222,7 @@ def certified_quality_training_by(
     steps: int = 8,
     lr_micro: int = 500_000,
     all_segment: str = "__all__",
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """Certified training as a FLEET: one independent integer-GD quality
     model per segment PLUS a whole-corpus model, in a single grouped
@@ -1233,16 +1243,23 @@ def certified_quality_training_by(
     by the round's own review; scan-count-guarded in tests). Then
     ``steps`` map-side-combined grouped integer aggregates — NO group has
     to fit one task.
+
+    ``frame``, when given, supplies a prebuilt (and already materialized
+    or persisted) hashed-feature frame carrying ``segment_col`` — the
+    certified-GD family's shared featurize pass (r15); the internal
+    lazy checkpoint is skipped because the caller's persisted frame
+    already bounds re-evaluation.
     """
     feats = [f"x{j}" for j in range(n_buckets)]
-    frame = quality_feature_frame(
-        df,
-        id_col,
-        text_col,
-        label_col=label_col,
-        n_buckets=n_buckets,
-        carry_cols=[segment_col],
-    ).localCheckpoint(eager=False)
+    if frame is None:
+        frame = quality_feature_frame(
+            df,
+            id_col,
+            text_col,
+            label_col=label_col,
+            n_buckets=n_buckets,
+            carry_cols=[segment_col],
+        ).localCheckpoint(eager=False)
     per = frame.select(
         F.col(segment_col).cast("string").alias("segment"), label_col, *feats
     )
@@ -1315,6 +1332,7 @@ def certified_quality_eval_by(
     lr_micro: int = 500_000,
     all_segment: str = "__all__",
     round_to: int = 6,
+    frame: DataFrame | None = None,
 ) -> DataFrame:
     """The certified train→score→MEASURE loop in one frame (the
     ``segmented_cox_pipeline`` shape applied to the integer-GD family,
@@ -1361,15 +1379,18 @@ def certified_quality_eval_by(
 
     feats = [f"x{j}" for j in range(n_buckets)]
     # lazy-checkpoint BEFORE the union: one tokenize pass total for the
-    # trainer, the scorer, and both union branches
-    frame = quality_feature_frame(
-        df,
-        id_col,
-        text_col,
-        label_col=label_col,
-        n_buckets=n_buckets,
-        carry_cols=[segment_col],
-    ).localCheckpoint(eager=False)
+    # trainer, the scorer, and both union branches. A caller-supplied
+    # ``frame`` (the shared persisted featurize pass, r15) already bounds
+    # re-evaluation, so the checkpoint is skipped.
+    if frame is None:
+        frame = quality_feature_frame(
+            df,
+            id_col,
+            text_col,
+            label_col=label_col,
+            n_buckets=n_buckets,
+            carry_cols=[segment_col],
+        ).localCheckpoint(eager=False)
     per = frame.select(
         F.col(segment_col).cast("string").alias("segment"),
         label_col,
@@ -1572,7 +1593,14 @@ def fixed_point_logistic_gd_by(
         for _s in range(steps):
             # current per-group weights ride a small broadcast-joined frame
             # (segments bounded like the registry path in score_per_group) —
-            # never a per-group CASE chain, never the task closure
+            # never a per-group CASE chain, never the task closure. An r15
+            # literal-CASE experiment (bounded groups) measured 2.5× WORSE
+            # (13.8 s vs 5.6 s warm for the 4-step registry row): the z
+            # expression — nf CASE chains of |groups| branches — inlines
+            # into every one of the nf+1 gradient terms with no codegen
+            # CSE, so the generated aggregate blows past the JIT-able
+            # method size and falls back to interpreted evaluation. The
+            # broadcast join keeps z a flat array-index expression.
             if state:
                 wrows = [
                     (g, [int(v) for v in wb[0]], int(wb[1]))

@@ -2206,7 +2206,8 @@ def certified_quality_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.when(F.col("lang") == "en", 1).otherwise(0)
     )
     return certified_quality_training_by(
-        d, "source", "label", n_buckets=16, steps=4, lr_micro=500_000
+        d, "source", "label", n_buckets=16, steps=4, lr_micro=500_000,
+        frame=_quality_feats(spark, sf_dir),
     )
 
 
@@ -2270,7 +2271,8 @@ def certified_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.when(F.col("lang") == "en", 1).otherwise(0)
     )
     return certified_quality_eval_by(
-        d, "source", "label", n_buckets=16, steps=2, lr_micro=500_000
+        d, "source", "label", n_buckets=16, steps=2, lr_micro=500_000,
+        frame=_quality_feats(spark, sf_dir),
     )
 
 
@@ -2324,7 +2326,8 @@ def certified_quality_training_batched(
         "label", F.when(F.col("lang") == "en", 1).otherwise(0)
     )
     return certified_quality_training_batched(
-        d, "label", n_buckets=16, n_batches=4, epochs=2
+        d, "label", n_buckets=16, n_batches=4, epochs=2,
+        frame=_quality_feats(spark, sf_dir),
     )
 
 
@@ -2376,18 +2379,14 @@ def certified_fold_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from elastic_surv_spark.operators.quality_model import (
-        quality_feature_frame,
-    )
     from elastic_surv_spark.streaming.training import certified_fold_run
 
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "label", F.when(F.col("lang") == "en", 1).otherwise(0)
-    )
     feats = [f"x{j}" for j in range(16)]
-    frame = quality_feature_frame(
-        d, "doc_id", "text", label_col="label", n_buckets=16
-    )
+    # the certified-GD family's shared featurize pass (r15): same values
+    # as the per-row quality_feature_frame build, persisted once per
+    # session — the extra `source` carry column is projected away by the
+    # trainer's keyed select
+    frame = _quality_feats(spark, sf_dir)
     wdir = tempfile.mkdtemp(prefix="certified_fold_run_")
     try:
         out = certified_fold_run(
@@ -2457,7 +2456,7 @@ def release_shared_caches() -> None:
     from lineage."""
     for cache in (
         _DOC_SHINGLES, _EXACT_PAIRS, _BAND_ROWS, _SIMHASH_SHARED,
-        _VOCAB_COUNTS, _BPE_MERGES,
+        _VOCAB_COUNTS, _BPE_MERGES, _QUALITY_FEATS,
     ):
         for entry in cache.values():
             # the release walk assumes every cache entry is the tuple
@@ -2500,6 +2499,10 @@ def family_stages(name: str) -> list:
     bandrows = ("band_rows", lambda spark, sf_dir: _band_rows(spark, sf_dir).count())
     bpe = ("bpe_train", lambda spark, sf_dir: _bpe_merges_shared(spark, sf_dir))
     vocab = ("vocab_counts", lambda spark, sf_dir: _vocab_counts(spark, sf_dir).count())
+    qfeats = (
+        "quality_feats",
+        lambda spark, sf_dir: _quality_feats(spark, sf_dir).count(),
+    )
     return {
         "ngram_jaccard_dupes": [tokenize, exact],
         "minhash_lsh_dupes": [tokenize, exact, bandrows],
@@ -2510,7 +2513,52 @@ def family_stages(name: str) -> list:
         "doc_bpe_learned_merges": [bpe],
         "doc_bpe_tokenize_stats": [bpe],
         "doc_vocab_coverage": [vocab],
+        # the certified-GD family shares one featurize pass (r15); these
+        # rows are EAGER_FN_ROWS, so the stage decomposition is what lets
+        # a solo reader split the shared fill from the training loop
+        "certified_quality_training": [qfeats],
+        "certified_quality_eval": [qfeats],
+        "certified_quality_training_batched": [qfeats],
+        "certified_fold_run": [qfeats],
     }.get(name, [])
+
+
+#: sf_dir -> (spark, feats): the persisted hashed-feature frame
+#: (doc_id, label, source, x0..x15) over documents — the certified-GD
+#: family's common first pass (quality_feature_frame at the registry's
+#: pinned n_buckets=16 / label = (lang='en')). Shared by all four
+#: certified training rows (training / eval / batched / fold_run), so one
+#: board session runs the Arrow featurize pass once instead of four
+#: times; at 100 TB this is one corpus tokenize instead of one per row.
+#: Caching changes only WHEN the subplan runs, never what it returns —
+#: each row still trains on exactly the same values (extra carry columns
+#: are projected away by the trainers).
+_QUALITY_FEATS: dict[str, tuple] = {}
+_QUALITY_FEATS_MAX = 4
+
+
+def _quality_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, label, source, x0..x15) feature frame for the
+    documents table at sf_dir — n_buckets=16, label = (lang = 'en')."""
+    from elastic_surv_spark.operators.quality_model import (
+        quality_feature_frame,
+    )
+
+    def build():
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "label", F.when(F.col("lang") == "en", 1).otherwise(0)
+        )
+        return (
+            quality_feature_frame(
+                d, "doc_id", "text", label_col="label", n_buckets=16,
+                carry_cols=["source"],
+            ).persist(),
+        )
+
+    (feats,) = _shared_frames(
+        _QUALITY_FEATS, _QUALITY_FEATS_MAX, spark, sf_dir, build
+    )
+    return feats
 
 
 #: sf_dir -> (spark, toks): the persisted (doc_id, _sh) 3-gram shingle
@@ -8585,6 +8633,22 @@ _RECERT_FIRST = {
     # r13-green they ARE the r16 window by construction (post-r15 the
     # stale frontier is exactly the 50 r13-green rows — verified by
     # simulation in-round, SOLO_BENCH_r14.md).
+    #
+    # r15 OPTIMIZATION-round plan changes, same deferral discipline (all
+    # four certified-GD rows now read the shared _QUALITY_FEATS featurize
+    # pass, and the fold-run row additionally dropped its per-epoch
+    # window-read/pre-count/staging jobs — every row value-verified at
+    # sf0.001/0.01/0.1 in-round AFTER the changes, exact-int64 outputs):
+    # - certified_quality_training is r12-stale, i.e. INSIDE the r15
+    #   window — it takes its fresh certification on the new plan this
+    #   round; no queue entry needed.
+    # - certified_quality_eval is r13-green: it IS the r16 window by
+    #   construction (the zero-slot consolidation round), where it
+    #   certifies on the new plan alongside its r14 AUC-close change.
+    # - certified_quality_training_batched and certified_fold_run are
+    #   r14-green: they sit inside the r17 stale frontier by
+    #   construction and certify there; queueing them for r16 would push
+    #   r13-stale rows out of that exactly-full window.
 }
 
 

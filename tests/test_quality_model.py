@@ -1281,3 +1281,36 @@ def test_sql_splice_guards_raise_not_assert(monkeypatch):
     )
     with pytest.raises(ValueError, match="splice guard"):
         qm.certified_quality_training_by_sql(n_buckets=2)
+
+
+def test_fixed_point_gd_empty_ok_and_n_out(spark):
+    """r15: empty_ok folds the streaming carry-forward rule into the
+    trainer (no pre-count job) and n_out hands back the first step's
+    row count — values identical to the raise-and-recount shape."""
+    from elastic_surv_spark.operators.quality_model import (
+        fixed_point_logistic_gd,
+    )
+
+    df = spark.createDataFrame(
+        [(0.5, 1.0, 1), (-0.25, 2.0, 0), (1.5, -1.0, 1)],
+        "x0 double, x1 double, y int",
+    )
+    info: dict = {}
+    w, b = fixed_point_logistic_gd(
+        df, ["x0", "x1"], "y", steps=2, n_out=info
+    )
+    assert info == {"n": 3}
+    w2, b2 = fixed_point_logistic_gd(df, ["x0", "x1"], "y", steps=2)
+    assert (w, b) == (w2, b2)  # n_out is observational only
+
+    empty = df.limit(0)
+    # empty + empty_ok: the init carries forward, count reported as 0
+    info = {}
+    w3, b3 = fixed_point_logistic_gd(
+        empty, ["x0", "x1"], "y", steps=2,
+        init=([7, -3], 11), empty_ok=True, n_out=info,
+    )
+    assert (w3, b3, info) == ([7, -3], 11, {"n": 0})
+    # empty without empty_ok still raises (the full-batch contract)
+    with pytest.raises(ValueError, match="empty training frame"):
+        fixed_point_logistic_gd(empty, ["x0", "x1"], "y", steps=1)

@@ -200,3 +200,51 @@ def test_release_shared_caches_forces_family_rebuild(spark):
     b = Q._doc_shingles(spark, SF_SMOKE)
     assert b is not a  # a fresh build, not the released frame
     _drain(Q._DOC_SHINGLES)
+
+
+def test_quality_feats_wiring_and_parity(spark):
+    """r15: the certified-GD family's shared featurize pass — cache hit
+    on same-session calls, registered for release, and value-identical
+    to the per-row quality_feature_frame build it replaces."""
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.operators.quality_model import (
+        quality_feature_frame,
+    )
+    from elastic_surv_spark.sources.parquet import load_table
+
+    Q._QUALITY_FEATS.clear()
+    a = Q._quality_feats(spark, SF_SMOKE)
+    b = Q._quality_feats(spark, SF_SMOKE)
+    assert a is b  # cache hit, one persist
+    assert list(Q._QUALITY_FEATS) == [SF_SMOKE]
+    # the shared frame == the per-row build (same tokenizer/hash/label),
+    # modulo the carried segment column the trainers project away
+    d = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "label", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    solo = quality_feature_frame(
+        d, "doc_id", "text", label_col="label", n_buckets=16
+    )
+    cols = sorted(solo.columns)
+    rows_shared = sorted(
+        tuple(r) for r in a.select(*cols).collect()
+    )
+    rows_solo = sorted(tuple(r) for r in solo.select(*cols).collect())
+    assert rows_shared == rows_solo
+    Q.release_shared_caches()
+    assert Q._QUALITY_FEATS == {}
+
+
+def test_certified_gd_family_stage_declared():
+    """The four certified-GD rows declare the shared featurize stage so
+    the solo harness can split the fill from the training loop."""
+    from elastic_surv_spark.plans.queries import family_stages
+
+    for name in (
+        "certified_quality_training",
+        "certified_quality_eval",
+        "certified_quality_training_batched",
+        "certified_fold_run",
+    ):
+        assert [label for label, _ in family_stages(name)] == ["quality_feats"]
