@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from elastic_surv_spark.functions.text import ngrams_with_repeats, words
+from elastic_surv_spark.sources.parquet import spread_partitions as _spread
 
 
 def bigram_lm_scores(
@@ -49,7 +50,12 @@ def bigram_lm_scores(
     SEPARATE ``train`` corpus, unseen grams smooth to counts of 0 (left
     joins + coalesce) instead of silently dropping from the average.
     """
-    train = df if train is None else train
+    # _spread: the tokenize/gram expressions are interpreted higher-order
+    # folds that otherwise run on ONE task when a tiny-SF scan yields a
+    # single partition (no-op at real scale, where the scan already
+    # splits — r15)
+    train = _spread(df if train is None else train)
+    df = _spread(df)
     t_toks = train.select(words(F.col(text_col)).alias("_w"))
     uni = t_toks.select(F.explode("_w").alias("_t"))
     uni_counts = uni.groupBy("_t").agg(F.count("*").alias("_c1"))

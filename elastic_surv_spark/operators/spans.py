@@ -55,11 +55,21 @@ _SEP = "\x1f"  # ASCII unit separator between gram tokens
 def _token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pos, tok): whitespace tokens with their 0-based position in
     the FILTERED token list — the same indexing as
-    ``quality_model.tokenize`` and the oracle's ``list_filter`` form."""
+    ``quality_model.tokenize`` and the oracle's ``list_filter`` form.
+
+    ``_spread`` keeps the split+filter (an interpreted higher-order
+    expression) off a single task when a tiny-SF scan yields fewer
+    partitions than cores — a no-op at real scale, where the scan
+    already splits (r15); the doc-grain window downstream shuffles on
+    the id either way."""
+    from elastic_surv_spark.sources.parquet import spread_partitions
+
     toks = F.filter(
         F.split(F.col(text_col), _WS_PATTERN), lambda x: x != F.lit("")
     )
-    return df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    return spread_partitions(df).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
 
 
 def duplicate_spans(
@@ -411,7 +421,9 @@ def cut_duplicate_spans(
     stage to touch each partition fills the cache; an accumulator test
     bounds source tokenize work at ≤ 1.5× one pass.
     """
-    toks = df.select(
+    from elastic_surv_spark.sources.parquet import spread_partitions
+
+    toks = spread_partitions(df).select(
         F.col(id_col),
         F.coalesce(
             F.filter(

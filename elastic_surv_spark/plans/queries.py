@@ -4897,8 +4897,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded two-level hash aggregate (codegen'd, map-side combined) —
     together the filter inputs every repetition-based quality gate uses."""
     from elastic_surv_spark.functions import text as TX
+    from elastic_surv_spark.sources.parquet import spread_partitions
 
-    d = _t(spark, sf_dir, "documents")
+    # the repetition expressions are interpreted higher-order array folds —
+    # spread keeps them off one task at tiny SFs (no-op at scale, r15)
+    d = spread_partitions(_t(spark, sf_dir, "documents"))
     w = TX.words(F.col("text"))
     base = d.select(
         "doc_id",
@@ -5620,8 +5623,21 @@ def doc_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on xxhash64(gram) — 8-byte keys instead of ~40-byte strings
     (collisions ~n²/2⁶⁴, immaterial). Per-doc re-aggregation partitions on
     the high-cardinality doc_id. Linear in corpus token count throughout.
+
+    The trailing repartition is the dedup-family exchange barrier
+    (r15, the ``_tokenized`` recipe): the gram projection — an
+    interpreted higher-order slice+join — feeds TWO consumers (the
+    per-gram distinct-doc aggregate and the join back), so without the
+    barrier Catalyst re-runs the gram build per consumer; with it both
+    read the same shuffle output via ReusedExchange, and tiny-SF scans
+    stop funnelling the build through one task.
     """
-    d = _t(spark, sf_dir, "documents")
+    from elastic_surv_spark.sources.parquet import spread_partitions
+
+    # spread BEFORE the gram build (it must not run on one scan task at
+    # tiny SFs) AND barrier after (see above) — both no-ops at real scale
+    d = spread_partitions(_t(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
     w = F.split("text", " ")
     grams = (
         d.select("doc_id", w.alias("w"))
@@ -5636,6 +5652,7 @@ def doc_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .select("doc_id", F.xxhash64("gram").alias("gkey"))
+        .repartition(par)
     )
     docs_per_gram = grams.groupBy("gkey").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
