@@ -3141,6 +3141,11 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3 per doc. All shuffles are on (doc,term)/(term) — linear in corpus.
     """
     d = _t(spark, sf_dir, "documents")
+    # NO exchange barrier on toks (r15 measured): explode(split(...)) is
+    # whole-stage-codegen, so re-running it per consumer is cheaper than
+    # shuffling the exploded terms once (0.87 → 1.24 s warm with a
+    # barrier) — the barrier pattern pays only for INTERPRETED
+    # higher-order projections (shingles/transform), not codegen'd ones
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -4958,6 +4963,7 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (source side broadcast-sized after collapse), DECIMAL-exact term
     sum; the per-source support ⊆ global support so every term is finite."""
     d = _t(spark, sf_dir, "documents")
+    # no toks barrier: codegen'd explode — see doc_tfidf_top_terms (r15)
     toks = d.select(
         "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("_t")
     )
@@ -5567,6 +5573,7 @@ def doc_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score's float ops are written in the same order as the oracle's.
     """
     d = _t(spark, sf_dir, "documents")
+    # no toks barrier: codegen'd explode — see doc_tfidf_top_terms (r15)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -5773,7 +5780,11 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-aggregate pair vocabulary, not the corpus). Iterating this query
     with a merge-table broadcast is exactly distributed BPE training.
     """
-    d = _t(spark, sf_dir, "documents")
+    from elastic_surv_spark.sources.parquet import spread_partitions
+
+    # spread: the per-word pair transform is an interpreted higher-order
+    # expression — off one scan task at tiny SFs, no-op at scale (r15)
+    d = spread_partitions(_t(spark, sf_dir, "documents"))
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )
