@@ -101,9 +101,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: single map-side-combined hash aggregate over 2-key groups; the
     shipdate predicate and 7-column projection push into the parquet scan.
+    The filtered 6-column projection is spread before the aggregate (the
+    ``price_quantity_corr`` rationale: per-row decimal products on a 1-3
+    partition tiny-SF scan are the stage's whole cost; no-op at real
+    scale, exact integer sums keep the value bit-identical).
     """
-    l = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    from elastic_surv_spark.sources.parquet import spread_partitions
+
+    l = spread_partitions(
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
     )
     qty = F.col("l_quantity")
     price = F.col("l_extendedprice")
@@ -7170,9 +7181,22 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation is summation-order-dependent and non-reproducible).
 
     Scale: a single grouped aggregate with map-side partial moments; the
-    correlation algebra runs on |groups| rows.
+    correlation algebra runs on |groups| rows. The 3-column projection is
+    spread before the aggregate: the per-row DECIMAL(28,6) products are
+    the stage's real cost, and a tiny-SF scan arrives as 1-3 partitions —
+    measured 3.20 → 1.09 s median on this box (r15); a no-op whenever the
+    scan already yields >= cores partitions, i.e. at any real scale. The
+    3-group partial aggregate makes the added round-robin exchange carry
+    600k narrow rows once while the sums stay exact integers (order
+    independent), so the value is bit-identical by construction.
     """
-    l = _t(spark, sf_dir, "lineitem")
+    from elastic_surv_spark.sources.parquet import spread_partitions
+
+    l = spread_partitions(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        )
+    )
     x, y = F.col("l_extendedprice"), F.col("l_quantity")
     m = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
