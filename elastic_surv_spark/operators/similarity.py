@@ -518,6 +518,7 @@ def ann_recall_summary(
     n_queries: int = 50,
     k: int = 5,
     floor: float = 0.85,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """One-row certification summary for an approximate top-k result.
 
@@ -529,10 +530,17 @@ def ann_recall_summary(
     deterministic (fixed seeds, fixed data) and engine-portable, so a SQL
     oracle can reproduce it from row counts + constants and the correctness
     driver certifies the ANN end-to-end instead of skipping it.
+
+    ``exact`` lets a caller pass a precomputed (e.g. session-shared)
+    brute-force frame; it must be exactly ``cosine_topk_fast(corpus,
+    corpus.filter(id < n_queries), k=k)`` — same ids, same k — or the
+    certification row is meaningless. Caching changes only WHEN that
+    subplan runs, never what it returns.
     """
-    exact = cosine_topk_fast(
-        corpus, corpus.filter(F.col(id_col) < n_queries), id_col, vec_col, k=k
-    )
+    if exact is None:
+        exact = cosine_topk_fast(
+            corpus, corpus.filter(F.col(id_col) < n_queries), id_col, vec_col, k=k
+        )
     counts = exact.agg(
         F.countDistinct("q_id").cast("long").alias("n_queries"),
         F.count("*").cast("long").alias("exact_pairs"),

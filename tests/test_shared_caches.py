@@ -190,6 +190,45 @@ def test_family_stages_decomposition_builders(spark):
     Q.release_shared_caches()
 
 
+def test_ann_exact_shared_wiring_and_parity(spark):
+    """The ANN family's shared brute-force baseline (r15): same-session
+    reuse, release clears it, and the certification row computed off the
+    shared frame is value-identical to the inline build it replaced."""
+    from pyspark.sql import functions as F
+
+    from elastic_surv_spark.operators.similarity import (
+        ann_recall_summary,
+        cosine_topk_fast,
+        lsh_topk,
+    )
+    from elastic_surv_spark.sources.parquet import load_table
+
+    Q._ANN_EXACT.clear()
+    a = Q._ann_exact_topk(spark, SF_SMOKE)
+    assert Q._ann_exact_topk(spark, SF_SMOKE) is a  # same-session reuse
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    ann = lsh_topk(e, k=5, n_planes=4, n_tables=16)
+    shared_row = ann_recall_summary(
+        e, ann, n_queries=50, k=5, floor=0.85, exact=a
+    ).collect()
+    inline_row = ann_recall_summary(
+        e, ann, n_queries=50, k=5, floor=0.85
+    ).collect()
+    assert shared_row == inline_row
+    # the shared frame IS the inline computation, row for row
+    inline_exact = cosine_topk_fast(
+        e, e.filter(F.col("vec_id") < 50), k=5
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, inline_exact.collect())
+    )
+    Q.release_shared_caches()
+    assert Q._ANN_EXACT == {}
+    b = Q._ann_exact_topk(spark, SF_SMOKE)
+    assert b is not a  # fresh build after release
+    _drain(Q._ANN_EXACT)
+
+
 def test_release_shared_caches_forces_family_rebuild(spark):
     """After a release, the next family call rebuilds (no stale reuse) —
     the property that makes bench board repeats structurally cold."""
