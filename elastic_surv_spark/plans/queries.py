@@ -8754,6 +8754,22 @@ _RECERT_FIRST = {
     #   r14-green: they sit inside the r17 stale frontier by
     #   construction and certify there; queueing them for r16 would push
     #   r13-stale rows out of that exactly-full window.
+    #
+    # The other r15 optimization plan changes follow the same split —
+    # every row below was oracle-verified at sf0.001/0.01/0.1 in-round
+    # AFTER its change (spread_partitions fan-outs, the shared ANN
+    # brute-force baseline, the tokenize-once span path):
+    # - IN the r15 window (fresh certification on the new plan, no queue
+    #   entry needed): doc_crossdoc_dup_spans, price_quantity_corr,
+    #   embedding_ann_lsh, doc_duplicate_span_stats (the new row), plus
+    #   certified_quality_training above.
+    # - r13-green (they ARE the zero-slot r16 window by construction —
+    #   post-r15 the stale frontier is exactly the 50 r13-green rows,
+    #   re-verified by simulation this round): doc_decontaminate,
+    #   doc_repetition_stats, pricing_summary, embedding_pq_topk,
+    #   embedding_ann_ivfpq.
+    # - r14-green (inside the r17 stale frontier by construction):
+    #   doc_lm_perplexity, bpe_merge_pairs, embedding_ann_ivf.
 }
 
 
