@@ -306,8 +306,18 @@ def main() -> None:
     # fresh session would — reusing the old DataFrame would silently
     # recompute the whole family INSIDE the timed region instead).
     plan_cache: dict = {}
+    # Untimed plan-construction seconds actually SAVED by plan_cache in
+    # later runs (only fn() calls whose DataFrame got cached count — EAGER
+    # rows and family rows rebuild every run, so their construction is
+    # re-paid and must stay in the repeat-cost estimate). Used by the
+    # budget planner below: run 1's wall uniquely carries this one-time
+    # cost, so planning repeats off the raw run-1 wall under-planned a
+    # slow box to a single cold run (the r15 driver board read 1/3 runs —
+    # the worst possible sample; VERDICT r15 #2).
+    cached_construction_s = 0.0
 
     def run_board() -> dict[str, float]:
+        nonlocal cached_construction_s
         timings: dict[str, float] = {}
         for name, spec in order:
             # Local mode runs driver+executor in ONE JVM: without a nudge
@@ -333,9 +343,11 @@ def main() -> None:
                 else:
                     df = plan_cache.get(name)
                     if df is None:
+                        c0 = time.perf_counter()
                         df = spec.fn(spark, sf_dir)  # build plan (lazy)
                         if not family_stages(name):
                             plan_cache[name] = df
+                            cached_construction_s += time.perf_counter() - c0
                     start = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 timings[name] = round(time.perf_counter() - start, 3)
@@ -380,31 +392,35 @@ def main() -> None:
     for i in range(board_runs):
         if i > 0:
             elapsed = time.perf_counter() - bench_start
-            if last_wall > 0:
-                # Honest re-plan from the LAST run's MEASURED wall (r9
-                # task #5, revised r15): run 1 pays the one-time plan
-                # construction that later runs no longer do (the board
-                # reuses constructed DataFrames), so planning all repeats
-                # off run 1's wall would under-plan — re-estimate after
-                # every run and announce each change, so the final plan
-                # always equals what was delivered unless a mid-board
-                # slowdown truncated it (that stays a visible
-                # budget_exhausted).
+            # Honest re-plan from the LAST run's MEASURED wall (r9 task #5,
+            # revised r15/r16): run 1 uniquely pays the one-time plan
+            # construction that later runs no longer do (the board reuses
+            # constructed DataFrames), so a repeat run's expected wall is
+            # run 1's wall MINUS the measured construction seconds the
+            # plan cache absorbed (VERDICT r15 #2 — the raw run-1 wall
+            # under-planned a slow box to one cold run). From run 2 on the
+            # last wall IS a repeat wall and is used as-is. Re-estimate
+            # after every run and announce each change, so the final plan
+            # always equals what was delivered unless a mid-board slowdown
+            # truncated it (that stays a visible budget_exhausted).
+            repeat_est = last_wall - (cached_construction_s if i == 1 else 0.0)
+            if repeat_est > 0:
                 feasible = i + int(
-                    max(board_budget - elapsed, 0.0) // (1.1 * last_wall)
+                    max(board_budget - elapsed, 0.0) // (1.1 * repeat_est)
                 )
                 new_plan = max(1, min(board_runs, feasible))
                 if new_plan != runs_planned:
                     print(
                         f"BOARD PLAN: {new_plan}/{board_runs} run(s) fit "
                         f"the {board_budget:.0f}s budget (run {i} wall "
-                        f"{last_wall:.0f}s)",
+                        f"{last_wall:.0f}s, repeat estimate "
+                        f"{repeat_est:.0f}s)",
                         file=sys.stderr,
                     )
                     runs_planned = new_plan
             if i >= runs_planned:
                 break
-            if elapsed + 1.1 * last_wall > board_budget:
+            if repeat_est > 0 and elapsed + 1.1 * repeat_est > board_budget:
                 # a mid-board slowdown below even the announced plan IS a
                 # truncation — keep it visible
                 budget_exhausted = True
@@ -422,7 +438,12 @@ def main() -> None:
         # teardown live in the gap) — stderr only, the JSON line is sacred
         print(
             f"BOARD RUN {i + 1}: wall {last_wall:.1f}s, "
-            f"timed {sum(runs[-1].values()):.1f}s",
+            f"timed {sum(runs[-1].values()):.1f}s"
+            + (
+                f", cached construction {cached_construction_s:.1f}s"
+                if i == 0
+                else ""
+            ),
             file=sys.stderr,
         )
 

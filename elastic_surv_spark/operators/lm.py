@@ -53,9 +53,11 @@ def bigram_lm_scores(
     # _spread: the tokenize/gram expressions are interpreted higher-order
     # folds that otherwise run on ONE task when a tiny-SF scan yields a
     # single partition (no-op at real scale, where the scan already
-    # splits — r15)
-    train = _spread(df if train is None else train)
+    # splits — r15). Spread each SOURCE once (ADVICE r15): when train is
+    # df, aliasing one spread node lets every consumer read the same
+    # exchange instead of duplicating the raw-text shuffle per branch.
     df = _spread(df)
+    train = df if train is None else _spread(train)
     t_toks = train.select(words(F.col(text_col)).alias("_w"))
     uni = t_toks.select(F.explode("_w").alias("_t"))
     uni_counts = uni.groupBy("_t").agg(F.count("*").alias("_c1"))

@@ -2708,17 +2708,28 @@ def _simhash_shared(spark: SparkSession, sf_dir: str):
 _ANN_EXACT: dict[str, tuple] = {}
 _ANN_EXACT_MAX = 4
 
+#: The ANN family's pinned certification geometry. The shared baseline
+#: (_ann_exact_topk) and all four ann_recall_summary call sites MUST use
+#: the same query-id cutoff and k, or the recall certificate compares an
+#: ANN shortlist against the wrong truth set (ann_recall_summary's own
+#: docstring); hoisted so the constants cannot drift (ADVICE r15).
+ANN_CERT_N_QUERIES = 50
+ANN_CERT_K = 5
+
 
 def _ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted exact cosine top-5 (query ids < 50) for embeddings at
-    sf_dir — the ANN family's shared recall-certification baseline."""
+    """Persisted exact cosine top-5 (query ids < ANN_CERT_N_QUERIES) for
+    embeddings at sf_dir — the ANN family's shared recall-certification
+    baseline."""
     from elastic_surv_spark.operators.similarity import cosine_topk_fast
 
     def build():
         e = _t(spark, sf_dir, "embeddings")
         return (
             cosine_topk_fast(
-                e, e.filter(F.col("vec_id") < 50), k=5
+                e,
+                e.filter(F.col("vec_id") < ANN_CERT_N_QUERIES),
+                k=ANN_CERT_K,
             ).persist(),
         )
 
@@ -2957,9 +2968,9 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.operators.similarity import ann_recall_summary, lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    ann = lsh_topk(e, k=5, n_planes=4, n_tables=16)
+    ann = lsh_topk(e, k=ANN_CERT_K, n_planes=4, n_tables=16)
     return ann_recall_summary(
-        e, ann, n_queries=50, k=5, floor=0.85,
+        e, ann, n_queries=ANN_CERT_N_QUERIES, k=ANN_CERT_K, floor=0.85,
         exact=_ann_exact_topk(spark, sf_dir),
     )
 
@@ -3760,9 +3771,9 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.operators.similarity import ann_recall_summary, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    ann = ivf_topk(e, k=5, n_probe=None, probe_frac=0.55)
+    ann = ivf_topk(e, k=ANN_CERT_K, n_probe=None, probe_frac=0.55)
     return ann_recall_summary(
-        e, ann, n_queries=50, k=5, floor=0.80,
+        e, ann, n_queries=ANN_CERT_N_QUERIES, k=ANN_CERT_K, floor=0.80,
         exact=_ann_exact_topk(spark, sf_dir),
     )
 
@@ -4264,10 +4275,10 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.operators.similarity import ann_recall_summary
 
     e = _t(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") < 50)
-    ann = pq_topk(e, qs, k=5, m=16, n_codes=32, shortlist=120)
+    qs = e.filter(F.col("vec_id") < ANN_CERT_N_QUERIES)
+    ann = pq_topk(e, qs, k=ANN_CERT_K, m=16, n_codes=32, shortlist=120)
     return ann_recall_summary(
-        e, ann, n_queries=50, k=5, floor=0.90,
+        e, ann, n_queries=ANN_CERT_N_QUERIES, k=ANN_CERT_K, floor=0.90,
         exact=_ann_exact_topk(spark, sf_dir),
     )
 
@@ -4341,12 +4352,13 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.operators.similarity import ann_recall_summary
 
     e = _t(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") < 50)
+    qs = e.filter(F.col("vec_id") < ANN_CERT_N_QUERIES)
     ann = ivfpq_topk(
-        e, qs, k=5, n_probe=None, probe_frac=0.55, shortlist=256, n_codes=64
+        e, qs, k=ANN_CERT_K, n_probe=None, probe_frac=0.55,
+        shortlist=256, n_codes=64,
     )
     return ann_recall_summary(
-        e, ann, n_queries=50, k=5, floor=0.80,
+        e, ann, n_queries=ANN_CERT_N_QUERIES, k=ANN_CERT_K, floor=0.80,
         exact=_ann_exact_topk(spark, sf_dir),
     )
 
@@ -5695,20 +5707,16 @@ def doc_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collisions ~n²/2⁶⁴, immaterial). Per-doc re-aggregation partitions on
     the high-cardinality doc_id. Linear in corpus token count throughout.
 
-    The trailing repartition is the dedup-family exchange barrier
-    (r15, the ``_tokenized`` recipe): the gram projection — an
-    interpreted higher-order slice+join — feeds TWO consumers (the
-    per-gram distinct-doc aggregate and the join back), so without the
-    barrier Catalyst re-runs the gram build per consumer; with it both
-    read the same shuffle output via ReusedExchange, and tiny-SF scans
-    stop funnelling the build through one task.
+    r16: the r15 spread+barrier variant is REVERTED. Its committed
+    physical plan (plans/r15/doc_crossdoc_dup_spans_after.txt) showed the
+    gram build still duplicated (no ReusedExchange at plan time — the
+    self-join attribute dedup re-ids one side) PLUS four added
+    round-robin exchanges, two of them carrying raw text; the driver
+    board read 6.9 s vs 1.9 s for this shape (VERDICT r15 #3). The gram
+    projection re-runs once per consumer, which is cheaper than
+    shuffling the exploded gram stream twice.
     """
-    from elastic_surv_spark.sources.parquet import spread_partitions
-
-    # spread BEFORE the gram build (it must not run on one scan task at
-    # tiny SFs) AND barrier after (see above) — both no-ops at real scale
-    d = spread_partitions(_t(spark, sf_dir, "documents"))
-    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents")
     w = F.split("text", " ")
     grams = (
         d.select("doc_id", w.alias("w"))
@@ -5723,7 +5731,6 @@ def doc_crossdoc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .select("doc_id", F.xxhash64("gram").alias("gkey"))
-        .repartition(par)
     )
     docs_per_gram = grams.groupBy("gkey").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))

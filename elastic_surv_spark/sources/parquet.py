@@ -96,6 +96,10 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     (tokenization, vector math) never runs on one task. At real scale the
     parquet scan already splits at ``spark.sql.files.maxPartitionBytes``
     and this is a no-op."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_R16_NOSPREAD"):  # A/B knob, r16 measurement
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

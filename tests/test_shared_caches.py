@@ -287,3 +287,36 @@ def test_certified_gd_family_stage_declared():
         "certified_fold_run",
     ):
         assert [label for label, _ in family_stages(name)] == ["quality_feats"]
+
+
+def test_every_shared_cache_reader_declares_family_stages():
+    """ADVICE r15: bench.py's plan_cache reuses a row's DataFrame across
+    board runs UNLESS family_stages(name) is non-empty — so a registry fn
+    that reads a session-shared cache builder without declaring its
+    family would get its DataFrame cached while release_shared_caches()
+    unpersists the backbone between runs, silently moving the family
+    rebuild inside the timed region. Pin the invariant for EVERY registry
+    row by scanning each fn's source for the builder call sites."""
+    import inspect
+
+    from elastic_surv_spark.plans.queries import REGISTRY, family_stages
+
+    builders = (
+        "_doc_shingles(",
+        "_exact_dup_pairs(",
+        "_band_rows(",
+        "_simhash_shared(",
+        "_vocab_counts(",
+        "_bpe_merges_shared(",
+        "_quality_feats(",
+        "_ann_exact_topk(",
+    )
+    missing = []
+    for name, spec in REGISTRY.items():
+        src = inspect.getsource(spec.fn)
+        if any(b in src for b in builders) and not family_stages(name):
+            missing.append(name)
+    assert missing == [], (
+        "registry rows reading a shared-cache builder without a "
+        f"family_stages declaration: {missing}"
+    )
