@@ -35,7 +35,10 @@ def _gram_hashes(
     it off a single task when the scan yields fewer partitions than
     cores (a tiny-SF artifact — at real scale the scan already splits
     and the repartition is a no-op; measured r15: 3.7 → 1.5 s median
-    for the registry row)."""
+    for the registry row). KEPT in the r16 spread re-audit: both
+    spread-on 3-run boards beat the spread-off one on the registry row
+    (1.19/1.02 s vs 2.78 s medians) — the interpreted 8-gram slice+join
+    dominates the one narrow text shuffle here."""
     ids = [F.col(id_col)] if id_col else []
     return (
         _spread(df)

@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from elastic_surv_spark.functions.text import shingles, words
-from elastic_surv_spark.sources.parquet import spread_partitions as _spread
 
 
 def shingle_jaccard_pairs(
@@ -65,8 +64,13 @@ def shingle_jaccard_pairs(
     # shuffle output via ReusedExchange instead of re-tokenizing — higher-
     # order expressions run interpreted (no codegen CSE), so re-evaluation
     # is the dominant cost otherwise.
+    # r16: no round-robin spread before the tokenize — the extra raw-text
+    # shuffle cost more in-board than the single-task tiny-SF scan it
+    # avoided (the whole dedup family read 12.8 s without vs 21–27 s with
+    # across 3-run board medians); the trailing barrier alone remains the
+    # r14-proven shape.
     base = tokenized if tokenized is not None else (
-        _spread(df)
+        df
         .select(F.col(id_col), *blocks, shingles(F.col(text_col), n).alias("_sh"))
         .filter(F.size("_sh") > 0)
         .repartition(par)
@@ -80,6 +84,14 @@ def shingle_jaccard_pairs(
     postings = base.select(
         F.col(id_col), *blocks, F.explode("_sh").alias("_s_str")
     ).select(F.col(id_col), *blocks, F.xxhash64("_s_str").alias("_s"))
+    # r16 REJECTED experiment (VERDICT r15 #4): a frequency pre-cut of
+    # singleton shingles (groupBy key count >= 2, semi-join back) before
+    # this self-join measured the exact_pairs stage 1.40 -> 1.97 s median
+    # (8 interleaved in-JVM reps, identical 256 pairs) — both join sides
+    # read the PERSISTED shingle cache, so the pre-cut's extra aggregate
+    # + semi-join pass costs more than the singleton rows it removes
+    # (they self-match once and die on the id_a < id_b filter inside the
+    # same stage). Revisit only on a corpus where postings >> memory.
     a = postings.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"_b_{c}") for c in blocks],
@@ -115,10 +127,13 @@ def shingle_jaccard_pairs(
 def _tokenized(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, _sh) behind an exchange barrier so every consumer reads the
     stored array instead of re-running the (interpreted, non-CSE'd)
-    shingle expression."""
+    shingle expression. No spread before the tokenize (r16): chaining a
+    raw-text round-robin ahead of the barrier shuffles the corpus twice
+    per build and measured strictly worse in-board (see
+    shingle_jaccard_pairs)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        _spread(df)
+        df
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
         .filter(F.size("_sh") > 0)
         .repartition(par)
@@ -541,7 +556,10 @@ def simhash64(
     text is NULL (no token rows survive the explode) rejoin with signature
     0, matching the old fold's ``coalesce``.
     """
-    base = _spread(df).select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    # r16: spread removed — the raw-text round-robin ahead of this
+    # codegen'd explode+aggregate measured worse in-board (simhash rows
+    # 2.89/1.02 s without vs 5.13–10.01/1.38–2.78 s with)
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
     hashed = base.select(F.col(id_col), F.explode("_w").alias("_t")).select(
         F.col(id_col), F.xxhash64("_t").alias("_h")
     )

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from elastic_surv_spark.functions.text import ngrams_with_repeats, words
-from elastic_surv_spark.sources.parquet import spread_partitions as _spread
 
 
 def bigram_lm_scores(
@@ -50,14 +49,14 @@ def bigram_lm_scores(
     SEPARATE ``train`` corpus, unseen grams smooth to counts of 0 (left
     joins + coalesce) instead of silently dropping from the average.
     """
-    # _spread: the tokenize/gram expressions are interpreted higher-order
-    # folds that otherwise run on ONE task when a tiny-SF scan yields a
-    # single partition (no-op at real scale, where the scan already
-    # splits — r15). Spread each SOURCE once (ADVICE r15): when train is
-    # df, aliasing one spread node lets every consumer read the same
-    # exchange instead of duplicating the raw-text shuffle per branch.
-    df = _spread(df)
-    train = df if train is None else _spread(train)
+    # r16: the r15 spread is REMOVED (with it, ADVICE r15's double-spread
+    # finding is moot — `train` simply aliases `df` when not supplied).
+    # Four in-board medians split 1.88/2.75 s with a single spread vs
+    # 2.07/1.93 s without (the r15 double-spread read 2.31 s); the means
+    # favor the plain r14-proven shape, which is also the only variant
+    # with a known-good driver-board number, and at real scale the spread
+    # is a no-op anyway.
+    train = df if train is None else train
     t_toks = train.select(words(F.col(text_col)).alias("_w"))
     uni = t_toks.select(F.explode("_w").alias("_t"))
     uni_counts = uni.groupBy("_t").agg(F.count("*").alias("_c1"))

@@ -29,7 +29,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from elastic_surv_spark.sources.parquet import spread_partitions
 
 
 def _safe_norm(X: np.ndarray) -> np.ndarray:
@@ -167,7 +166,11 @@ def pq_encode(
     carry_schema = "".join(
         f", {c} {corpus.schema[c].dataType.simpleString()}" for c in carry
     )
-    return spread_partitions(corpus).mapInPandas(
+    # r16: spread removed — shuffling the vector payload before the pandas
+    # UDF cost more in-board than the single-task scan it avoided at tiny
+    # SFs (embedding_pq_topk 1.20 s without vs 2.42/1.76 s with in the
+    # 3-board A/B); a no-op at real scale where the scan already splits.
+    return corpus.mapInPandas(
         encode, schema="vec_id long, codes array<int>" + carry_schema
     )
 
@@ -351,7 +354,9 @@ def ivfpq_topk(
         n_probe = int(np.ceil(probe_frac * n_cells))
     n_probe = max(1, min(n_probe, n_cells))
 
-    base = spread_partitions(corpus).select(F.col(id_col), F.col(vec_col))
+    # r16: spread removed — see encode_pq above (embedding_ann_ivfpq
+    # 1.67 s without vs 2.57/2.43 s with)
+    base = corpus.select(F.col(id_col), F.col(vec_col))
     centroids = fit_coarse_centroids(base, vec_col, n_cells, fit_sample, seed, n=n)
 
     codebooks = fit_pq_codebooks(corpus, vec_col, m, n_codes, fit_sample, seed, n=n)

@@ -199,7 +199,6 @@ def semantic_dedup(
     ``kept_by_cosine`` are NULL on kept rows.
     """
     from elastic_surv_spark.operators.pq import fit_coarse_centroids
-    from elastic_surv_spark.sources.parquet import spread_partitions
 
     # the grouped-apply output schema carries the CALLER's id type (long,
     # string, decimal, …) — same derivation as models/grouped.py's group
@@ -207,7 +206,11 @@ def semantic_dedup(
     id_type = corpus.schema[id_col].dataType.simpleString()
     n = corpus.count()
     n_cells = n_cells or max(2, int(n**0.5 / 2))
-    base = spread_partitions(corpus).select(F.col(id_col), F.col(vec_col))
+    # r16: spread removed — shuffling the vector payload cost more
+    # in-board than the single-task tiny-SF scan it avoided
+    # (embedding_semantic_dedup 0.95 s without vs 1.06 s with; the whole
+    # embedding family moved the same way); no-op at real scale.
+    base = corpus.select(F.col(id_col), F.col(vec_col))
     centroids = fit_coarse_centroids(base, vec_col, n_cells, fit_sample, seed, n=n)
 
     assigned = base.select(

@@ -28,7 +28,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from elastic_surv_spark.operators.pq import _pairwise_d2, _safe_norm
-from elastic_surv_spark.sources.parquet import spread_partitions
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -219,8 +218,13 @@ def lsh_members(
         sigs_m = (packed * w).sum(axis=2)  # (B, T)
         return pd.Series(list(sigs_m))
 
+    # r16: no round-robin spread before the pandas UDF — shuffling the
+    # vector payload cost more in-board than the single-task scan it
+    # avoided at tiny SFs (3-board A/B medians: embedding_ann_lsh 1.85 s
+    # without vs 3.07/3.54 s with), and at real scale the scan already
+    # splits so the spread was a no-op there anyway.
     member = (
-        spread_partitions(corpus)
+        corpus
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -368,7 +372,9 @@ def ivf_topk(
     n_probe = max(1, min(n_probe, n_cells))
     par = corpus.sparkSession.sparkContext.defaultParallelism
 
-    base = spread_partitions(corpus).select(F.col(id_col), F.col(vec_col))
+    # r16: spread removed — see lsh_topk (vector-payload shuffle beat by
+    # the plain scan in the 3-board A/B; no-op at real scale regardless)
+    base = corpus.select(F.col(id_col), F.col(vec_col))
     centroids = fit_coarse_centroids(
         base, vec_col, n_cells, fit_sample, seed, n=n
     )  # (C, dim)
@@ -501,7 +507,10 @@ def cosine_topk_fast(
                  "cosine": np.array(out_c, dtype=np.float64)}
             )
 
-    cand = spread_partitions(corpus).mapInPandas(
+    # r16: spread removed — see lsh_topk (the A/B covers this path via the
+    # shared _ANN_EXACT baseline and embedding_cosine_topk: 0.71 s without
+    # vs 1.06/0.91 s with)
+    cand = corpus.mapInPandas(
         partial_topk, schema="q_id long, n_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))

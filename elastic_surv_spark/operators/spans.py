@@ -57,17 +57,15 @@ def _token_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the FILTERED token list — the same indexing as
     ``quality_model.tokenize`` and the oracle's ``list_filter`` form.
 
-    ``_spread`` keeps the split+filter (an interpreted higher-order
-    expression) off a single task when a tiny-SF scan yields fewer
-    partitions than cores — a no-op at real scale, where the scan
-    already splits (r15); the doc-grain window downstream shuffles on
-    the id either way."""
-    from elastic_surv_spark.sources.parquet import spread_partitions
-
+    r16: the r15 spread before the split+filter is removed — the added
+    raw-text round-robin measured worse in-board (doc_duplicate_span_stats
+    2.11 s without vs 2.51/3.09 s with, 3-run board medians; r15 had
+    already called it neutral solo), and the doc-grain window downstream
+    shuffles on the id either way."""
     toks = F.filter(
         F.split(F.col(text_col), _WS_PATTERN), lambda x: x != F.lit("")
     )
-    return spread_partitions(df).select(
+    return df.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "tok")
     )
 

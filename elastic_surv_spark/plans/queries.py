@@ -101,14 +101,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: single map-side-combined hash aggregate over 2-key groups; the
     shipdate predicate and 7-column projection push into the parquet scan.
-    The filtered 6-column projection is spread before the aggregate (the
-    ``price_quantity_corr`` rationale: per-row decimal products on a 1-3
-    partition tiny-SF scan are the stage's whole cost; no-op at real
-    scale, exact integer sums keep the value bit-identical).
+    r16: the r15 spread of the filtered projection is REVERTED — the
+    added round-robin exchange was at best neutral across three 3-run
+    boards (1.43/2.10 s with vs 1.89 s without, r14 driver 1.86) while
+    its sibling on price_quantity_corr spiked to 8.1 s in-board; the
+    plain scan→aggregate shape is the r14-proven one and the spread is a
+    no-op at real scale anyway.
     """
-    from elastic_surv_spark.sources.parquet import spread_partitions
-
-    l = spread_partitions(
+    l = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .select(
@@ -4981,7 +4981,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.sources.parquet import spread_partitions
 
     # the repetition expressions are interpreted higher-order array folds —
-    # spread keeps them off one task at tiny SFs (no-op at scale, r15)
+    # spread keeps them off one task at tiny SFs (no-op at scale, r15).
+    # KEPT in the r16 spread re-audit: both spread-on 3-run boards beat
+    # the spread-off one on this row (2.05/1.20 s vs 3.15 s medians) —
+    # the interpreted fold cost dominates the one narrow text shuffle here.
     d = spread_partitions(_t(spark, sf_dir, "documents"))
     w = TX.words(F.col("text"))
     base = d.select(
@@ -5854,7 +5857,9 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from elastic_surv_spark.sources.parquet import spread_partitions
 
     # spread: the per-word pair transform is an interpreted higher-order
-    # expression — off one scan task at tiny SFs, no-op at scale (r15)
+    # expression — off one scan task at tiny SFs, no-op at scale (r15).
+    # KEPT in the r16 spread re-audit: both spread-on 3-run boards beat
+    # the spread-off one on this row (0.76/0.69 s vs 1.04 s medians).
     d = spread_partitions(_t(spark, sf_dir, "documents"))
     words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
@@ -7241,21 +7246,15 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation is summation-order-dependent and non-reproducible).
 
     Scale: a single grouped aggregate with map-side partial moments; the
-    correlation algebra runs on |groups| rows. The 3-column projection is
-    spread before the aggregate: the per-row DECIMAL(28,6) products are
-    the stage's real cost, and a tiny-SF scan arrives as 1-3 partitions —
-    measured 3.20 → 1.09 s median on this box (r15); a no-op whenever the
-    scan already yields >= cores partitions, i.e. at any real scale. The
-    3-group partial aggregate makes the added round-robin exchange carry
-    600k narrow rows once while the sums stay exact integers (order
-    independent), so the value is bit-identical by construction.
+    correlation algebra runs on |groups| rows. r16: the r15 spread of the
+    3-column projection is REVERTED — its solo-warm win (3.20 → 1.09 s)
+    inverted in-board, where the added round-robin exchange read 8.08 s
+    and 2.30 s across two 3-run spread boards vs 2.57 s on the r14
+    driver board with the plain shape (VERDICT r15 #1: quiet-solo wins
+    do not transfer; the spread is a no-op at real scale anyway).
     """
-    from elastic_surv_spark.sources.parquet import spread_partitions
-
-    l = spread_partitions(
-        _t(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_extendedprice", "l_quantity"
-        )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
     )
     x, y = F.col("l_extendedprice"), F.col("l_quantity")
     m = l.groupBy("l_returnflag").agg(

@@ -95,11 +95,15 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     cores (small-file artifact at tiny SFs) — so an expensive projection
     (tokenization, vector math) never runs on one task. At real scale the
     parquet scan already splits at ``spark.sql.files.maxPartitionBytes``
-    and this is a no-op."""
-    import os
+    and this is a no-op.
 
-    if os.environ.get("SPARK_GRAFT_R16_NOSPREAD"):  # A/B knob, r16 measurement
-        return df
+    r16 re-audit: a spread pays ONLY where an interpreted higher-order
+    text projection dominates the one narrow text shuffle it adds
+    (decontaminate grams, bigram LM, repetition folds, BPE pairs — each
+    kept on 3-run in-board A/B evidence); everywhere else (hash-keyed
+    dedup builds, vector mapInPandas passes, decimal aggregates) the
+    added exchange measured neutral-to-3× worse in-board and was
+    removed. Quiet solo wins do NOT justify a spread (VERDICT r15)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
